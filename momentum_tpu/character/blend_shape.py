@@ -1,0 +1,50 @@
+"""Blend shapes: shape = base + Σ w_i · shapeVector_i.
+
+Reference: momentum/character/blend_shape_base.h:15-61, blend_shape.h:19-63.
+The basis is stored as (K, V, 3); applying it is one matmul. `estimate_
+coefficients` is the least-squares fit the reference exposes (blend_shape.h).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["BlendShape"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlendShape:
+    base_shape: jnp.ndarray  # (V, 3)
+    shape_vectors: jnp.ndarray  # (K, V, 3)
+
+    @property
+    def num_shapes(self) -> int:
+        return self.shape_vectors.shape[0]
+
+    @property
+    def num_vertices(self) -> int:
+        return self.base_shape.shape[0]
+
+    def apply(self, coefficients: jnp.ndarray) -> jnp.ndarray:
+        """(..., K) → (..., V, 3): base + coeffs · basis (blend_shape_base.h computeShape)."""
+        return self.base_shape + jnp.einsum("...k,kvi->...vi", coefficients, self.shape_vectors)
+
+    def compute_deltas(self, coefficients: jnp.ndarray) -> jnp.ndarray:
+        """Offsets only (no base), used when composing with face expressions."""
+        return jnp.einsum("...k,kvi->...vi", coefficients, self.shape_vectors)
+
+    def estimate_coefficients(
+        self, vertices: jnp.ndarray, regularization: float = 1.0
+    ) -> jnp.ndarray:
+        """Ridge LSQ fit of coefficients to target vertices
+        (blend_shape.h:19-63 estimateCoefficients)."""
+        k = self.num_shapes
+        basis = self.shape_vectors.reshape(k, -1)  # (K, 3V)
+        target = (vertices - self.base_shape).reshape(vertices.shape[:-2] + (-1,))
+        ata = basis @ basis.T + regularization * jnp.eye(k, dtype=basis.dtype)
+        atb = jnp.einsum("kd,...d->...k", basis, target)
+        return jnp.linalg.solve(ata, atb[..., None])[..., 0]

@@ -1,0 +1,124 @@
+"""Character: the aggregate data model (reference: momentum/character/character.h:33-283).
+
+A frozen pytree holding skeleton + parameter transform + optional mesh/skin/
+blendshape/limits/locators/collision. Mirrors the reference's aggregate but as
+arrays; names and other non-numeric metadata are static aux fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from momentum_tpu.character.blend_shape import BlendShape
+from momentum_tpu.character.limits import ParameterLimits, make_empty_limits
+from momentum_tpu.character.parameter_transform import ParameterTransform
+from momentum_tpu.character.skeleton import PARAMS_PER_JOINT, Skeleton
+from momentum_tpu.character.skinning import SkinWeights
+from momentum_tpu.character import fk
+from momentum_tpu.math import skel_state as ss
+
+__all__ = ["Mesh", "Locators", "Character", "CollisionGeometry"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Mesh:
+    """Vertices/normals/faces (+ optional attrs) — math/mesh.h equivalent."""
+
+    vertices: jnp.ndarray  # (V, 3)
+    faces: jnp.ndarray  # (F, 3) int32
+    normals: jnp.ndarray | None = None
+    texcoords: jnp.ndarray | None = None
+    colors: jnp.ndarray | None = None
+    confidence: jnp.ndarray | None = None
+
+    @property
+    def num_vertices(self) -> int:
+        return self.vertices.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Locators:
+    """Markers attached to joints: offset in parent-joint frame + per-axis
+    lock weights (character/locator.h). Padded/static names tuple."""
+
+    parent: jnp.ndarray  # (L,) int32
+    offset: jnp.ndarray  # (L, 3)
+    weight: jnp.ndarray  # (L,)
+    names: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+
+    @property
+    def num_locators(self) -> int:
+        return self.parent.shape[0]
+
+    def world_positions(self, global_states: jnp.ndarray) -> jnp.ndarray:
+        """LocatorState: world positions of all locators (locator_state.h)."""
+        states = jnp.take(global_states, self.parent, axis=-2)
+        return ss.transform_points(states, self.offset)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CollisionGeometry:
+    """Per-joint tapered capsules (collision_geometry.h:22-60): transform in
+    parent-joint frame (8-param skel_state), two radii, length along local x."""
+
+    parent: jnp.ndarray  # (C,) int32
+    transform: jnp.ndarray  # (C, 8) local skel_state
+    radius: jnp.ndarray  # (C, 2)
+    length: jnp.ndarray  # (C,)
+
+    @property
+    def num_capsules(self) -> int:
+        return self.parent.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Character:
+    skeleton: Skeleton
+    parameter_transform: ParameterTransform
+    limits: ParameterLimits = dataclasses.field(default_factory=make_empty_limits)
+    mesh: Optional[Mesh] = None
+    skin_weights: Optional[SkinWeights] = None
+    inverse_bind_pose: Optional[jnp.ndarray] = None  # (nJ, 8)
+    blend_shape: Optional[BlendShape] = None
+    locators: Optional[Locators] = None
+    collision: Optional[CollisionGeometry] = None
+    name: str = dataclasses.field(default="", metadata=dict(static=True))
+
+    @property
+    def num_joints(self) -> int:
+        return self.skeleton.num_joints
+
+    @property
+    def num_model_parameters(self) -> int:
+        return self.parameter_transform.num_model_parameters
+
+    # ---- core pipelines ----
+
+    def joint_parameters(self, model_params: jnp.ndarray) -> jnp.ndarray:
+        return self.parameter_transform.apply(model_params)
+
+    def skeleton_states(self, model_params: jnp.ndarray, method: str = "lifted") -> jnp.ndarray:
+        """model params → (..., nJ, 8) global skeleton states (FK hot path)."""
+        return fk.global_skel_states(self.skeleton, self.joint_parameters(model_params), method)
+
+    def bind_pose(self) -> jnp.ndarray:
+        """Global states at zero joint parameters."""
+        zeros = jnp.zeros(self.skeleton.num_joint_parameters, self.skeleton.translation_offset.dtype)
+        return fk.global_skel_states(self.skeleton, zeros)
+
+    def with_inverse_bind_pose(self) -> "Character":
+        """Compute inverse bind pose from the rest skeleton if absent
+        (character.h inverseBindPose)."""
+        if self.inverse_bind_pose is not None:
+            return self
+        inv = ss.inverse(self.bind_pose())
+        return dataclasses.replace(self, inverse_bind_pose=inv)

@@ -1,0 +1,185 @@
+"""Parameter limits as padded per-type arrays (static shapes, weight-0 padding).
+
+The reference stores limits as a tagged-union list (parameter_limits.h:20-138,
+types: MinMax, MinMaxJoint(+Passive), Linear, LinearJoint, Ellipsoid,
+HalfPlane). The TPU layout groups records by type into fixed arrays; absent
+records are padded with weight 0 so every evaluation is dense masked math.
+
+Residual/penalty semantics (used by LimitErrorFunction,
+character_solver/limit_error_function.cpp): for each record the violation
+v(θ) is 0 inside the feasible region and linear outside; the error term is
+w_rec · v² (scaled by the error function's global weight).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["ParameterLimits", "make_empty_limits"]
+
+
+def _f(x, dtype=jnp.float32):
+    return jnp.asarray(x, dtype)
+
+
+def _i(x):
+    return jnp.asarray(x, jnp.int32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ParameterLimits:
+    """Padded per-type limit tables. All arrays have a static leading count.
+
+    minmax:        over model parameters — index (M,), bounds (M,2), weight (M,)
+    minmax_joint:  over joint parameters — flat joint-param index (MJ,), bounds
+                   (MJ,2), weight (MJ,), passive flag (MJ,) (passive records are
+                   clamped pre-FK, not penalized: parameter_limits.h:141-144)
+    linear:        p_ref = s·p_tgt − o, applies when p_tgt ∈ [range_min, range_max)
+                   (parameter_limits.h:46-57): ref_idx, tgt_idx (L,), scale,
+                   offset, range_min, range_max, weight (L,)
+    linear_joint:  same over flat joint-param indices (LJ,)
+    halfplane:     (p1, p2)·n − o ≥ 0 (parameter_limits.h:86-92): idx1, idx2
+                   (H,), normal (H,2), offset (H,), weight (H,)
+    ellipsoid:     point (offset in `parent` frame) constrained to an ellipsoid
+                   surface in `ellipsoid_parent` frame (parameter_limits.h:75-84):
+                   parent (E,), ellipsoid_parent (E,), offset (E,3),
+                   ellipsoid (E,4,4), ellipsoid_inv (E,4,4), weight (E,)
+    """
+
+    minmax_index: jnp.ndarray
+    minmax_bounds: jnp.ndarray
+    minmax_weight: jnp.ndarray
+
+    minmax_joint_index: jnp.ndarray
+    minmax_joint_bounds: jnp.ndarray
+    minmax_joint_weight: jnp.ndarray
+    minmax_joint_passive: jnp.ndarray
+
+    linear_ref: jnp.ndarray
+    linear_tgt: jnp.ndarray
+    linear_scale: jnp.ndarray
+    linear_offset: jnp.ndarray
+    linear_range: jnp.ndarray  # (L, 2) [min, max)
+    linear_weight: jnp.ndarray
+
+    linear_joint_ref: jnp.ndarray
+    linear_joint_tgt: jnp.ndarray
+    linear_joint_scale: jnp.ndarray
+    linear_joint_offset: jnp.ndarray
+    linear_joint_range: jnp.ndarray
+    linear_joint_weight: jnp.ndarray
+
+    halfplane_idx1: jnp.ndarray
+    halfplane_idx2: jnp.ndarray
+    halfplane_normal: jnp.ndarray
+    halfplane_offset: jnp.ndarray
+    halfplane_weight: jnp.ndarray
+
+    ellipsoid_parent: jnp.ndarray
+    ellipsoid_frame_parent: jnp.ndarray
+    ellipsoid_point_offset: jnp.ndarray
+    ellipsoid_mat: jnp.ndarray
+    ellipsoid_inv: jnp.ndarray
+    ellipsoid_weight: jnp.ndarray
+
+    @property
+    def counts(self):
+        return dict(
+            minmax=self.minmax_index.shape[0],
+            minmax_joint=self.minmax_joint_index.shape[0],
+            linear=self.linear_ref.shape[0],
+            linear_joint=self.linear_joint_ref.shape[0],
+            halfplane=self.halfplane_idx1.shape[0],
+            ellipsoid=self.ellipsoid_parent.shape[0],
+        )
+
+    def apply_passive(self, joint_params: jnp.ndarray) -> jnp.ndarray:
+        """Clamp joint params for passive MinMaxJoint records
+        (applyPassiveJointParameterLimits, parameter_limits.h:141-144)."""
+        if self.minmax_joint_index.shape[0] == 0:
+            return joint_params
+        idx = self.minmax_joint_index
+        vals = jnp.take(joint_params, idx, axis=-1)
+        lo = self.minmax_joint_bounds[:, 0]
+        hi = self.minmax_joint_bounds[:, 1]
+        active = (self.minmax_joint_passive > 0) & (self.minmax_joint_weight > 0)
+        clamped = jnp.where(active, jnp.clip(vals, lo, hi), vals)
+        # scatter back (duplicate indices: last write wins; the reference's
+        # sequential clamp has the same property)
+        return joint_params.at[..., idx].set(clamped)
+
+
+def make_limits(
+    minmax=None,  # list of (param_index, lo, hi, weight)
+    minmax_joint=None,  # list of (joint_index, joint_param, lo, hi, weight, passive)
+    linear=None,  # list of (ref_idx, tgt_idx, scale, offset, range_min, range_max, weight)
+    linear_joint=None,  # list of (ref_flat_idx, tgt_flat_idx, scale, offset, rmin, rmax, weight)
+    halfplane=None,  # list of (idx1, idx2, nx, ny, offset, weight)
+    ellipsoid=None,  # list of (parent, ellipsoid_parent, offset3, mat4x4, weight)
+) -> ParameterLimits:
+    minmax = minmax or []
+    minmax_joint = minmax_joint or []
+    linear = linear or []
+    linear_joint = linear_joint or []
+    halfplane = halfplane or []
+    ellipsoid = ellipsoid or []
+
+    def arr(rows, cols, dtype=np.float32):
+        return np.asarray(rows, dtype).reshape(len(rows), cols) if rows else np.zeros((0, cols), dtype)
+
+    mm = arr(minmax, 4)
+    mj = arr(minmax_joint, 6)
+    li = arr(linear, 7)
+    lj = arr(linear_joint, 7)
+    hp = arr(halfplane, 6)
+
+    e_parent = _i([e[0] for e in ellipsoid]) if ellipsoid else _i(np.zeros(0))
+    e_eparent = _i([e[1] for e in ellipsoid]) if ellipsoid else _i(np.zeros(0))
+    e_off = _f([e[2] for e in ellipsoid]) if ellipsoid else _f(np.zeros((0, 3)))
+    e_mat = _f([e[3] for e in ellipsoid]) if ellipsoid else _f(np.zeros((0, 4, 4)))
+    e_inv = _f([np.linalg.inv(np.asarray(e[3])) for e in ellipsoid]) if ellipsoid else _f(np.zeros((0, 4, 4)))
+    e_w = _f([e[4] for e in ellipsoid]) if ellipsoid else _f(np.zeros(0))
+
+    jp_flat = lambda j, p: int(j) * 7 + int(p)  # noqa: E731
+
+    return ParameterLimits(
+        minmax_index=_i(mm[:, 0]),
+        minmax_bounds=_f(mm[:, 1:3]),
+        minmax_weight=_f(mm[:, 3]),
+        minmax_joint_index=_i([jp_flat(r[0], r[1]) for r in minmax_joint] if minmax_joint else np.zeros(0)),
+        minmax_joint_bounds=_f(mj[:, 2:4]),
+        minmax_joint_weight=_f(mj[:, 4]),
+        minmax_joint_passive=_f(mj[:, 5]),
+        linear_ref=_i(li[:, 0]),
+        linear_tgt=_i(li[:, 1]),
+        linear_scale=_f(li[:, 2]),
+        linear_offset=_f(li[:, 3]),
+        linear_range=_f(li[:, 4:6]),
+        linear_weight=_f(li[:, 6]),
+        linear_joint_ref=_i(lj[:, 0]),
+        linear_joint_tgt=_i(lj[:, 1]),
+        linear_joint_scale=_f(lj[:, 2]),
+        linear_joint_offset=_f(lj[:, 3]),
+        linear_joint_range=_f(lj[:, 4:6]),
+        linear_joint_weight=_f(lj[:, 6]),
+        halfplane_idx1=_i(hp[:, 0]),
+        halfplane_idx2=_i(hp[:, 1]),
+        halfplane_normal=_f(hp[:, 2:4]),
+        halfplane_offset=_f(hp[:, 4]),
+        halfplane_weight=_f(hp[:, 5]),
+        ellipsoid_parent=e_parent,
+        ellipsoid_frame_parent=e_eparent,
+        ellipsoid_point_offset=e_off,
+        ellipsoid_mat=e_mat,
+        ellipsoid_inv=e_inv,
+        ellipsoid_weight=e_w,
+    )
+
+
+def make_empty_limits() -> ParameterLimits:
+    return make_limits()

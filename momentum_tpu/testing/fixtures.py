@@ -1,0 +1,116 @@
+"""Synthetic test character — no asset dependency, mirrors the reference's
+createTestCharacter (momentum/test/character/character_helpers.cpp:38-230):
+
+* n-joint chain: root at origin, each child offset by +Y one unit.
+* Model params: root tx/ty/tz/rx/ry/rz, scale_global (root scale), joint1_rx,
+  shared_rz (0.5 to both joint1.rz and joint2.rz), then jointK_rx for K>=2.
+* Locators: one per joint, uniform-random offsets in [-1, 1]^3.
+* Mesh: 2 verts per segment along the chain (5 segments/joint), skinned to
+  (bone, bone+1) with linearly varying weights; two triangles per segment.
+* Limits: MinMax on model param 0 in [-0.1, 0.1].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from momentum_tpu.character import (
+    Character,
+    Locators,
+    Mesh,
+    ParameterTransform,
+    SkinWeights,
+    make_limits,
+    make_skeleton,
+)
+from momentum_tpu.character.skeleton import PARAMS_PER_JOINT
+
+
+def create_test_character(num_joints: int = 3, dtype=jnp.float32) -> Character:
+    if num_joints < 3:
+        raise ValueError("num_joints must be >= 3")
+
+    parents = [-1] + list(range(num_joints - 1))
+    offsets = np.zeros((num_joints, 3), np.float64)
+    offsets[1:, 1] = 1.0
+    names = ["root"] + [f"joint{i}" for i in range(1, num_joints)]
+    skeleton = make_skeleton(parents, translation_offsets=offsets, names=names, dtype=dtype)
+
+    # parameter transform
+    pnames = ["root_tx", "root_ty", "root_tz", "root_rx", "root_ry", "root_rz",
+              "scale_global", "joint1_rx", "shared_rz"]
+    pnames += [f"joint{k}_rx" for k in range(2, num_joints)]
+    n_jp = num_joints * PARAMS_PER_JOINT
+    n_p = len(pnames)
+    mat = np.zeros((n_jp, n_p), np.float64)
+    for i in range(6):
+        mat[i, i] = 1.0  # root tx..rz
+    mat[6, 6] = 1.0  # root scale <- scale_global
+    mat[1 * PARAMS_PER_JOINT + 3, 7] = 1.0  # joint1_rx
+    mat[1 * PARAMS_PER_JOINT + 5, 8] = 0.5  # shared_rz
+    mat[2 * PARAMS_PER_JOINT + 5, 8] = 0.5  # shared_rz
+    for k in range(2, num_joints):
+        mat[k * PARAMS_PER_JOINT + 3, 9 + k - 2] = 1.0
+    pt = ParameterTransform(
+        transform=jnp.asarray(mat, dtype),
+        offsets=jnp.zeros(n_jp, dtype),
+        names=tuple(pnames),
+    )
+
+    # locators (seeded like reference's Random(10001), values differ — only the
+    # distribution matters for tests)
+    rng = np.random.default_rng(10001)
+    loc_offsets = rng.uniform(-1.0, 1.0, size=(num_joints, 3))
+    locators = Locators(
+        parent=jnp.arange(num_joints, dtype=jnp.int32),
+        offset=jnp.asarray(loc_offsets, dtype),
+        weight=jnp.ones(num_joints, dtype),
+        names=tuple(f"l{i}" for i in range(num_joints)),
+    )
+
+    # mesh: 5 segments per bone, 2 verts each, skinned to (bone, next)
+    seg_per = 5
+    n_seg = seg_per * num_joints
+    verts, sidx, swgt = [], [], []
+    for b in range(num_joints):
+        nxt = min(b + 1, num_joints - 1)
+        for s in range(seg_per):
+            frac = s / seg_per
+            y = b + frac
+            for x in (-0.5, 0.5):
+                verts.append([x, y, 0.0])
+                row_i = np.zeros(8, np.int32)
+                row_w = np.zeros(8, np.float32)
+                if frac > 0.5 and nxt != b:
+                    row_i[0], row_i[1] = nxt, b
+                    row_w[0], row_w[1] = frac, 1.0 - frac
+                else:
+                    row_i[0], row_i[1] = b, nxt
+                    row_w[0] = 1.0 - frac if nxt != b else 1.0
+                    row_w[1] = frac if nxt != b else 0.0
+                sidx.append(row_i)
+                swgt.append(row_w)
+    faces = []
+    for i in range(n_seg - 1):
+        faces.append([2 * i + 0, 2 * i + 2, 2 * i + 1])
+        faces.append([2 * i + 1, 2 * i + 2, 2 * i + 3])
+
+    mesh = Mesh(
+        vertices=jnp.asarray(np.asarray(verts), dtype),
+        faces=jnp.asarray(np.asarray(faces), jnp.int32),
+    )
+    skin = SkinWeights(index=jnp.asarray(np.stack(sidx)), weight=jnp.asarray(np.stack(swgt), dtype))
+
+    limits = make_limits(minmax=[(0, -0.1, 0.1, 1.0)])
+
+    char = Character(
+        skeleton=skeleton,
+        parameter_transform=pt,
+        limits=limits,
+        mesh=mesh,
+        skin_weights=skin,
+        locators=locators,
+        name=f"test_character_{num_joints}",
+    )
+    return char.with_inverse_bind_pose()

@@ -1,0 +1,115 @@
+"""Quaternion algebra tests against scipy-free numpy references."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from momentum_tpu.math import euler, quaternion as quat
+
+
+def random_unit_quats(rng, n):
+    q = rng.normal(size=(n, 4))
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def np_quat_to_matrix(q):
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return np.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    ).reshape(q.shape[:-1] + (3, 3))
+
+
+def test_multiply_matches_matrix_product(rng):
+    q1 = random_unit_quats(rng, 64)
+    q2 = random_unit_quats(rng, 64)
+    q12 = np.asarray(quat.multiply(jnp.asarray(q1), jnp.asarray(q2)))
+    m = np_quat_to_matrix(q1) @ np_quat_to_matrix(q2)
+    np.testing.assert_allclose(np_quat_to_matrix(q12), m, atol=1e-5)
+
+
+def test_rotate_vector_matches_matrix(rng):
+    q = random_unit_quats(rng, 64)
+    v = rng.normal(size=(64, 3))
+    rv = np.asarray(quat.rotate_vector(jnp.asarray(q), jnp.asarray(v)))
+    mv = np.einsum("nij,nj->ni", np_quat_to_matrix(q), v)
+    np.testing.assert_allclose(rv, mv, atol=1e-5)
+
+
+def test_inverse_conjugate(rng):
+    q = random_unit_quats(rng, 32)
+    qi = np.asarray(quat.inverse(jnp.asarray(q)))
+    prod = np.asarray(quat.multiply(jnp.asarray(q), jnp.asarray(qi)))
+    np.testing.assert_allclose(prod, np.tile([0, 0, 0, 1.0], (32, 1)), atol=1e-5)
+
+
+def test_matrix_roundtrip(rng):
+    q = random_unit_quats(rng, 256)
+    m = quat.to_rotation_matrix(jnp.asarray(q, jnp.float32))
+    q2 = np.asarray(quat.from_rotation_matrix(m))
+    # q and -q are the same rotation
+    dot = np.abs(np.sum(q * q2, axis=-1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-4)
+
+
+def test_axis_angle_roundtrip(rng):
+    aa = rng.normal(size=(64, 3))
+    # keep angle < pi for unique roundtrip
+    aa = aa / np.linalg.norm(aa, axis=-1, keepdims=True) * rng.uniform(0.01, 3.0, size=(64, 1))
+    q = quat.from_axis_angle(jnp.asarray(aa, jnp.float32))
+    aa2 = np.asarray(quat.to_axis_angle(q))
+    np.testing.assert_allclose(aa2, aa, atol=1e-4)
+
+
+def test_euler_to_quaternion_zyx(rng):
+    ang = rng.uniform(-1.5, 1.5, size=(32, 3))
+    q = quat.euler_to_quaternion(jnp.asarray(ang, jnp.float32), order="ZYX")
+    m_q = np.asarray(quat.to_rotation_matrix(q))
+    m_e = np.asarray(euler.euler_zyx_to_matrix(jnp.asarray(ang, jnp.float32)))
+    np.testing.assert_allclose(m_q, m_e, atol=1e-5)
+
+
+def test_euler_zyx_extraction_roundtrip(rng):
+    ang = rng.uniform(-1.4, 1.4, size=(128, 3))
+    m = euler.euler_zyx_to_matrix(jnp.asarray(ang, jnp.float32))
+    back = np.asarray(euler.rotation_matrix_to_euler_zyx(m))  # (z, y, x)
+    np.testing.assert_allclose(back[:, 2], ang[:, 0], atol=1e-4)  # rx
+    np.testing.assert_allclose(back[:, 1], ang[:, 1], atol=1e-4)  # ry
+    np.testing.assert_allclose(back[:, 0], ang[:, 2], atol=1e-4)  # rz
+
+
+def test_euler_xyz_extraction_roundtrip(rng):
+    ang = rng.uniform(-1.4, 1.4, size=(128, 3))
+    m = euler.euler_xyz_to_matrix(jnp.asarray(ang, jnp.float32))
+    back = np.asarray(euler.rotation_matrix_to_euler_xyz(m))
+    np.testing.assert_allclose(back, ang, atol=1e-4)
+
+
+def test_gimbal_lock_zyx():
+    # sin(y) == 1 lock: reconstruction must still reproduce the matrix
+    ang = np.array([[0.3, np.pi / 2, 0.7]], dtype=np.float32)
+    m = euler.euler_zyx_to_matrix(jnp.asarray(ang))
+    back = np.asarray(euler.rotation_matrix_to_euler_zyx(m))  # (z,y,x)
+    m2 = euler.euler_zyx_to_matrix(jnp.asarray(back[..., ::-1]))
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m), atol=1e-4)
+
+
+def test_slerp_endpoints(rng):
+    q0 = jnp.asarray(random_unit_quats(rng, 8), jnp.float32)
+    q1 = jnp.asarray(random_unit_quats(rng, 8), jnp.float32)
+    s0 = np.asarray(quat.slerp(q0, q1, jnp.zeros((8,))))
+    s1 = np.asarray(quat.slerp(q0, q1, jnp.ones((8,))))
+    np.testing.assert_allclose(np.abs(np.sum(s0 * np.asarray(q0), axis=-1)), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.abs(np.sum(s1 * np.asarray(q1), axis=-1)), 1.0, atol=1e-5)
+
+
+def test_from_two_vectors(rng):
+    a = rng.normal(size=(32, 3)).astype(np.float32)
+    b = rng.normal(size=(32, 3)).astype(np.float32)
+    q = quat.from_two_vectors(jnp.asarray(a), jnp.asarray(b))
+    ra = np.asarray(quat.rotate_vector(q, jnp.asarray(a / np.linalg.norm(a, axis=-1, keepdims=True))))
+    bn = b / np.linalg.norm(b, axis=-1, keepdims=True)
+    np.testing.assert_allclose(ra, bn, atol=1e-4)
