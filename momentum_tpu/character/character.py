@@ -91,6 +91,12 @@ class Character:
     blend_shape: Optional[BlendShape] = None
     locators: Optional[Locators] = None
     collision: Optional[CollisionGeometry] = None
+    # model-parameter indices driving blendshape coefficients, in basis order
+    # (reference: ParameterTransform::blendShapeParameters,
+    # parameter_transform.h:189-227). Static so gathers stay trace-constant.
+    blend_shape_param_index: Optional[tuple] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
     name: str = dataclasses.field(default="", metadata=dict(static=True))
 
     @property

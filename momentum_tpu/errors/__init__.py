@@ -1,0 +1,25 @@
+from momentum_tpu.errors.base import ErrorFunction, EvalContext  # noqa: F401
+from momentum_tpu.errors.position import (  # noqa: F401
+    ModelParametersErrorFunction,
+    OrientationErrorFunction,
+    PositionErrorFunction,
+)
+from momentum_tpu.errors.limit import LimitErrorFunction  # noqa: F401
+from momentum_tpu.errors.geometric import (  # noqa: F401
+    AimDirErrorFunction,
+    AimDistErrorFunction,
+    DistanceErrorFunction,
+    FixedAxisAngleErrorFunction,
+    FixedAxisCosErrorFunction,
+    FixedAxisDiffErrorFunction,
+    NormalErrorFunction,
+    PlaneErrorFunction,
+    ProjectionErrorFunction,
+)
+from momentum_tpu.errors.joint_pair import (  # noqa: F401
+    JointToJointDistanceErrorFunction,
+    JointToJointOrientationErrorFunction,
+    JointToJointPositionErrorFunction,
+)
+from momentum_tpu.errors.pose_prior import Mppca, PosePriorErrorFunction  # noqa: F401
+from momentum_tpu.errors.state import StateErrorFunction  # noqa: F401

@@ -1,0 +1,123 @@
+"""Error-function (residual module) protocol.
+
+The reference's SkeletonErrorFunctionT (momentum/character_solver/
+skeleton_error_function.h:19-150) is a virtual interface with
+getError/getGradient/getJacobian. The TPU-native shape is different: every
+error function is a frozen *pytree* holding padded constraint arrays, and
+exposes two pure functions of an `EvalContext`:
+
+    raw(ctx)       -> (f, w)   raw residual vectors (C, D) + constraint weights (C,)
+    residual(ctx)  -> (C*D,)   GN residual rows, scaled by sqrt(weight · w · ρ'(‖f‖²))
+    error(ctx)     -> scalar   exact energy  weight · Σ_c w_c · ρ(‖f_c‖²)
+
+Derivatives come from JAX AD through `residual` — the chain walk the reference
+hand-codes in SkeletonDerivativeT (skeleton_derivative.cpp) is replaced by
+jacfwd through the (lifted) FK, which XLA turns into batched dense work on the
+MXU. The robust-loss row scaling is wrapped in `stop_gradient` so the
+linearization matches the reference's IRLS-style Gauss-Newton Jacobian
+(joint_error_function-inl.h:179-225: rows are sqrt(w·dloss)·df/dθ with the
+weight treated as constant).
+
+Padding convention: every constraint table has a static capacity; unused rows
+have weight 0 and parent index 0, so evaluation is dense masked math (the SoA
+layout precedent is the reference's SIMD path,
+character_solver_simd/simd_position_error_function.h:22-73).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from momentum_tpu.math.generalized_loss import GeneralizedLoss
+
+__all__ = ["EvalContext", "ErrorFunction", "VectorErrorFunction", "pad_rows"]
+
+
+def pad_rows(arr, capacity: int):
+    """Zero-pad a leading-axis table to a static capacity."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    out = np.zeros((capacity,) + arr.shape[1:], arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EvalContext:
+    """Per-evaluation state shared by all error functions (one FK + one skinning
+    pass per solver iteration — mirrors SkeletonSolverFunctionT's shared
+    SkeletonState/MeshState, skeleton_solver_function.h:21-95)."""
+
+    model_params: jnp.ndarray  # (P,)
+    joint_params: jnp.ndarray  # (nJ*7,)
+    skel_states: jnp.ndarray  # (nJ, 8) global skeleton states
+    mesh_vertices: Optional[jnp.ndarray] = None  # (V, 3) posed, if mesh in play
+    mesh_normals: Optional[jnp.ndarray] = None  # (V, 3)
+    rest_vertices: Optional[jnp.ndarray] = None  # (V, 3) post-blendshape rest mesh
+
+
+class ErrorFunction:
+    """Base for all residual modules.
+
+    Subclasses are `@jax.tree_util.register_dataclass` frozen dataclasses with:
+      * array fields for constraint data (targets, offsets, weights...)
+      * a `weight` scalar array (the error function's global weight, traced so
+        differentiable-IK can expose gradients to it)
+      * a static `loss` GeneralizedLoss field
+
+    and implement `raw(character, ctx) -> (f, w)` with f (C, D), w (C,).
+    `needs_mesh` marks functions that require ctx.mesh_vertices.
+    """
+
+    needs_mesh: bool = False
+
+    # -- subclass interface -------------------------------------------------
+    def raw(self, character, ctx: EvalContext):
+        raise NotImplementedError
+
+    # -- derived ------------------------------------------------------------
+    def _loss(self) -> GeneralizedLoss:
+        return getattr(self, "loss", GeneralizedLoss())
+
+    def error(self, character, ctx: EvalContext) -> jnp.ndarray:
+        """weight · Σ w_c · ρ(‖f_c‖²) (joint_error_function-inl.h:35-54)."""
+        f, w = self.raw(character, ctx)
+        sq = jnp.sum(f * f, axis=-1)
+        return self.weight * jnp.sum(w * self._loss().value(sq))
+
+    def residual(self, character, ctx: EvalContext) -> jnp.ndarray:
+        """Flattened GN rows: sqrt(weight · w · ρ'(‖f‖²)) · f, robust scale
+        frozen (stop_gradient) to match the reference's Jacobian."""
+        f, w = self.raw(character, ctx)
+        sq = jnp.sum(f * f, axis=-1)
+        scale = jnp.sqrt(jnp.maximum(self.weight * w, 0.0))
+        loss = self._loss()
+        if not (loss.alpha == 2.0):  # non-L2: IRLS reweighting, frozen per linearization
+            # ρ'(s)·c² == 1 at L2 so the factor is skipped there; value(s)=s/c²
+            # and deriv carry the 1/c² themselves.
+            scale = scale * jax.lax.stop_gradient(jnp.sqrt(jnp.maximum(loss.deriv(sq), 0.0)))
+        else:
+            scale = scale * (1.0 / loss.c)
+        return (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
+
+    def num_rows(self) -> int:
+        """Static residual row count (C*D) for this module."""
+        raise NotImplementedError
+
+
+class VectorErrorFunction(ErrorFunction):
+    """Helper base for modules whose raw() is (C, D) with static C, D."""
+
+    D: int = 3
+
+    def num_rows(self) -> int:
+        return self.constraint_count() * self.D
+
+    def constraint_count(self) -> int:
+        raise NotImplementedError

@@ -1,0 +1,143 @@
+"""LimitErrorFunction: penalties for parameter-limit violations.
+
+Reference: momentum/character_solver/limit_error_function.cpp. Per record the
+raw residual r is zero inside the feasible region and linear outside; the
+energy is kLimitWeight(=10, limit_error_function.h:91) · weight · Σ w_rec ·
+ρ(r²), with ellipsoid records additionally scaled by kPositionWeight(=1e-4,
+limit_error_function.cpp:21).
+
+Residual forms (limit_error_function.cpp:32-193):
+  MinMax        r = clip(θ_i, lo, hi) − θ_i                 (model param)
+  MinMaxJoint   same over joint parameters
+  Linear        r = θ_tgt·scale − offset − θ_ref   when θ_tgt ∈ [rmin, rmax)
+  LinearJoint   same over joint parameters
+  HalfPlane     r = min((p1, p2)·n − o, 0)
+  Ellipsoid     r⃗ = worldPoint − worldProjectionOntoEllipsoidSurface (3 rows)
+
+MinMaxJointPassive records contribute nothing here (they are pre-FK clamps,
+ParameterLimits.apply_passive). The reference gates records by
+enabledParameters/activeJointParams; here disabled-parameter columns are
+masked at the solver level, which leaves the same optimum.
+
+All record tables live in the character's ParameterLimits pytree (static
+counts), so this module is pure index-free masked math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from momentum_tpu.errors.base import ErrorFunction, EvalContext
+from momentum_tpu.math import skel_state as ss
+from momentum_tpu.math.generalized_loss import GeneralizedLoss
+
+__all__ = ["LimitErrorFunction", "K_LIMIT_WEIGHT"]
+
+K_LIMIT_WEIGHT = 10.0  # limit_error_function.h:91
+_K_POSITION_WEIGHT = 1e-4  # limit_error_function.cpp:21 (ellipsoid records)
+
+
+def _minmax_residual(vals, bounds):
+    return jnp.clip(vals, bounds[..., 0], bounds[..., 1]) - vals
+
+
+def _linear_residual(ref, tgt, scale, offset, rng):
+    in_range = (tgt >= rng[..., 0]) & (tgt < rng[..., 1])
+    r = tgt * scale - offset - ref
+    return jnp.where(in_range, r, 0.0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LimitErrorFunction(ErrorFunction):
+    weight: jnp.ndarray
+    loss: GeneralizedLoss = dataclasses.field(
+        default=GeneralizedLoss(), metadata=dict(static=True)
+    )
+
+    def _pieces(self, character, ctx: EvalContext):
+        """-> list of (f (C,D), w (C,)) per record type, in a fixed order."""
+        lim = character.limits
+        mp = ctx.model_params
+        jp = ctx.joint_params
+        out = []
+        if lim.minmax_index.shape[0]:
+            vals = jnp.take(mp, lim.minmax_index, axis=-1)
+            out.append((_minmax_residual(vals, lim.minmax_bounds)[..., None], lim.minmax_weight))
+        if lim.minmax_joint_index.shape[0]:
+            vals = jnp.take(jp, lim.minmax_joint_index, axis=-1)
+            r = _minmax_residual(vals, lim.minmax_joint_bounds)
+            w = lim.minmax_joint_weight * (1.0 - lim.minmax_joint_passive)
+            out.append((r[..., None], w))
+        if lim.linear_ref.shape[0]:
+            r = _linear_residual(
+                jnp.take(mp, lim.linear_ref, axis=-1),
+                jnp.take(mp, lim.linear_tgt, axis=-1),
+                lim.linear_scale, lim.linear_offset, lim.linear_range,
+            )
+            out.append((r[..., None], lim.linear_weight))
+        if lim.linear_joint_ref.shape[0]:
+            r = _linear_residual(
+                jnp.take(jp, lim.linear_joint_ref, axis=-1),
+                jnp.take(jp, lim.linear_joint_tgt, axis=-1),
+                lim.linear_joint_scale, lim.linear_joint_offset, lim.linear_joint_range,
+            )
+            out.append((r[..., None], lim.linear_joint_weight))
+        if lim.halfplane_idx1.shape[0]:
+            p1 = jnp.take(mp, lim.halfplane_idx1, axis=-1)
+            p2 = jnp.take(mp, lim.halfplane_idx2, axis=-1)
+            d = p1 * lim.halfplane_normal[..., 0] + p2 * lim.halfplane_normal[..., 1] \
+                - lim.halfplane_offset
+            out.append((jnp.minimum(d, 0.0)[..., None], lim.halfplane_weight))
+        if lim.ellipsoid_parent.shape[0]:
+            # limit_error_function.cpp:173-193
+            par = jnp.take(ctx.skel_states, lim.ellipsoid_parent, axis=-2)
+            epar = jnp.take(ctx.skel_states, lim.ellipsoid_frame_parent, axis=-2)
+            pos = ss.transform_points(par, lim.ellipsoid_point_offset)
+            local = ss.transform_points(ss.inverse(epar), pos)
+            ell_inv = lim.ellipsoid_inv
+            ep = jnp.einsum("...ij,...j->...i", ell_inv[..., :3, :3], local) + ell_inv[..., :3, 3]
+            nrm = ep / jnp.maximum(jnp.linalg.norm(ep, axis=-1, keepdims=True), 1e-12)
+            ell = lim.ellipsoid_mat
+            proj = jnp.einsum("...ij,...j->...i", ell[..., :3, :3], nrm) + ell[..., :3, 3]
+            diff = pos - ss.transform_points(epar, proj)
+            out.append((diff, lim.ellipsoid_weight * _K_POSITION_WEIGHT))
+        return out
+
+    def raw(self, character, ctx: EvalContext):
+        raise NotImplementedError("LimitErrorFunction evaluates per record type")
+
+    def error(self, character, ctx: EvalContext) -> jnp.ndarray:
+        total = jnp.zeros((), ctx.model_params.dtype)
+        for f, w in self._pieces(character, ctx):
+            sq = jnp.sum(f * f, axis=-1)
+            total = total + jnp.sum(w * self.loss.value(sq))
+        return K_LIMIT_WEIGHT * self.weight * total
+
+    def residual(self, character, ctx: EvalContext) -> jnp.ndarray:
+        rows = []
+        for f, w in self._pieces(character, ctx):
+            sq = jnp.sum(f * f, axis=-1)
+            scale = jnp.sqrt(jnp.maximum(K_LIMIT_WEIGHT * self.weight * w, 0.0))
+            if self.loss.alpha == 2.0:
+                scale = scale * (1.0 / self.loss.c)
+            else:
+                scale = scale * jax.lax.stop_gradient(
+                    jnp.sqrt(jnp.maximum(self.loss.deriv(sq), 0.0))
+                )
+            rows.append((scale[..., None] * f).reshape(f.shape[:-2] + (-1,)))
+        if not rows:
+            return jnp.zeros(ctx.model_params.shape[:-1] + (0,), ctx.model_params.dtype)
+        return jnp.concatenate(rows, axis=-1)
+
+    def num_rows_for(self, character) -> int:
+        c = character.limits.counts
+        return (c["minmax"] + c["minmax_joint"] + c["linear"] + c["linear_joint"]
+                + c["halfplane"] + 3 * c["ellipsoid"])
+
+    @classmethod
+    def create(cls, weight=1.0, loss=None):
+        return cls(weight=jnp.asarray(weight, jnp.float32), loss=loss or GeneralizedLoss())

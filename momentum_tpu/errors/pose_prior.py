@@ -1,0 +1,132 @@
+"""MPPCA pose prior (math/mppca.h) and its error function
+(character_solver/pose_prior_error_function.{h,cpp}).
+
+Mixture of probabilistic PCA: p(x) = Σ_c π_c N(x | μ_c, C_c) with
+C_c = W_c·W_cᵀ + σ_c²·I. Precomputed per component (mppca.h:40-59):
+    Cinv_c, Rpre_c = log π_c − ½ log|C_c| − (d/2) log 2π, and a factor L_c
+    with L_cᵀ·L_c = C_c⁻¹ used for GN whitening.
+
+The error function follows the reference's best-component approximation
+(pose_prior_error_function.cpp:111-114,218-249): pick the component maximizing
+R_c = Rpre_c − ½ d_cᵀ·Cinv_c·d_c; then
+    error     = weight · kPosePriorWeight · ½ d*ᵀ·Cinv*·d*       (.cpp:179)
+    residual  = sqrt(½·weight·kPosePriorWeight) · L*·d*          (.cpp:181-187)
+with kPosePriorWeight = 1e-3 (pose_prior_error_function.h:73). The argmax is
+trace-safe (jnp.argmax + take); AD flows only through the selected component,
+matching the reference's frozen-selection Jacobian.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from momentum_tpu.errors.base import ErrorFunction, EvalContext
+
+__all__ = ["Mppca", "PosePriorErrorFunction", "K_POSE_PRIOR_WEIGHT"]
+
+K_POSE_PRIOR_WEIGHT = 1e-3  # pose_prior_error_function.h:73
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Mppca:
+    """Precomputed MPPCA mixture (K components over d dims)."""
+
+    mu: jnp.ndarray  # (K, d)
+    cinv: jnp.ndarray  # (K, d, d)
+    l: jnp.ndarray  # (K, d, d), LᵀL = Cinv
+    rpre: jnp.ndarray  # (K,)
+    names: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+
+    @property
+    def num_components(self) -> int:
+        return self.mu.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.mu.shape[1]
+
+    @classmethod
+    def from_components(cls, pi, mu, w_list, sigma2, names=()):
+        """Build from raw mixture parameters (mppca.h set(), mppca.cpp)."""
+        pi = np.asarray(pi, np.float64)
+        mu = np.asarray(mu, np.float64)
+        sigma2 = np.asarray(sigma2, np.float64)
+        k, d = mu.shape
+        cinv = np.zeros((k, d, d))
+        l = np.zeros((k, d, d))
+        rpre = np.zeros(k)
+        for c in range(k):
+            w = np.asarray(w_list[c], np.float64).reshape(d, -1)
+            cov = w @ w.T + sigma2[c] * np.eye(d)
+            cinv[c] = np.linalg.inv(cov)
+            # lower Cholesky of Cinv: Cinv = G·Gᵀ; rows L = Gᵀ give LᵀL = ... use L = Gᵀ
+            g = np.linalg.cholesky(cinv[c])
+            l[c] = g.T  # L·x whitening; LᵀL = G·Gᵀ = Cinv
+            sign, logdet = np.linalg.slogdet(cov)
+            rpre[c] = math.log(max(pi[c], 1e-300)) - 0.5 * logdet - 0.5 * d * math.log(2 * math.pi)
+        return cls(
+            mu=jnp.asarray(mu, jnp.float32),
+            cinv=jnp.asarray(cinv, jnp.float32),
+            l=jnp.asarray(l, jnp.float32),
+            rpre=jnp.asarray(rpre, jnp.float32),
+            names=tuple(names),
+        )
+
+    def log_probability(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Best-component log-likelihood R* (reference logProbability returns
+        −minDist, i.e. without the Rpre constant; this returns max_c R_c)."""
+        diff = x[..., None, :] - self.mu
+        sq = 0.5 * jnp.einsum("...kd,kde,...ke->...k", diff, self.cinv, diff)
+        return jnp.max(self.rpre - sq, axis=-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PosePriorErrorFunction(ErrorFunction):
+    prior: Mppca
+    weight: jnp.ndarray
+    # pose-prior dim -> model parameter index (−1 = unmapped, reads 0.0);
+    # mirrors ppMap_ built by name matching (pose_prior_error_function.cpp:41-54)
+    param_index: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+
+    def _sub_params(self, model_params: jnp.ndarray) -> jnp.ndarray:
+        idx = np.asarray(self.param_index, np.int64)
+        gathered = jnp.take(model_params, jnp.asarray(np.maximum(idx, 0)), axis=-1)
+        return jnp.where(jnp.asarray(idx >= 0), gathered, 0.0)
+
+    def _best(self, model_params):
+        x = self._sub_params(model_params)
+        diff = x[..., None, :] - self.prior.mu  # (K, d)
+        sq = 0.5 * jnp.einsum("...kd,kde,...ke->...k", diff, self.prior.cinv, diff)
+        best = jnp.argmax(self.prior.rpre - sq, axis=-1)
+        d_best = jnp.take_along_axis(diff, best[..., None, None], axis=-2)[..., 0, :]
+        sq_best = jnp.take_along_axis(sq, best[..., None], axis=-1)[..., 0]
+        return best, d_best, sq_best
+
+    def error(self, character, ctx: EvalContext) -> jnp.ndarray:
+        _, _, sq_best = self._best(ctx.model_params)
+        return self.weight * K_POSE_PRIOR_WEIGHT * sq_best
+
+    def residual(self, character, ctx: EvalContext) -> jnp.ndarray:
+        best, d_best, _ = self._best(ctx.model_params)
+        l_best = jnp.take(self.prior.l, best, axis=0)
+        rows = jnp.einsum("...de,...e->...d", l_best, d_best)
+        return jnp.sqrt(0.5 * K_POSE_PRIOR_WEIGHT * self.weight) * rows
+
+    def num_rows(self) -> int:
+        return self.prior.dim
+
+    @classmethod
+    def create(cls, prior: Mppca, parameter_names, weight=1.0):
+        """Map prior dims onto model parameters by name (loadInternal,
+        pose_prior_error_function.cpp:41-54)."""
+        name_to_idx = {n: i for i, n in enumerate(parameter_names)}
+        idx = tuple(name_to_idx.get(n, -1) for n in prior.names) if prior.names else \
+            tuple(range(prior.dim))
+        return cls(prior=prior, weight=jnp.asarray(weight, jnp.float32), param_index=idx)

@@ -1,0 +1,177 @@
+"""Position, orientation, and model-parameter residual modules.
+
+References:
+  PositionErrorFunction  — character_solver/position_error_function.{h,cpp}:15-27
+      f_c = WorldTransform(parent_c) · offset_c − target_c          (3 rows)
+  OrientationErrorFunction — character_solver/orientation_error_function.cpp:15-40
+      f_c = R_world(parent_c) · R_offset_c − R_target_c (flattened)  (9 rows)
+  ModelParametersErrorFunction — character_solver/model_parameters_error_function.h
+      f_p = w_p · (θ_p − target_p), one row per model parameter.
+
+All constraint tables are padded to a static capacity with weight-0 rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from momentum_tpu.errors.base import ErrorFunction, EvalContext, VectorErrorFunction
+from momentum_tpu.math import quaternion as quat, skel_state as ss
+from momentum_tpu.math.generalized_loss import GeneralizedLoss
+
+__all__ = [
+    "PositionErrorFunction",
+    "OrientationErrorFunction",
+    "ModelParametersErrorFunction",
+]
+
+
+def _pad_rows(arr: np.ndarray, capacity: int) -> np.ndarray:
+    out = np.zeros((capacity,) + arr.shape[1:], arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PositionErrorFunction(VectorErrorFunction):
+    """3D point → target constraints ("locator" style)."""
+
+    parent: jnp.ndarray  # (C,) int32 joint index
+    offset: jnp.ndarray  # (C, 3) point in joint-local frame
+    target: jnp.ndarray  # (C, 3) world-space target
+    cweight: jnp.ndarray  # (C,) per-constraint weight (0 = padding)
+    weight: jnp.ndarray  # scalar global weight
+    loss: GeneralizedLoss = dataclasses.field(
+        default=GeneralizedLoss(), metadata=dict(static=True)
+    )
+
+    D = 3
+
+    def constraint_count(self) -> int:
+        return self.parent.shape[0]
+
+    def raw(self, character, ctx: EvalContext):
+        states = jnp.take(ctx.skel_states, self.parent, axis=-2)  # (C, 8)
+        world = ss.transform_points(states, self.offset)
+        return world - self.target, self.cweight
+
+    @classmethod
+    def create(cls, parent, offset, target, cweight=None, weight=1.0, loss=None, capacity=None):
+        parent = np.asarray(parent, np.int32)
+        n = parent.shape[0]
+        offset = np.asarray(offset, np.float32).reshape(n, 3)
+        target = np.asarray(target, np.float32).reshape(n, 3)
+        cweight = np.ones(n, np.float32) if cweight is None else np.asarray(cweight, np.float32)
+        cap = capacity or n
+        return cls(
+            parent=jnp.asarray(_pad_rows(parent, cap)),
+            offset=jnp.asarray(_pad_rows(offset, cap)),
+            target=jnp.asarray(_pad_rows(target, cap)),
+            cweight=jnp.asarray(_pad_rows(cweight, cap)),
+            weight=jnp.asarray(weight, jnp.float32),
+            loss=loss or GeneralizedLoss(),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class OrientationErrorFunction(VectorErrorFunction):
+    """Match a joint's world rotation (with local offset) to a target rotation.
+
+    The raw residual is the 9-entry matrix difference, matching
+    orientation_error_function.cpp:15-40.
+    """
+
+    parent: jnp.ndarray  # (C,) int32
+    offset: jnp.ndarray  # (C, 4) quaternion offset in joint frame
+    target: jnp.ndarray  # (C, 4) target world quaternion
+    cweight: jnp.ndarray  # (C,)
+    weight: jnp.ndarray
+    loss: GeneralizedLoss = dataclasses.field(
+        default=GeneralizedLoss(), metadata=dict(static=True)
+    )
+
+    D = 9
+
+    def constraint_count(self) -> int:
+        return self.parent.shape[0]
+
+    def raw(self, character, ctx: EvalContext):
+        states = jnp.take(ctx.skel_states, self.parent, axis=-2)
+        _, q, _ = ss.split(states)
+        r_world = quat.to_rotation_matrix(quat.multiply(q, self.offset))
+        r_target = quat.to_rotation_matrix(self.target)
+        diff = r_world - r_target
+        return diff.reshape(diff.shape[:-2] + (9,)), self.cweight
+
+    @classmethod
+    def create(cls, parent, target, offset=None, cweight=None, weight=1.0, loss=None, capacity=None):
+        parent = np.asarray(parent, np.int32)
+        n = parent.shape[0]
+        target = np.asarray(target, np.float32).reshape(n, 4)
+        if offset is None:
+            offset = np.tile(np.asarray([0, 0, 0, 1], np.float32), (n, 1))
+        else:
+            offset = np.asarray(offset, np.float32).reshape(n, 4)
+        cweight = np.ones(n, np.float32) if cweight is None else np.asarray(cweight, np.float32)
+        cap = capacity or n
+        ident = np.tile(np.asarray([0, 0, 0, 1], np.float32), (cap, 1))
+        off_p = ident.copy()
+        off_p[:n] = offset
+        tgt_p = ident.copy()
+        tgt_p[:n] = target
+        return cls(
+            parent=jnp.asarray(_pad_rows(parent, cap)),
+            offset=jnp.asarray(off_p),
+            target=jnp.asarray(tgt_p),
+            cweight=jnp.asarray(_pad_rows(cweight, cap)),
+            weight=jnp.asarray(weight, jnp.float32),
+            loss=loss or GeneralizedLoss(),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ModelParametersErrorFunction(ErrorFunction):
+    """L2 regularizer pulling model parameters toward a target pose
+    (model_parameters_error_function.h: error = weight·Σ w_p·(θ_p − t_p)²).
+
+    Implemented as one 1-D residual row per parameter; loss is always L2
+    (matching the reference, which has no robust loss here).
+    """
+
+    target: jnp.ndarray  # (P,)
+    pweight: jnp.ndarray  # (P,) per-parameter weights (0 disables)
+    weight: jnp.ndarray
+
+    def raw(self, character, ctx: EvalContext):
+        f = (ctx.model_params - self.target)[..., None]  # (P, 1)
+        return f, self.pweight
+
+    def num_rows(self) -> int:
+        return self.target.shape[0]
+
+    def residual(self, character, ctx: EvalContext) -> jnp.ndarray:
+        f, w = self.raw(character, ctx)
+        scale = jnp.sqrt(jnp.maximum(self.weight * w, 0.0))
+        return (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
+
+    def error(self, character, ctx: EvalContext) -> jnp.ndarray:
+        f, w = self.raw(character, ctx)
+        return self.weight * jnp.sum(w * jnp.sum(f * f, axis=-1))
+
+    @classmethod
+    def create(cls, target, pweight=None, weight=1.0):
+        target = np.asarray(target, np.float32)
+        if pweight is None:
+            pweight = np.ones_like(target)
+        return cls(
+            target=jnp.asarray(target),
+            pweight=jnp.asarray(pweight, np.float32),
+            weight=jnp.asarray(weight, jnp.float32),
+        )

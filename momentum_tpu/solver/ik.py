@@ -1,0 +1,48 @@
+"""High-level IK entry point: one fused solve, vmappable for batch IK.
+
+This is the TPU replacement for the reference's per-problem solver objects
+(tensor_ik.cpp:95-190 runs one C++ solver per batch element on CPU threads;
+here the whole batch is one vmapped XLA computation).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from momentum_tpu.solver.gauss_newton import (
+    SolveResult,
+    SolverOptions,
+    solve_gauss_newton,
+    solve_levenberg_marquardt,
+)
+from momentum_tpu.solver.skeleton_solver_function import SkeletonSolverFunction
+
+__all__ = ["solve_ik"]
+
+
+def solve_ik(
+    solver_fn: SkeletonSolverFunction,
+    x0: jnp.ndarray,
+    enabled_mask: Optional[jnp.ndarray] = None,
+    options: SolverOptions = SolverOptions(),
+    method: str = "gauss_newton",
+) -> SolveResult:
+    """Solve one IK problem. jit/vmap/grad-safe.
+
+    For a batch, vmap over (solver_fn, x0) with the appropriate in_axes pytree
+    (constraint targets batched, character arrays broadcast). NaN results are
+    reverted to x0, mirroring tensor_ik.cpp:168-175.
+    """
+    if method == "gauss_newton":
+        solve = solve_gauss_newton
+    elif method in ("levenberg_marquardt", "trust_region"):
+        solve = solve_levenberg_marquardt
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    result = solve(solver_fn.residual, solver_fn.error, x0, enabled_mask, options)
+    bad = ~jnp.all(jnp.isfinite(result.params), axis=-1, keepdims=True)
+    params = jnp.where(bad, x0, result.params)
+    return SolveResult(params, result.error, result.iterations, result.converged)

@@ -1,0 +1,86 @@
+"""SkeletonSolverFunction: adapts a Character + error functions to the solver.
+
+Reference: momentum/character_solver/skeleton_solver_function.h:21-95 — one FK
+(+ one mesh-state update) per evaluation shared by all error functions, then a
+loop over error functions. Here that becomes a pure function building an
+`EvalContext` once; under jit, XLA CSEs the FK between `residual` and `error`
+evaluations at the same parameters.
+
+The residual vector is the static concatenation of every module's rows; its
+Jacobian (via jax.linearize in the solvers) replaces the reference's
+block-streaming protocol (solver_function.h:191-347) — on TPU one dense (R, P)
+Jacobian contracted on the MXU beats streaming blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from momentum_tpu.character import fk
+from momentum_tpu.character.character import Character
+from momentum_tpu.character.skinning import skin_points, update_normals
+from momentum_tpu.errors.base import EvalContext
+
+__all__ = ["SkeletonSolverFunction"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SkeletonSolverFunction:
+    character: Character
+    error_functions: tuple  # tuple of ErrorFunction pytrees
+
+    def context(self, model_params: jnp.ndarray) -> EvalContext:
+        """One FK pass (+ mesh pose if any module needs it) — the shared state
+        of skeleton_solver_function.cpp getError/getJacobian."""
+        char = self.character
+        jp = char.parameter_transform.apply(model_params)
+        jp = char.limits.apply_passive(jp)
+        nj = char.skeleton.num_joints
+        states = fk.global_skel_states(
+            char.skeleton, jp.reshape(jp.shape[:-1] + (nj, 7))
+        )
+        mesh_vertices = None
+        mesh_normals = None
+        rest_vertices = None
+        if any(getattr(ef, "needs_mesh", False) for ef in self.error_functions):
+            rest_vertices = char.mesh.vertices
+            if char.blend_shape is not None and char.blend_shape_param_index is not None:
+                coeffs = jnp.take(
+                    model_params, jnp.asarray(char.blend_shape_param_index), axis=-1
+                )
+                rest_vertices = char.blend_shape.apply(coeffs)
+            mesh_vertices = skin_points(
+                char.skin_weights, states, char.inverse_bind_pose, rest_vertices
+            )
+            mesh_normals = update_normals(mesh_vertices, char.mesh.faces)
+        return EvalContext(
+            model_params=model_params,
+            joint_params=jp,
+            skel_states=states,
+            mesh_vertices=mesh_vertices,
+            mesh_normals=mesh_normals,
+            rest_vertices=rest_vertices,
+        )
+
+    def residual(self, model_params: jnp.ndarray) -> jnp.ndarray:
+        ctx = self.context(model_params)
+        rows = [ef.residual(self.character, ctx) for ef in self.error_functions]
+        if not rows:
+            return jnp.zeros(model_params.shape[:-1] + (0,), model_params.dtype)
+        return jnp.concatenate(rows, axis=-1)
+
+    def error(self, model_params: jnp.ndarray) -> jnp.ndarray:
+        """Exact robust energy Σ_ef weight·Σ w·ρ(‖f‖²)
+        (skeleton_solver_function.cpp getError:64-82)."""
+        ctx = self.context(model_params)
+        total = jnp.zeros(model_params.shape[:-1], model_params.dtype)
+        for ef in self.error_functions:
+            total = total + ef.error(self.character, ctx)
+        return total
+
+    def gradient(self, model_params: jnp.ndarray) -> jnp.ndarray:
+        return jax.grad(self.error)(model_params)

@@ -1,0 +1,212 @@
+"""Solver + error-function tests, mirroring the reference's test strategy
+(SURVEY.md §4): FD-vs-analytic derivative checks at random poses
+(test/character_solver/error_function_helpers.cpp TEST_GRADIENT_AND_JACOBIAN),
+end-to-end IK convergence (inverse_kinematics_test.cpp), and subset/enabled
+parameter behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from momentum_tpu.errors import (
+    LimitErrorFunction,
+    ModelParametersErrorFunction,
+    OrientationErrorFunction,
+    PositionErrorFunction,
+)
+from momentum_tpu.math import quaternion as quat
+from momentum_tpu.math.generalized_loss import GeneralizedLoss
+from momentum_tpu.solver import (
+    SkeletonSolverFunction,
+    SolverOptions,
+    solve_gauss_newton,
+    solve_ik,
+    solve_levenberg_marquardt,
+)
+from momentum_tpu.testing.fixtures import create_test_character
+
+
+def _random_pose(char, rng, scale=0.25):
+    return jnp.asarray(rng.uniform(-scale, scale, char.num_model_parameters), jnp.float32)
+
+
+def _position_ef(char, rng, n=6, **kw):
+    parents = rng.integers(0, char.num_joints, n)
+    offsets = rng.uniform(-0.5, 0.5, (n, 3))
+    targets = rng.uniform(-1.5, 1.5, (n, 3))
+    weights = rng.uniform(0.5, 2.0, n)
+    return PositionErrorFunction.create(parents, offsets, targets, weights, **kw)
+
+
+def _orientation_ef(char, rng, n=3):
+    parents = rng.integers(0, char.num_joints, n)
+    targets = np.stack([
+        np.asarray(quat.from_axis_angle(jnp.asarray(rng.uniform(-1, 1, 3), jnp.float32)))
+        for _ in range(n)
+    ])
+    return OrientationErrorFunction.create(parents, targets, weight=2.0)
+
+
+def _fd_gradient(f, x, eps=1e-3):
+    g = np.zeros(x.shape[-1])
+    x = np.asarray(x, np.float64)
+    for i in range(x.shape[-1]):
+        xp, xm = x.copy(), x.copy()
+        xp[i] += eps
+        xm[i] -= eps
+        g[i] = (float(f(jnp.asarray(xp, jnp.float32))) - float(f(jnp.asarray(xm, jnp.float32)))) / (2 * eps)
+    return g
+
+
+@pytest.fixture(scope="module")
+def char():
+    return create_test_character(5)
+
+
+class TestDerivatives:
+    def test_gradient_matches_fd_position(self, char, rng):
+        fn = SkeletonSolverFunction(char, (_position_ef(char, rng),))
+        x = _random_pose(char, rng)
+        g = np.asarray(fn.gradient(x))
+        g_fd = _fd_gradient(fn.error, x)
+        np.testing.assert_allclose(g, g_fd, rtol=5e-2, atol=8e-3)
+
+    def test_gradient_matches_fd_mixed(self, char, rng):
+        efs = (
+            _position_ef(char, rng),
+            _orientation_ef(char, rng),
+            ModelParametersErrorFunction.create(
+                np.zeros(char.num_model_parameters), weight=0.5
+            ),
+            LimitErrorFunction.create(weight=1.0),
+        )
+        fn = SkeletonSolverFunction(char, efs)
+        x = _random_pose(char, rng, scale=0.5)
+        g = np.asarray(fn.gradient(x))
+        g_fd = _fd_gradient(fn.error, x)
+        np.testing.assert_allclose(g, g_fd, rtol=5e-2, atol=1e-2)
+
+    def test_gradient_matches_fd_robust_loss(self, char, rng):
+        # Cauchy loss: exact energy gradient must still match FD
+        ef = _position_ef(char, rng, loss=GeneralizedLoss(alpha=0.0, c=0.7))
+        fn = SkeletonSolverFunction(char, (ef,))
+        x = _random_pose(char, rng)
+        g = np.asarray(fn.gradient(x))
+        g_fd = _fd_gradient(fn.error, x)
+        np.testing.assert_allclose(g, g_fd, rtol=5e-2, atol=8e-3)
+
+    def test_residual_sq_equals_error_l2(self, char, rng):
+        efs = (_position_ef(char, rng), _orientation_ef(char, rng))
+        fn = SkeletonSolverFunction(char, efs)
+        x = _random_pose(char, rng)
+        r = fn.residual(x)
+        np.testing.assert_allclose(float(jnp.sum(r * r)), float(fn.error(x)), rtol=1e-5)
+
+    def test_residual_jacobian_vs_gn_gradient(self, char, rng):
+        # 2·Jᵀr must equal the energy gradient for L2 losses
+        fn = SkeletonSolverFunction(char, (_position_ef(char, rng),))
+        x = _random_pose(char, rng)
+        r = fn.residual(x)
+        j = jax.jacfwd(fn.residual)(x)
+        np.testing.assert_allclose(
+            np.asarray(2.0 * j.T @ r), np.asarray(fn.gradient(x)), rtol=1e-4, atol=1e-5
+        )
+
+
+class TestConvergence:
+    def _target_problem(self, char, rng):
+        """Locator targets generated from a known pose θ*."""
+        theta_star = _random_pose(char, rng, scale=0.4)
+        states = char.skeleton_states(theta_star)
+        targets = char.locators.world_positions(states)
+        ef = PositionErrorFunction.create(
+            np.asarray(char.locators.parent),
+            np.asarray(char.locators.offset),
+            np.asarray(targets),
+        )
+        return theta_star, SkeletonSolverFunction(char, (ef,))
+
+    def test_gauss_newton_converges(self, char, rng):
+        theta_star, fn = self._target_problem(char, rng)
+        x0 = jnp.zeros(char.num_model_parameters)
+        opts = SolverOptions(max_iterations=50, regularization=1e-5)
+        res = jax.jit(
+            lambda x: solve_gauss_newton(fn.residual, fn.error, x, options=opts)
+        )(x0)
+        assert float(fn.error(res.params)) < 1e-7
+
+    def test_levenberg_marquardt_converges(self, char, rng):
+        theta_star, fn = self._target_problem(char, rng)
+        x0 = jnp.zeros(char.num_model_parameters)
+        opts = SolverOptions(max_iterations=100, regularization=1e-6)
+        res = jax.jit(
+            lambda x: solve_levenberg_marquardt(fn.residual, fn.error, x, options=opts)
+        )(x0)
+        assert float(fn.error(res.params)) < 1e-7
+
+    def test_solve_ik_entrypoint(self, char, rng):
+        _, fn = self._target_problem(char, rng)
+        res = solve_ik(fn, jnp.zeros(char.num_model_parameters),
+                       options=SolverOptions(max_iterations=50, regularization=1e-5))
+        assert float(res.error) < 1e-5
+
+    def test_enabled_mask_freezes_parameters(self, char, rng):
+        _, fn = self._target_problem(char, rng)
+        p = char.num_model_parameters
+        mask = np.ones(p, np.float32)
+        mask[6:] = 0.0  # only root rigid params enabled
+        x0 = jnp.asarray(rng.uniform(-0.1, 0.1, p), jnp.float32)
+        res = solve_gauss_newton(
+            fn.residual, fn.error, x0, enabled_mask=jnp.asarray(mask),
+            options=SolverOptions(max_iterations=10),
+        )
+        np.testing.assert_array_equal(np.asarray(res.params)[6:], np.asarray(x0)[6:])
+        assert not np.allclose(np.asarray(res.params)[:6], np.asarray(x0)[:6])
+
+    def test_batched_vmap_solve(self, char, rng):
+        b = 4
+        thetas = jnp.asarray(rng.uniform(-0.3, 0.3, (b, char.num_model_parameters)), jnp.float32)
+        states = jax.vmap(char.skeleton_states)(thetas)
+        targets = jax.vmap(char.locators.world_positions)(states)
+
+        import dataclasses
+        ef0 = PositionErrorFunction.create(
+            np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+            np.zeros((char.locators.num_locators, 3)),
+        )
+
+        def solve_one(target):
+            ef = dataclasses.replace(ef0, target=target)
+            fn = SkeletonSolverFunction(char, (ef,))
+            return solve_gauss_newton(
+                fn.residual, fn.error, jnp.zeros(char.num_model_parameters),
+                options=SolverOptions(max_iterations=40, regularization=1e-5),
+            )
+
+        res = jax.jit(jax.vmap(solve_one))(targets)
+        # every batch element reaches its own targets
+        for i in range(b):
+            ef = PositionErrorFunction.create(
+                np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+                np.asarray(targets[i]),
+            )
+            fn = SkeletonSolverFunction(char, (ef,))
+            assert float(fn.error(res.params[i])) < 1e-6
+
+    def test_line_search_reduces_error(self, char, rng):
+        _, fn = self._target_problem(char, rng)
+        x0 = jnp.zeros(char.num_model_parameters)
+        opts = SolverOptions(max_iterations=20, regularization=1e-5, do_line_search=True)
+        res = solve_gauss_newton(fn.residual, fn.error, x0, options=opts)
+        assert float(fn.error(res.params)) < 1e-6
+
+
+class TestLimits:
+    def test_minmax_penalty_active_outside(self, char, rng):
+        fn = SkeletonSolverFunction(char, (LimitErrorFunction.create(),))
+        x_in = jnp.zeros(char.num_model_parameters)
+        assert float(fn.error(x_in)) == 0.0
+        x_out = x_in.at[0].set(0.5)  # limit on param 0 is [-0.1, 0.1]
+        # error = kLimitWeight * w * (0.4)^2
+        np.testing.assert_allclose(float(fn.error(x_out)), 10.0 * 0.4**2, rtol=1e-5)
