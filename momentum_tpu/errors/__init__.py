@@ -23,3 +23,15 @@ from momentum_tpu.errors.joint_pair import (  # noqa: F401
 )
 from momentum_tpu.errors.pose_prior import Mppca, PosePriorErrorFunction  # noqa: F401
 from momentum_tpu.errors.state import StateErrorFunction  # noqa: F401
+from momentum_tpu.errors.vertex import (  # noqa: F401
+    VertexNormalErrorFunction,
+    VertexPlaneErrorFunction,
+    VertexPositionErrorFunction,
+    VertexProjectionErrorFunction,
+)
+from momentum_tpu.errors.collision import CollisionErrorFunction, compute_valid_pairs  # noqa: F401
+from momentum_tpu.errors.body import (  # noqa: F401
+    CenterOfMassErrorFunction,
+    FloorErrorFunction,
+    HeightErrorFunction,
+)

@@ -1,0 +1,128 @@
+"""Collision error function: tapered-capsule self-penetration penalty.
+
+Reference: character_solver/collision_error_function.{h,cpp} —
+  * capsule world state (collision_geometry_state.cpp:27-49):
+      T = T_parent · T_local;  origin = T.t;
+      direction = T.R·ex · T.s · length;  radii = radii_local · s_parent
+  * overlap (collision_geometry_state.h:120-157):
+      (s, t, dist) = closestPointsOnSegments(...)
+      overlap = (rA0 + s·ΔA + rB0 + t·ΔB) − dist, active when > 0 and
+      dist ≥ 1e-8 (degenerate coincident centerlines rejected)
+  * energy  = kCollisionWeight(=5e-3, collision_error_function.h:139) ·
+      weight · Σ_pairs overlap²; residual rows = √(kW·w)·overlap
+      (collision_error_function.cpp:286-338)
+
+Pair pruning: the reference runs a BVH broadphase per iteration and
+precomputes `validPairs_` by excluding pairs already overlapping at the rest
+pose and pairs of primitives on the same joint (collision_error_function.cpp
+computeBroadPhase / excludedPairs). On TPU the pair list is STATIC: we
+enumerate all pairs once on the host with the same exclusions
+(`compute_valid_pairs`) and evaluate them densely — at ≤ a few hundred
+capsules the all-pairs masked evaluation is cheaper than any broadphase.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from momentum_tpu.errors.base import EvalContext, VectorErrorFunction
+from momentum_tpu.math import skel_state as ss
+from momentum_tpu.math.geometry import closest_points_on_segments
+from momentum_tpu.math.generalized_loss import GeneralizedLoss
+
+__all__ = ["CollisionErrorFunction", "compute_valid_pairs", "K_COLLISION_WEIGHT"]
+
+K_COLLISION_WEIGHT = 5e-3  # collision_error_function.h:139
+
+
+def capsule_states(collision, skel_states):
+    """World-space capsule state: (origin (C,3), direction (C,3), radii (C,2)).
+
+    Mirrors CollisionGeometryStateT::update (collision_geometry_state.cpp:27-49).
+    """
+    parent_states = jnp.take(skel_states, collision.parent, axis=-2)
+    full = ss.multiply(parent_states, collision.transform)
+    t, q, s = ss.split(full)
+    _, _, s_par = ss.split(parent_states)
+    ex = jnp.zeros_like(t).at[..., 0].set(1.0)
+    from momentum_tpu.math import quaternion as quat
+
+    direction = quat.rotate_vector(q, ex) * s * collision.length[..., None]
+    radii = collision.radius * s_par
+    return t, direction, radii
+
+
+def compute_valid_pairs(character) -> np.ndarray:
+    """Static (NP, 2) candidate pair list: all capsule pairs except same-joint
+    pairs and pairs overlapping at the rest pose (the reference's excluded
+    pairs, collision_error_function.cpp computeBroadPhase)."""
+    col = character.collision
+    n = col.num_capsules
+    rest = character.bind_pose()
+    o, d, r = capsule_states(col, rest)
+    o, d, r = np.asarray(o), np.asarray(d), np.asarray(r)
+    parent = np.asarray(col.parent)
+    pairs = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if parent[i] == parent[j]:
+                continue
+            s, t, dist = (np.asarray(x) for x in closest_points_on_segments(
+                jnp.asarray(o[i]), jnp.asarray(d[i]), jnp.asarray(o[j]), jnp.asarray(d[j])))
+            delta_i = r[i, 1] - r[i, 0]
+            delta_j = r[j, 1] - r[j, 0]
+            overlap = (r[i, 0] + s * delta_i + r[j, 0] + t * delta_j) - dist
+            if overlap > 0:
+                continue  # overlapping at rest → excluded forever
+            pairs.append((i, j))
+    return np.asarray(pairs, np.int32).reshape(-1, 2)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CollisionErrorFunction(VectorErrorFunction):
+    pair_a: jnp.ndarray  # (NP,) int32 capsule indices
+    pair_b: jnp.ndarray  # (NP,)
+    pweight: jnp.ndarray  # (NP,) 0 = padding
+    weight: jnp.ndarray
+    loss: GeneralizedLoss = dataclasses.field(
+        default=GeneralizedLoss(), metadata=dict(static=True)
+    )
+
+    D = 1
+
+    def constraint_count(self) -> int:
+        return self.pair_a.shape[0]
+
+    def raw(self, character, ctx: EvalContext):
+        o, d, r = capsule_states(character.collision, ctx.skel_states)
+        oa = jnp.take(o, self.pair_a, axis=-2)
+        ob = jnp.take(o, self.pair_b, axis=-2)
+        da = jnp.take(d, self.pair_a, axis=-2)
+        db = jnp.take(d, self.pair_b, axis=-2)
+        ra = jnp.take(r, self.pair_a, axis=-2)
+        rb = jnp.take(r, self.pair_b, axis=-2)
+        s, t, dist = closest_points_on_segments(oa, da, ob, db)
+        rad = ra[..., 0] + s * (ra[..., 1] - ra[..., 0]) \
+            + rb[..., 0] + t * (rb[..., 1] - rb[..., 0])
+        overlap = rad - dist
+        active = (overlap > 0) & (dist >= 1e-8)
+        f = jnp.where(active, overlap, 0.0)[..., None]
+        return f, self.pweight * K_COLLISION_WEIGHT
+
+    @classmethod
+    def create(cls, character, pairs=None, weight=1.0, loss=None):
+        if pairs is None:
+            pairs = compute_valid_pairs(character)
+        pairs = np.asarray(pairs, np.int32).reshape(-1, 2)
+        return cls(
+            pair_a=jnp.asarray(pairs[:, 0]),
+            pair_b=jnp.asarray(pairs[:, 1]),
+            pweight=jnp.ones(pairs.shape[0], jnp.float32),
+            weight=jnp.asarray(weight, jnp.float32),
+            loss=loss or GeneralizedLoss(),
+        )

@@ -1,0 +1,208 @@
+"""Vertex (mesh) residual modules — require the posed mesh in the EvalContext
+(the reference's MeshState, mesh_state.h:28-71: neutral → blendshapes →
+rest → LBS → posed, recomputed once per solver evaluation).
+
+Reference forms (momentum/character_solver/):
+  VertexPositionErrorFunction (vertex_position_error_function.cpp:35-49):
+      f = posedVertex − target                                  (3 rows)
+  VertexPlaneErrorFunction (vertex_plane_error_function.cpp:32-71):
+      n' = n flipped toward the posed mesh normal;
+      f = (v − point)·n', clamped to 0 above the plane if `above` (1 row)
+  VertexNormalErrorFunction (vertex_normal_error_function.cpp:43-80,160-176):
+      n = srcW·meshNormal + tgtW·(targetNormal sign-matched to meshNormal)
+      f = n·(v − targetPosition)                                 (1 row)
+  VertexProjectionErrorFunction (vertex_projection_error_function.cpp:28-60):
+      q = P·hom(v); f = q.xy/q.z − target for q.z ≥ 1            (2 rows)
+
+kLegacyWeight = 1e-4 for position/plane/normal leaves
+(vertex_error_function.h:69-70) — callers apply it through `weight` exactly as
+in the reference's setWeight compatibility path; it is not baked in here.
+
+Derivatives: JAX AD differentiates through skinning AND through the posed mesh
+normals (update_normals), subsuming the reference's hand-written
+normal-rotation correction terms (skeleton_derivative.h:233-235).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from momentum_tpu.errors.base import EvalContext, VectorErrorFunction, pad_rows
+from momentum_tpu.math.generalized_loss import GeneralizedLoss
+
+__all__ = [
+    "VertexPositionErrorFunction",
+    "VertexPlaneErrorFunction",
+    "VertexNormalErrorFunction",
+    "VertexProjectionErrorFunction",
+]
+
+
+def _pad_fields(cap, **arrays):
+    return {k: jnp.asarray(pad_rows(v, cap)) for k, v in arrays.items()}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VertexPositionErrorFunction(VectorErrorFunction):
+    vertex_index: jnp.ndarray  # (C,) int32
+    target: jnp.ndarray  # (C, 3)
+    cweight: jnp.ndarray
+    weight: jnp.ndarray
+    loss: GeneralizedLoss = dataclasses.field(
+        default=GeneralizedLoss(), metadata=dict(static=True)
+    )
+
+    needs_mesh = True
+    D = 3
+
+    def constraint_count(self) -> int:
+        return self.vertex_index.shape[0]
+
+    def raw(self, character, ctx: EvalContext):
+        v = jnp.take(ctx.mesh_vertices, self.vertex_index, axis=-2)
+        return v - self.target, self.cweight
+
+    @classmethod
+    def create(cls, vertex_index, target, cweight=None, weight=1.0, loss=None, capacity=None):
+        vertex_index = np.asarray(vertex_index, np.int32)
+        n = vertex_index.shape[0]
+        cweight = np.ones(n, np.float32) if cweight is None else np.asarray(cweight, np.float32)
+        cap = capacity or n
+        f = _pad_fields(cap, vertex_index=vertex_index,
+                        target=np.asarray(target, np.float32).reshape(n, 3), cweight=cweight)
+        return cls(weight=jnp.asarray(weight, jnp.float32), loss=loss or GeneralizedLoss(), **f)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VertexPlaneErrorFunction(VectorErrorFunction):
+    vertex_index: jnp.ndarray
+    point: jnp.ndarray  # (C, 3) point on plane
+    normal: jnp.ndarray  # (C, 3)
+    cweight: jnp.ndarray
+    weight: jnp.ndarray
+    above: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    loss: GeneralizedLoss = dataclasses.field(
+        default=GeneralizedLoss(), metadata=dict(static=True)
+    )
+
+    needs_mesh = True
+    D = 1
+
+    def constraint_count(self) -> int:
+        return self.vertex_index.shape[0]
+
+    def raw(self, character, ctx: EvalContext):
+        v = jnp.take(ctx.mesh_vertices, self.vertex_index, axis=-2)
+        mesh_n = jnp.take(ctx.mesh_normals, self.vertex_index, axis=-2)
+        flip = jnp.sum(mesh_n * self.normal, axis=-1, keepdims=True) < 0
+        n = jnp.where(flip, -self.normal, self.normal)
+        dist = jnp.sum((v - self.point) * n, axis=-1)
+        if self.above:
+            dist = jnp.minimum(dist, 0.0)
+        return dist[..., None], self.cweight
+
+    @classmethod
+    def create(cls, vertex_index, point, normal, cweight=None, weight=1.0, above=False,
+               loss=None, capacity=None):
+        vertex_index = np.asarray(vertex_index, np.int32)
+        n = vertex_index.shape[0]
+        cweight = np.ones(n, np.float32) if cweight is None else np.asarray(cweight, np.float32)
+        cap = capacity or n
+        f = _pad_fields(cap, vertex_index=vertex_index,
+                        point=np.asarray(point, np.float32).reshape(n, 3),
+                        normal=np.asarray(normal, np.float32).reshape(n, 3), cweight=cweight)
+        return cls(weight=jnp.asarray(weight, jnp.float32), above=above,
+                   loss=loss or GeneralizedLoss(), **f)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VertexNormalErrorFunction(VectorErrorFunction):
+    vertex_index: jnp.ndarray
+    target_position: jnp.ndarray  # (C, 3)
+    target_normal: jnp.ndarray  # (C, 3)
+    cweight: jnp.ndarray
+    weight: jnp.ndarray
+    source_normal_weight: float = dataclasses.field(default=0.5, metadata=dict(static=True))
+    target_normal_weight: float = dataclasses.field(default=0.5, metadata=dict(static=True))
+    loss: GeneralizedLoss = dataclasses.field(
+        default=GeneralizedLoss(), metadata=dict(static=True)
+    )
+
+    needs_mesh = True
+    D = 1
+
+    def constraint_count(self) -> int:
+        return self.vertex_index.shape[0]
+
+    def raw(self, character, ctx: EvalContext):
+        v = jnp.take(ctx.mesh_vertices, self.vertex_index, axis=-2)
+        src_n = jnp.take(ctx.mesh_normals, self.vertex_index, axis=-2)
+        flip = jnp.sum(src_n * self.target_normal, axis=-1, keepdims=True) < 0
+        tgt_n = jnp.where(flip, -self.target_normal, self.target_normal)
+        n = self.source_normal_weight * src_n + self.target_normal_weight * tgt_n
+        f = jnp.sum(n * (v - self.target_position), axis=-1, keepdims=True)
+        return f, self.cweight
+
+    @classmethod
+    def create(cls, vertex_index, target_position, target_normal, cweight=None, weight=1.0,
+               source_normal_weight=0.5, target_normal_weight=0.5, loss=None, capacity=None):
+        vertex_index = np.asarray(vertex_index, np.int32)
+        n = vertex_index.shape[0]
+        cweight = np.ones(n, np.float32) if cweight is None else np.asarray(cweight, np.float32)
+        cap = capacity or n
+        f = _pad_fields(cap, vertex_index=vertex_index,
+                        target_position=np.asarray(target_position, np.float32).reshape(n, 3),
+                        target_normal=np.asarray(target_normal, np.float32).reshape(n, 3),
+                        cweight=cweight)
+        return cls(weight=jnp.asarray(weight, jnp.float32),
+                   source_normal_weight=source_normal_weight,
+                   target_normal_weight=target_normal_weight,
+                   loss=loss or GeneralizedLoss(), **f)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VertexProjectionErrorFunction(VectorErrorFunction):
+    vertex_index: jnp.ndarray
+    projection: jnp.ndarray  # (C, 3, 4)
+    target: jnp.ndarray  # (C, 2)
+    cweight: jnp.ndarray
+    weight: jnp.ndarray
+    near_clip: float = dataclasses.field(default=1.0, metadata=dict(static=True))
+    loss: GeneralizedLoss = dataclasses.field(
+        default=GeneralizedLoss(), metadata=dict(static=True)
+    )
+
+    needs_mesh = True
+    D = 2
+
+    def constraint_count(self) -> int:
+        return self.vertex_index.shape[0]
+
+    def raw(self, character, ctx: EvalContext):
+        v = jnp.take(ctx.mesh_vertices, self.vertex_index, axis=-2)
+        q = jnp.einsum("...ij,...j->...i", self.projection[..., :3], v) + self.projection[..., 3]
+        z = q[..., 2:3]
+        valid = z[..., 0] >= self.near_clip
+        f = q[..., :2] / jnp.where(jnp.abs(z) > 1e-16, z, 1.0) - self.target
+        return jnp.where(valid[..., None], f, 0.0), self.cweight
+
+    @classmethod
+    def create(cls, vertex_index, projection, target, cweight=None, weight=1.0,
+               near_clip=1.0, loss=None, capacity=None):
+        vertex_index = np.asarray(vertex_index, np.int32)
+        n = vertex_index.shape[0]
+        cweight = np.ones(n, np.float32) if cweight is None else np.asarray(cweight, np.float32)
+        cap = capacity or n
+        f = _pad_fields(cap, vertex_index=vertex_index,
+                        projection=np.asarray(projection, np.float32).reshape(n, 3, 4),
+                        target=np.asarray(target, np.float32).reshape(n, 2), cweight=cweight)
+        return cls(weight=jnp.asarray(weight, jnp.float32), near_clip=near_clip,
+                   loss=loss or GeneralizedLoss(), **f)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from momentum_tpu.character import (
     Character,
+    CollisionGeometry,
     Locators,
     Mesh,
     ParameterTransform,
@@ -25,6 +26,7 @@ from momentum_tpu.character import (
     make_skeleton,
 )
 from momentum_tpu.character.skeleton import PARAMS_PER_JOINT
+from momentum_tpu.math import skel_state as ss
 
 
 def create_test_character(num_joints: int = 3, dtype=jnp.float32) -> Character:
@@ -104,6 +106,22 @@ def create_test_character(num_joints: int = 3, dtype=jnp.float32) -> Character:
 
     limits = make_limits(minmax=[(0, -0.1, 0.1, 1.0)])
 
+    # collision: one tapered capsule per bone segment along local +Y
+    # (reference createTestCharacter attaches capsules similarly;
+    # test/character/character_helpers.cpp)
+    import numpy as _np
+    cap_tf = _np.zeros((num_joints, 8), _np.float32)
+    # local transform rotating capsule x-axis onto +Y: quaternion for Rz(90deg)
+    cap_tf[:, 5] = _np.sin(_np.pi / 4)  # qz
+    cap_tf[:, 6] = _np.cos(_np.pi / 4)  # qw
+    cap_tf[:, 7] = 1.0  # scale
+    collision = CollisionGeometry(
+        parent=jnp.arange(num_joints, dtype=jnp.int32),
+        transform=jnp.asarray(cap_tf),
+        radius=jnp.full((num_joints, 2), 0.15, dtype),
+        length=jnp.ones(num_joints, dtype),
+    )
+
     char = Character(
         skeleton=skeleton,
         parameter_transform=pt,
@@ -111,6 +129,7 @@ def create_test_character(num_joints: int = 3, dtype=jnp.float32) -> Character:
         mesh=mesh,
         skin_weights=skin,
         locators=locators,
+        collision=collision,
         name=f"test_character_{num_joints}",
     )
     return char.with_inverse_bind_pose()
