@@ -1,0 +1,205 @@
+"""SequenceSolver: Gauss-Newton on the band-plus-arrowhead multi-frame system.
+
+Reference: character_sequence_solver/sequence_solver.{h,cpp} — per iteration
+the reference streams per-frame Jacobians into an OnlineBandedHouseholderQR
+(banded per-frame columns + arrowhead universal columns) with frame-parallel
+banded updates and serialized universal-column updates
+(sequence_solver.cpp:235-370, 493-560).
+
+TPU-native replacement (SURVEY.md §2.9): form the block-banded *normal
+equations* directly (precedent: SequenceCholeskySolverT,
+sequence_cholesky_solver.h:20-60) with
+
+  * one vmapped jacfwd over frames for all per-frame error functions
+    (replaces dispenso frame parallelism),
+  * one vmapped jacfwd over sliding windows for sequence error functions
+    (bandwidth = max window − 1, sequence_solver.cpp:54-57),
+  * scatter-adds into diagonal / off-diagonal / arrowhead blocks,
+  * a block-tridiagonal Schur solve (block_tridiag.py) — windows > 2 are
+    aggregated into superblocks first.
+
+The whole iteration is one XLA computation under lax.while_loop; the
+convergence criterion matches solver.cpp:98-101.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from momentum_tpu.sequence.block_tridiag import (
+    banded_to_tridiag,
+    block_tridiag_solve,
+    schur_arrowhead_solve,
+)
+from momentum_tpu.sequence.solver_function import SequenceSolverFunction
+from momentum_tpu.solver.gauss_newton import SolverOptions, _converged
+
+__all__ = ["SequenceSolveResult", "solve_sequence"]
+
+
+class SequenceSolveResult(NamedTuple):
+    per_frame: jnp.ndarray  # (F, n_pf)
+    universal: jnp.ndarray  # (n_u,)
+    error: jnp.ndarray
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _single_frame_theta(fn: SequenceSolverFunction, pf_f, u):
+    p = fn.character.num_model_parameters
+    theta = jnp.zeros((p,), pf_f.dtype)
+    if fn.per_frame_index:
+        theta = theta.at[np.asarray(fn.per_frame_index)].set(pf_f)
+    if fn.universal_index:
+        theta = theta.at[np.asarray(fn.universal_index)].set(u)
+    return theta
+
+
+def _normal_equations(fn: SequenceSolverFunction, pf, u):
+    """Build block-banded normal equations for the GN step.
+
+    Returns (diag (F,p,p), offs [list of (F-k,p,p)], u_coupling (F,p,nu),
+    u_block (nu,nu), rhs_f (F,p), rhs_u (nu,), q)
+    where rhs = Jᵀr for the step H δ = Jᵀr, δ applied as x -= δ.
+    """
+    f = fn.num_frames
+    p = fn.num_per_frame
+    nu = fn.num_universal
+    dtype = pf.dtype
+
+    diag = jnp.zeros((f, p, p), dtype)
+    u_coupling = jnp.zeros((f, p, nu), dtype)
+    u_block = jnp.zeros((nu, nu), dtype)
+    rhs_f = jnp.zeros((f, p), dtype)
+    rhs_u = jnp.zeros((nu,), dtype)
+
+    # ---- per-frame errors (block-diagonal + arrowhead contributions) ----
+    def frame_res(pf_f, u_, ef_f):
+        return fn.frame_residual(_single_frame_theta(fn, pf_f, u_), ef_f)
+
+    def frame_jac(pf_f, u_, ef_f):
+        jac, rows = jax.jacfwd(
+            lambda a, b: (frame_res(a, b, ef_f),) * 2, argnums=(0, 1), has_aux=True
+        )(pf_f, u_)
+        return rows, jac[0], jac[1]
+
+    rows, j_pf, j_u = jax.vmap(frame_jac, in_axes=(0, None, 0))(pf, u, fn.per_frame_errors)
+    diag = diag + jnp.einsum("frp,frq->fpq", j_pf, j_pf)
+    u_coupling = u_coupling + jnp.einsum("frp,fru->fpu", j_pf, j_u)
+    u_block = u_block + jnp.einsum("fru,frv->uv", j_u, j_u)
+    rhs_f = rhs_f + jnp.einsum("frp,fr->fp", j_pf, rows)
+    rhs_u = rhs_u + jnp.einsum("fru,fr->u", j_u, rows)
+
+    # ---- sequence errors (banded + arrowhead contributions) ----
+    q = 1
+    offs = {}
+    for sef in fn.sequence_errors:
+        w = sef.window
+        q = max(q, w - 1)
+        fw = f - w + 1
+
+        def seq_res(pf_win, u_, sef=sef, w=w):
+            thetas = jax.vmap(lambda x: _single_frame_theta(fn, x, u_))(pf_win)
+            ctxs = jax.vmap(fn._context)(thetas)
+            return sef.residual(fn.character, ctxs)
+
+        def seq_jac(pf_win, u_):
+            jac, rows_ = jax.jacfwd(
+                lambda a, b: (seq_res(a, b),) * 2, argnums=(0, 1), has_aux=True
+            )(pf_win, u_)
+            return rows_, jac[0], jac[1]  # (R,), (R, W, p), (R, nu)
+
+        win_idx = jnp.arange(fw)[:, None] + jnp.arange(w)[None, :]
+        pf_wins = pf[win_idx]  # (fw, W, p)
+        s_rows, s_jw, s_ju = jax.vmap(seq_jac, in_axes=(0, None))(pf_wins, u)
+
+        base = jnp.arange(fw)
+        for k in range(w):
+            jk = s_jw[:, :, k, :]  # (fw, R, p)
+            diag = diag.at[base + k].add(jnp.einsum("frp,frq->fpq", jk, jk))
+            u_coupling = u_coupling.at[base + k].add(jnp.einsum("frp,fru->fpu", jk, s_ju))
+            rhs_f = rhs_f.at[base + k].add(jnp.einsum("frp,fr->fp", jk, s_rows))
+            for d in range(1, w - k):
+                jkd = s_jw[:, :, k + d, :]
+                off = offs.setdefault(d, jnp.zeros((f - d, p, p), dtype))
+                offs[d] = off.at[base + k].add(jnp.einsum("frp,frq->fpq", jk, jkd))
+        u_block = u_block + jnp.einsum("fru,frv->uv", s_ju, s_ju)
+        rhs_u = rhs_u + jnp.einsum("fru,fr->u", s_ju, s_rows)
+
+    off_list = [offs.get(d, jnp.zeros((f - d, p, p), dtype)) for d in range(1, q + 1)]
+    return diag, off_list, u_coupling, u_block, rhs_f, rhs_u, q
+
+
+def _solve_banded_arrowhead(diag, offs, u_coupling, u_block, rhs_f, rhs_u, q):
+    """Solve the assembled system; aggregate to superblocks when q > 1."""
+    f, p, nu = u_coupling.shape
+    if q == 1:
+        if nu == 0:
+            x = block_tridiag_solve(diag, offs[0], rhs_f[..., None])[..., 0]
+            return x, rhs_u
+        return schur_arrowhead_solve(diag, offs[0], u_coupling, u_block, rhs_f, rhs_u)
+
+    pad = (-f) % q
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(p, dtype=diag.dtype), (pad, p, p))
+        diag = jnp.concatenate([diag, eye])
+        offs = [
+            jnp.concatenate([o, jnp.zeros((pad, p, p), diag.dtype)])[: f + pad - d]
+            for d, o in zip(range(1, q + 1), offs)
+        ]
+        u_coupling = jnp.concatenate([u_coupling, jnp.zeros((pad, p, nu), diag.dtype)])
+        rhs_f = jnp.concatenate([rhs_f, jnp.zeros((pad, p), diag.dtype)])
+    fp = f + pad
+    g = fp // q
+    sd, su = banded_to_tridiag(diag, offs)
+    uc = u_coupling.reshape(g, q * p, nu)
+    rf = rhs_f.reshape(g, q * p)
+    if nu == 0:
+        x = block_tridiag_solve(sd, su, rf[..., None])[..., 0]
+        x_u = rhs_u
+    else:
+        x, x_u = schur_arrowhead_solve(sd, su, uc, u_block, rf, rhs_u)
+    return x.reshape(fp, p)[:f], x_u
+
+
+def solve_sequence(
+    fn: SequenceSolverFunction,
+    pf0: jnp.ndarray,
+    u0: jnp.ndarray,
+    options: SolverOptions = SolverOptions(),
+) -> SequenceSolveResult:
+    """Fused GN loop over the multi-frame objective. jit-safe."""
+    opts = options
+    p = fn.num_per_frame
+    nu = fn.num_universal
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, pf0.dtype)
+
+    def body(state):
+        pf, u, last_err, it, done = state
+        diag, offs, uc, ub, rf, ru, q = _normal_equations(fn, pf, u)
+        eye = jnp.eye(p, dtype=pf.dtype) * opts.regularization
+        diag = diag + eye[None]
+        ub = ub + opts.regularization * jnp.eye(nu, dtype=pf.dtype)
+        d_pf, d_u = _solve_banded_arrowhead(diag, offs, uc, ub, rf, ru, q)
+        err = fn.error(pf, u)
+        pf_new = pf - d_pf
+        u_new = u - d_u
+        conv = _converged(last_err, err, opts.threshold)
+        newly_done = (it + 1 >= opts.min_iterations) & conv
+        pf = jnp.where(done, pf, pf_new)
+        u = jnp.where(done, u, u_new)
+        err_out = jnp.where(done, last_err, err)
+        return pf, u, err_out, it + 1, done | newly_done
+
+    def cond(state):
+        _, _, _, it, done = state
+        return (it < opts.max_iterations) & (~done)
+
+    init = (pf0, u0, big, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    pf, u, err, it, done = jax.lax.while_loop(cond, body, init)
+    return SequenceSolveResult(pf, u, err, it, done)

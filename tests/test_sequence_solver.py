@@ -1,0 +1,168 @@
+"""Sequence-solver tests (reference analogs: sequence IK tests in
+pymomentum/test/test_sequence_ik.py and multipose/sequence solver C++ tests)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from momentum_tpu.errors import PositionErrorFunction
+from momentum_tpu.sequence import (
+    AccelerationSequenceErrorFunction,
+    ModelParametersSequenceErrorFunction,
+    SequenceSolverFunction,
+    StateSequenceErrorFunction,
+    solve_sequence,
+    stack_frames,
+)
+from momentum_tpu.solver import SolverOptions
+from momentum_tpu.testing.fixtures import create_test_character
+
+
+@pytest.fixture(scope="module")
+def char():
+    return create_test_character(4)
+
+
+def _rng():
+    return np.random.default_rng(12345)
+
+
+def _gt_motion(char, f, rng, scale_amp=0.4):
+    """Smooth ground-truth motion: sinusoidal per-parameter trajectories."""
+    p = char.num_model_parameters
+    t = np.linspace(0, 1, f)[:, None]
+    phase = rng.uniform(0, 2 * np.pi, p)
+    amp = rng.uniform(0.1, scale_amp, p)
+    return jnp.asarray(amp * np.sin(2 * np.pi * t + phase), jnp.float32)
+
+
+def _per_frame_position_efs(char, thetas):
+    states = jax.vmap(char.skeleton_states)(thetas)
+    targets = jax.vmap(char.locators.world_positions)(states)
+    f = thetas.shape[0]
+    efs = []
+    for i in range(f):
+        efs.append(PositionErrorFunction.create(
+            np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+            np.asarray(targets[i])))
+    return stack_frames(efs)
+
+
+class TestSequenceSolve:
+    def test_per_frame_tracking_converges(self, char):
+        rng = _rng()
+        f = 6
+        thetas_gt = _gt_motion(char, f, rng)
+        ef = _per_frame_position_efs(char, thetas_gt)
+        smooth = ModelParametersSequenceErrorFunction.create(
+            char.num_model_parameters, weight=1e-4)
+        fn = SequenceSolverFunction.create(
+            char, f, per_frame_errors=(ef,), sequence_errors=(smooth,))
+        pf0 = jnp.zeros((f, fn.num_per_frame))
+        u0 = jnp.zeros((fn.num_universal,))
+        res = jax.jit(lambda a, b: solve_sequence(
+            fn, a, b, SolverOptions(max_iterations=30, regularization=1e-5)))(pf0, u0)
+        assert float(res.error) < 1e-4
+
+    def test_universal_scale_calibration(self, char):
+        """Shared scale param recovered across frames (MultiposeSolver pattern,
+        multipose_solver.h:18-60)."""
+        rng = _rng()
+        f = 5
+        thetas_gt = _gt_motion(char, f, rng)
+        scale_idx = char.parameter_transform.parameter_index("scale_global")
+        true_scale = 0.3
+        thetas_gt = thetas_gt.at[:, scale_idx].set(true_scale)
+        ef = _per_frame_position_efs(char, thetas_gt)
+
+        universal = np.zeros(char.num_model_parameters, bool)
+        universal[scale_idx] = True
+        fn = SequenceSolverFunction.create(
+            char, f, universal=universal, per_frame_errors=(ef,))
+        pf0 = jnp.zeros((f, fn.num_per_frame))
+        u0 = jnp.zeros((fn.num_universal,))
+        res = solve_sequence(fn, pf0, u0,
+                             SolverOptions(max_iterations=40, regularization=1e-6))
+        assert float(res.error) < 1e-5
+        np.testing.assert_allclose(float(res.universal[0]), true_scale, atol=1e-3)
+
+    def test_matches_dense_joined_solve(self, char):
+        """The structured banded/arrowhead step equals a dense GN on the joined
+        parameter vector (small F)."""
+        rng = _rng()
+        f = 3
+        thetas_gt = _gt_motion(char, f, rng)
+        ef = _per_frame_position_efs(char, thetas_gt)
+        smooth = ModelParametersSequenceErrorFunction.create(
+            char.num_model_parameters, weight=1e-2)
+        scale_idx = char.parameter_transform.parameter_index("scale_global")
+        universal = np.zeros(char.num_model_parameters, bool)
+        universal[scale_idx] = True
+        fn = SequenceSolverFunction.create(
+            char, f, universal=universal, per_frame_errors=(ef,),
+            sequence_errors=(smooth,))
+
+        pf = jnp.asarray(rng.uniform(-0.1, 0.1, (f, fn.num_per_frame)), jnp.float32)
+        u = jnp.asarray(rng.uniform(-0.1, 0.1, fn.num_universal), jnp.float32)
+
+        # structured single GN step
+        res = solve_sequence(fn, pf, u, SolverOptions(
+            max_iterations=1, min_iterations=1, regularization=1e-3))
+
+        # dense joined step via autodiff of the stacked residual
+        def joined_residual(x):
+            pf_ = x[: f * fn.num_per_frame].reshape(f, fn.num_per_frame)
+            u_ = x[f * fn.num_per_frame:]
+            thetas = fn.join(pf_, u_)
+            rows = [jax.vmap(fn.frame_residual)(thetas, fn.per_frame_errors).reshape(-1)]
+            ctxs = fn.frame_contexts(thetas)
+            for sef in fn.sequence_errors:
+                ctx_w = fn._window_contexts(ctxs, sef.window)
+                rows.append(jax.vmap(
+                    lambda c: sef.residual(fn.character, c))(ctx_w).reshape(-1))
+            return jnp.concatenate(rows)
+
+        x0 = jnp.concatenate([pf.reshape(-1), u])
+        j = jax.jacfwd(joined_residual)(x0)
+        r = joined_residual(x0)
+        n = x0.shape[0]
+        h = j.T @ j + 1e-3 * jnp.eye(n)
+        delta = jnp.linalg.solve(h, j.T @ r)
+        x1 = x0 - delta
+
+        pf_dense = np.asarray(x1[: f * fn.num_per_frame]).reshape(f, fn.num_per_frame)
+        u_dense = np.asarray(x1[f * fn.num_per_frame:])
+        np.testing.assert_allclose(np.asarray(res.per_frame), pf_dense, rtol=1e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(res.universal), u_dense, rtol=1e-3, atol=2e-4)
+
+    def test_acceleration_window3_path(self, char):
+        """Window-3 stencil exercises the superblock aggregation (q=2)."""
+        rng = _rng()
+        f = 7
+        thetas_gt = _gt_motion(char, f, rng)
+        ef = _per_frame_position_efs(char, thetas_gt)
+        accel = AccelerationSequenceErrorFunction.create(char.num_joints, weight=1e-3)
+        fn = SequenceSolverFunction.create(
+            char, f, per_frame_errors=(ef,), sequence_errors=(accel,))
+        pf0 = jnp.zeros((f, fn.num_per_frame))
+        u0 = jnp.zeros((fn.num_universal,))
+        res = solve_sequence(fn, pf0, u0,
+                             SolverOptions(max_iterations=25, regularization=1e-5))
+        assert float(res.error) < 2e-2
+
+    def test_state_sequence_smoothness(self, char):
+        rng = _rng()
+        f = 4
+        thetas_gt = _gt_motion(char, f, rng)
+        ef = _per_frame_position_efs(char, thetas_gt)
+        smooth = StateSequenceErrorFunction.create(char.num_joints, weight=1e-3)
+        fn = SequenceSolverFunction.create(
+            char, f, per_frame_errors=(ef,), sequence_errors=(smooth,))
+        pf0 = jnp.zeros((f, fn.num_per_frame))
+        u0 = jnp.zeros((fn.num_universal,))
+        res = solve_sequence(fn, pf0, u0,
+                             SolverOptions(max_iterations=25, regularization=1e-5))
+        assert float(res.error) < 1e-2
