@@ -12,4 +12,18 @@ Static shapes with validity masks replace the reference's dynamic sparsity
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# IK demands f32-accurate linear algebra: on TPU the default matmul precision
+# is bf16 (1 MXU pass), which stalls Gauss-Newton convergence around 1e-2 and
+# can NaN the Cholesky. The reference solves in full f32/f64 (Eigen);
+# measurements on v5e show "highest" costs little here because solver matmuls
+# are small and latency-bound. Override with MOMENTUM_TPU_MATMUL_PRECISION.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("MOMENTUM_TPU_MATMUL_PRECISION", "highest"),
+)
+
 from momentum_tpu.math import quaternion, skel_state  # noqa: F401

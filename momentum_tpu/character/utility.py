@@ -1,0 +1,217 @@
+"""Character/skeleton utilities (host-side, numpy-backed).
+
+Reference: momentum/character/character_utility.{h,cpp},
+character.h:33-283 member ops, skeleton_utility.h. These are model-surgery
+operations done once at load time — they run on the host and produce new
+frozen pytrees; nothing here needs to be jitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from momentum_tpu.character.character import Character, Locators, Mesh
+from momentum_tpu.character.parameter_transform import ParameterTransform
+from momentum_tpu.character.skeleton import INVALID_INDEX, PARAMS_PER_JOINT, Skeleton, make_skeleton
+from momentum_tpu.character.skinning import SkinWeights
+
+__all__ = [
+    "scale_character",
+    "transform_character",
+    "remove_joints",
+    "parameters_to_active_joints",
+    "active_joints_to_parameters",
+    "subset_parameter_transform",
+    "split_parameters",
+    "bake_blend_shape",
+    "resample_motion",
+]
+
+
+def scale_character(character: Character, scale: float) -> Character:
+    """Uniformly scale a character (character_utility.cpp scaleCharacter):
+    translation offsets, locator offsets, mesh, capsule geometry scale."""
+    skel = character.skeleton
+    new_skel = dataclasses.replace(
+        skel, translation_offset=skel.translation_offset * scale
+    )
+    out = dataclasses.replace(character, skeleton=new_skel)
+    if character.mesh is not None:
+        out = dataclasses.replace(
+            out, mesh=dataclasses.replace(character.mesh,
+                                          vertices=character.mesh.vertices * scale))
+    if character.locators is not None:
+        out = dataclasses.replace(
+            out, locators=dataclasses.replace(character.locators,
+                                              offset=character.locators.offset * scale))
+    if character.collision is not None:
+        col = character.collision
+        tf = col.transform.at[..., 0:3].multiply(scale)
+        out = dataclasses.replace(
+            out, collision=dataclasses.replace(
+                col, transform=tf, radius=col.radius * scale, length=col.length * scale))
+    out = dataclasses.replace(out, inverse_bind_pose=None)
+    return out.with_inverse_bind_pose()
+
+
+def transform_character(character: Character, xform: jnp.ndarray) -> Character:
+    """Rigidly transform the rest configuration by an 8-param skel_state
+    (character_utility.cpp transformCharacter). Only root joints move."""
+    from momentum_tpu.math import quaternion as quat, skel_state as ss
+
+    skel = character.skeleton
+    parents = np.asarray(skel.joint_parent)
+    offs = np.asarray(skel.translation_offset).copy()
+    pre = np.asarray(skel.pre_rotation).copy()
+    t, q, s = (np.asarray(x) for x in ss.split(xform))
+    for j in range(len(parents)):
+        if parents[j] == INVALID_INDEX:
+            offs[j] = np.asarray(ss.transform_points(xform, jnp.asarray(offs[j])))
+            pre[j] = np.asarray(quat.multiply(q, jnp.asarray(pre[j])))
+    new_skel = dataclasses.replace(
+        skel,
+        translation_offset=jnp.asarray(offs),
+        pre_rotation=jnp.asarray(pre),
+    )
+    out = dataclasses.replace(character, skeleton=new_skel, inverse_bind_pose=None)
+    return out.with_inverse_bind_pose()
+
+
+def parameters_to_active_joints(pt: ParameterTransform, enabled: np.ndarray) -> np.ndarray:
+    """Bool (nJ,): joints driven by any enabled model parameter
+    (character.h parametersToActiveJoints)."""
+    pattern = np.abs(np.asarray(pt.transform)) > 0
+    active_jp = pattern[:, np.asarray(enabled, bool)].any(axis=1)
+    return active_jp.reshape(-1, PARAMS_PER_JOINT).any(axis=1)
+
+
+def active_joints_to_parameters(pt: ParameterTransform, active_joints: np.ndarray) -> np.ndarray:
+    """Bool (P,): model parameters that touch any active joint
+    (character.h activeJointsToParameters)."""
+    pattern = np.abs(np.asarray(pt.transform)) > 0
+    jp_active = np.repeat(np.asarray(active_joints, bool), PARAMS_PER_JOINT)
+    return pattern[jp_active, :].any(axis=0)
+
+
+def subset_parameter_transform(pt: ParameterTransform, keep: np.ndarray) -> ParameterTransform:
+    """New transform with only the `keep` model parameters
+    (parameter_transform.h subsetParameterTransform)."""
+    keep = np.asarray(keep, bool)
+    idx = np.nonzero(keep)[0]
+    return ParameterTransform(
+        transform=jnp.asarray(np.asarray(pt.transform)[:, idx]),
+        offsets=pt.offsets,
+        names=tuple(pt.names[i] for i in idx),
+        parameter_sets={
+            k: tuple(int(np.searchsorted(idx, i)) for i in v if i in set(idx.tolist()))
+            for k, v in pt.parameter_sets.items()
+        },
+    )
+
+
+def remove_joints(character: Character, joints_to_remove) -> Character:
+    """Strip joints (and their subtrees' parameters/locators/skinning)
+    (character_utility.cpp removeJoints). Children of removed joints must also
+    be listed (reference requires consistency; we enforce it)."""
+    skel = character.skeleton
+    parents = np.asarray(skel.joint_parent)
+    n = len(parents)
+    remove = np.zeros(n, bool)
+    remove[list(joints_to_remove)] = True
+    for j in range(n):
+        if parents[j] != INVALID_INDEX and remove[parents[j]]:
+            remove[j] = True
+    keep_idx = np.nonzero(~remove)[0]
+    old_to_new = np.full(n, INVALID_INDEX, np.int64)
+    old_to_new[keep_idx] = np.arange(len(keep_idx))
+
+    new_parents = []
+    for j in keep_idx:
+        p = parents[j]
+        new_parents.append(int(old_to_new[p]) if p != INVALID_INDEX else INVALID_INDEX)
+    new_skel = make_skeleton(
+        new_parents,
+        pre_rotations=np.asarray(skel.pre_rotation)[keep_idx],
+        translation_offsets=np.asarray(skel.translation_offset)[keep_idx],
+        names=[skel.joint_names[i] for i in keep_idx],
+    )
+
+    # parameter transform: drop rows of removed joints, drop params that no
+    # longer touch anything
+    tf = np.asarray(character.parameter_transform.transform)
+    row_keep = np.repeat(~remove, PARAMS_PER_JOINT)
+    tf2 = tf[row_keep]
+    offs2 = np.asarray(character.parameter_transform.offsets)[row_keep]
+    col_keep = (np.abs(tf2) > 0).any(axis=0)
+    pt2 = ParameterTransform(
+        transform=jnp.asarray(tf2[:, col_keep]),
+        offsets=jnp.asarray(offs2),
+        names=tuple(np.asarray(character.parameter_transform.names)[col_keep].tolist()),
+    )
+
+    out = dataclasses.replace(
+        character, skeleton=new_skel, parameter_transform=pt2, inverse_bind_pose=None,
+        mesh=None, skin_weights=None, blend_shape=None, collision=None,
+    )
+    if character.locators is not None:
+        loc = character.locators
+        lp = np.asarray(loc.parent)
+        lkeep = ~remove[lp]
+        out = dataclasses.replace(out, locators=Locators(
+            parent=jnp.asarray(old_to_new[lp[lkeep]], jnp.int32),
+            offset=jnp.asarray(np.asarray(loc.offset)[lkeep]),
+            weight=jnp.asarray(np.asarray(loc.weight)[lkeep]),
+            names=tuple(np.asarray(loc.names)[lkeep].tolist()),
+        ))
+    if character.mesh is not None and character.skin_weights is not None:
+        # keep mesh; re-point skinning at nearest kept ancestor
+        si = np.asarray(character.skin_weights.index)
+        sw = np.asarray(character.skin_weights.weight).copy()
+        remap = np.empty(n, np.int64)
+        for j in range(n):
+            a = j
+            while a != INVALID_INDEX and remove[a]:
+                a = parents[a]
+            remap[j] = old_to_new[a] if a != INVALID_INDEX else 0
+        out = dataclasses.replace(
+            out, mesh=character.mesh,
+            skin_weights=SkinWeights(index=jnp.asarray(remap[si], jnp.int32),
+                                     weight=jnp.asarray(sw)))
+    return out.with_inverse_bind_pose()
+
+
+def split_parameters(pt: ParameterTransform, params: jnp.ndarray, mask) -> jnp.ndarray:
+    """Zero out parameters not in `mask` (character.h splitParameters)."""
+    m = jnp.asarray(np.asarray(mask, np.float32))
+    return params * m
+
+
+def bake_blend_shape(character: Character, coefficients: jnp.ndarray) -> Character:
+    """Bake blendshape coefficients into a static mesh (character.h bake)."""
+    if character.blend_shape is None or character.mesh is None:
+        return character
+    baked = character.blend_shape.apply(coefficients)
+    return dataclasses.replace(
+        character,
+        mesh=dataclasses.replace(character.mesh, vertices=baked),
+        blend_shape=None,
+        blend_shape_param_index=None,
+    )
+
+
+def resample_motion(poses: np.ndarray, src_fps: float, dst_fps: float) -> np.ndarray:
+    """Linear resampling of a (F, P) pose track (skeleton_utility.h
+    MotionParameters resampling)."""
+    poses = np.asarray(poses)
+    f = poses.shape[0]
+    if f < 2 or src_fps == dst_fps:
+        return poses.copy()
+    duration = (f - 1) / src_fps
+    n_out = int(np.floor(duration * dst_fps)) + 1
+    t_out = np.arange(n_out) / dst_fps * src_fps
+    i0 = np.clip(np.floor(t_out).astype(np.int64), 0, f - 2)
+    frac = (t_out - i0)[:, None]
+    return poses[i0] * (1 - frac) + poses[i0 + 1] * frac

@@ -1,0 +1,115 @@
+"""Inverse FK round-trip + character utility tests (reference:
+test/character/skeleton_state_test.cpp inverse FK round trips,
+test/character/character_utility_test.cpp)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from momentum_tpu.character import fk
+from momentum_tpu.character.inverse_fk import joint_parameters_from_skeleton_states
+from momentum_tpu.character.utility import (
+    active_joints_to_parameters,
+    bake_blend_shape,
+    parameters_to_active_joints,
+    remove_joints,
+    resample_motion,
+    scale_character,
+    subset_parameter_transform,
+)
+from momentum_tpu.testing.fixtures import create_test_character
+
+
+@pytest.fixture(scope="module")
+def char():
+    return create_test_character(5)
+
+
+def _rng():
+    return np.random.default_rng(12345)
+
+
+class TestInverseFK:
+    def test_round_trip(self, char):
+        rng = _rng()
+        # random joint params away from gimbal lock (|ry| < ~1.2)
+        nj = char.num_joints
+        jp = rng.uniform(-0.8, 0.8, (nj, 7)).astype(np.float32)
+        jp[:, 6] = rng.uniform(-0.5, 0.5, nj)  # log2 scale
+        jp_flat = jnp.asarray(jp.reshape(-1))
+        states = fk.global_skel_states(char.skeleton, jp_flat)
+        jp_rec = joint_parameters_from_skeleton_states(char.skeleton, states)
+        np.testing.assert_allclose(np.asarray(jp_rec), jp.reshape(-1), atol=2e-5)
+
+    def test_round_trip_through_fk_again(self, char):
+        """Even at gimbal poses the recovered params must reproduce the states."""
+        rng = _rng()
+        nj = char.num_joints
+        jp = rng.uniform(-2.5, 2.5, (nj, 7)).astype(np.float32)
+        jp[:, 6] = 0.0
+        states = fk.global_skel_states(char.skeleton, jnp.asarray(jp.reshape(-1)))
+        jp_rec = joint_parameters_from_skeleton_states(char.skeleton, states)
+        states2 = fk.global_skel_states(char.skeleton, jp_rec)
+        t1, q1, s1 = np.asarray(states[..., :3]), np.asarray(states[..., 3:7]), np.asarray(states[..., 7])
+        t2, q2, s2 = np.asarray(states2[..., :3]), np.asarray(states2[..., 3:7]), np.asarray(states2[..., 7])
+        np.testing.assert_allclose(t1, t2, atol=1e-3)
+        np.testing.assert_allclose(np.abs(np.sum(q1 * q2, axis=-1)), 1.0, atol=1e-5)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+class TestUtilities:
+    def test_scale_character(self, char):
+        c2 = scale_character(char, 2.0)
+        s1 = char.bind_pose()
+        s2 = c2.bind_pose()
+        np.testing.assert_allclose(
+            np.asarray(s2[..., :3]), 2.0 * np.asarray(s1[..., :3]), atol=1e-5)
+
+    def test_active_joint_maps(self, char):
+        p = char.num_model_parameters
+        enabled = np.zeros(p, bool)
+        enabled[char.parameter_transform.parameter_index("joint1_rx")] = True
+        aj = parameters_to_active_joints(char.parameter_transform, enabled)
+        assert aj[1] and not aj[0] and not aj[2]
+        back = active_joints_to_parameters(char.parameter_transform, aj)
+        assert back[char.parameter_transform.parameter_index("joint1_rx")]
+
+    def test_subset_parameter_transform(self, char):
+        keep = np.zeros(char.num_model_parameters, bool)
+        keep[:6] = True
+        pt2 = subset_parameter_transform(char.parameter_transform, keep)
+        assert pt2.num_model_parameters == 6
+        assert pt2.names == char.parameter_transform.names[:6]
+
+    def test_remove_joints(self, char):
+        c2 = remove_joints(char, [3])  # removes 3 and its child 4
+        assert c2.num_joints == 3
+        assert c2.skeleton.joint_names == char.skeleton.joint_names[:3]
+        # FK still works
+        theta = jnp.zeros(c2.num_model_parameters)
+        states = c2.skeleton_states(theta)
+        assert states.shape == (3, 8)
+
+    def test_resample_motion(self):
+        poses = np.arange(10, dtype=np.float32)[:, None] * np.ones((1, 3), np.float32)
+        out = resample_motion(poses, 30.0, 60.0)
+        assert out.shape[0] == 19
+        np.testing.assert_allclose(out[1], 0.5 * np.ones(3), atol=1e-6)
+
+    def test_bake_blend_shape(self, char):
+        from momentum_tpu.character.blend_shape import BlendShape
+        rng = _rng()
+        v = char.mesh.num_vertices
+        bs = BlendShape(
+            base_shape=char.mesh.vertices,
+            shape_vectors=jnp.asarray(rng.normal(size=(2, v, 3)), jnp.float32) * 0.1,
+        )
+        c2 = dataclasses.replace(char, blend_shape=bs)
+        coeffs = jnp.asarray([0.5, -0.3], jnp.float32)
+        c3 = bake_blend_shape(c2, coeffs)
+        assert c3.blend_shape is None
+        expected = np.asarray(bs.apply(coeffs))
+        np.testing.assert_allclose(np.asarray(c3.mesh.vertices), expected, atol=1e-6)
