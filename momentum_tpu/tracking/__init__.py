@@ -1,0 +1,15 @@
+from momentum_tpu.tracking.config import (  # noqa: F401
+    BaseConfig,
+    CalibrationConfig,
+    RefineConfig,
+    TrackingConfig,
+)
+from momentum_tpu.tracking.tracker import (  # noqa: F401
+    MarkerSequence,
+    TrackingResult,
+    calibrate_locators,
+    calibrate_model,
+    track_poses_batched,
+    track_poses_per_frame,
+    track_sequence,
+)

@@ -1,0 +1,54 @@
+"""Marker-tracking configuration structs.
+
+Mirrors momentum/marker_tracking/marker_tracker.h:42-135 (BaseConfig /
+CalibrationConfig / TrackingConfig / RefineConfig). Static dataclasses — they
+select trace-time behavior of the jitted pipelines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["BaseConfig", "CalibrationConfig", "TrackingConfig", "RefineConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class BaseConfig:
+    """marker_tracker.h:42-60."""
+
+    loss_alpha: float = 2.0  # generalized-loss alpha for marker residuals
+    loss_c: float = 1.0
+    max_iter: int = 30
+    min_vis_percent: float = 0.0  # skip frames with fewer visible markers
+    regularization: float = 0.05
+    debug: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class CalibrationConfig(BaseConfig):
+    """marker_tracker.h:62-92."""
+
+    calib_frames: int = 100  # number of sampled frames used for calibration
+    major_iter: int = 3  # alternating tracking/calibration rounds
+    global_scale_only: bool = False  # solve only uniform scale
+    locators_only: bool = False  # solve only locator offsets
+    greedy_sampling: int = 0  # stride-based frame sampling when > 0
+    calib_shape: bool = False  # calibrate blendshape params too
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig(BaseConfig):
+    """marker_tracker.h:94-110."""
+
+    smoothing: float = 0.0  # model-parameter smoothness weight
+    collision_error_weight: float = 0.0
+    smoothing_weights: tuple = ()  # optional per-parameter smoothness
+
+
+@dataclasses.dataclass(frozen=True)
+class RefineConfig(TrackingConfig):
+    """marker_tracker.h:112-135."""
+
+    regularizer: float = 0.0  # pull toward the input motion
+    calib_id: bool = False  # re-calibrate identity during refine
+    calib_locators: bool = False

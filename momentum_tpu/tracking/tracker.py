@@ -1,0 +1,300 @@
+"""Marker-based mocap tracking pipeline.
+
+Reference: momentum/marker_tracking/marker_tracker.cpp —
+  trackPosesPerframe  (:754-930): frame-by-frame GN with previous-frame warm
+    start; here a lax.scan over frames whose body is the fused GN solve, so
+    the whole clip is ONE XLA computation (the serial warm-start chain is the
+    algorithm, not an implementation accident).
+  trackSequence       (:228-700): whole-sequence solve with smoothness and
+    optional universal (calibration) parameters → solve_sequence.
+  calibrateModel      (:1479-1720): alternating major iterations of
+    per-frame tracking on sampled frames and a universal-parameter sequence
+    solve (scale/shape shared across frames; MultiposeSolver pattern).
+  calibrateLocators: locator-offset refinement — the locator offsets are
+    differentiable inputs of the position residuals here, solved by a few
+    Gauss-Newton steps on the offset variables directly (the IFT machinery
+    exposes the same derivative, diff_ik).
+
+Markers are a static-shape (F, M, 3) array + (F, M) occlusion mask; occluded
+markers get constraint weight 0 (the reference drops them per frame,
+marker_tracker.cpp:287-476 — weight-0 padding is the static-shape analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from momentum_tpu.character.character import Character
+from momentum_tpu.errors import LimitErrorFunction, PositionErrorFunction
+from momentum_tpu.math.generalized_loss import GeneralizedLoss
+from momentum_tpu.sequence import (
+    ModelParametersSequenceErrorFunction,
+    SequenceSolverFunction,
+    solve_sequence,
+)
+from momentum_tpu.solver import SkeletonSolverFunction, SolverOptions
+from momentum_tpu.solver.gauss_newton import solve_gauss_newton
+from momentum_tpu.tracking.config import CalibrationConfig, TrackingConfig
+
+__all__ = ["MarkerSequence", "TrackingResult", "track_poses_per_frame",
+           "track_sequence", "calibrate_model", "calibrate_locators"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MarkerSequence:
+    """(F, M, 3) marker positions + (F, M) occlusion flags; names static."""
+
+    positions: jnp.ndarray
+    occluded: jnp.ndarray
+    names: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+
+    @property
+    def num_frames(self) -> int:
+        return self.positions.shape[0]
+
+    @property
+    def num_markers(self) -> int:
+        return self.positions.shape[1]
+
+
+class TrackingResult(NamedTuple):
+    motion: jnp.ndarray  # (F, P) model parameters per frame
+    errors: jnp.ndarray  # (F,) final per-frame energy
+
+
+def _match_locators(character: Character, markers: MarkerSequence):
+    """Match marker names to locator names → (locator parents, offsets,
+    marker column index per matched locator). Mirrors the name matching in
+    app_utils/marker_tracker."""
+    loc = character.locators
+    name_to_col = {n: i for i, n in enumerate(markers.names)}
+    rows = [(li, name_to_col[n]) for li, n in enumerate(loc.names) if n in name_to_col]
+    if not rows and markers.num_markers == loc.num_locators:
+        rows = [(i, i) for i in range(loc.num_locators)]  # positional fallback
+    li = np.asarray([r[0] for r in rows], np.int32)
+    mi = np.asarray([r[1] for r in rows], np.int32)
+    return li, mi
+
+
+def _marker_error_template(character: Character, markers: MarkerSequence, config):
+    li, mi = _match_locators(character, markers)
+    loc = character.locators
+    ef0 = PositionErrorFunction.create(
+        np.asarray(loc.parent)[li],
+        np.asarray(loc.offset)[li],
+        np.zeros((len(li), 3), np.float32),
+        cweight=np.asarray(loc.weight)[li],
+        loss=GeneralizedLoss(alpha=config.loss_alpha, c=config.loss_c),
+    )
+    base_w = jnp.asarray(np.asarray(loc.weight)[li])
+
+    def per_frame(ef, frame_positions, frame_occluded):
+        targets = frame_positions[mi]
+        w = base_w * (1.0 - frame_occluded[mi].astype(jnp.float32))
+        return dataclasses.replace(ef, target=targets, cweight=w)
+
+    return ef0, per_frame
+
+
+def track_poses_per_frame(
+    character: Character,
+    markers: MarkerSequence,
+    config: TrackingConfig = TrackingConfig(),
+    initial: Optional[jnp.ndarray] = None,
+    enabled_mask: Optional[jnp.ndarray] = None,
+) -> TrackingResult:
+    """Frame-by-frame tracking with warm starts (trackPosesPerframe,
+    marker_tracker.cpp:754-930). One jitted scan over the clip."""
+    p = character.num_model_parameters
+    ef0, per_frame = _marker_error_template(character, markers, config)
+    limits = LimitErrorFunction.create()
+    opts = SolverOptions(max_iterations=config.max_iter,
+                         regularization=config.regularization)
+    x_init = jnp.zeros(p) if initial is None else initial
+
+    def step(carry, inputs):
+        x_prev = carry
+        pos_f, occ_f = inputs
+        ef = per_frame(ef0, pos_f, occ_f)
+        fn = SkeletonSolverFunction(character, (ef, limits))
+        res = solve_gauss_newton(fn.residual, fn.error, x_prev, enabled_mask, opts)
+        # NaN guard (tensor_ik.cpp:168-175): revert to warm start
+        bad = ~jnp.all(jnp.isfinite(res.params))
+        x = jnp.where(bad, x_prev, res.params)
+        return x, (x, res.error)
+
+    _, (motion, errors) = jax.lax.scan(step, x_init, (markers.positions, markers.occluded))
+    return TrackingResult(motion=motion, errors=errors)
+
+
+def track_poses_batched(
+    character: Character,
+    markers: MarkerSequence,
+    config: TrackingConfig = TrackingConfig(),
+    initial: Optional[jnp.ndarray] = None,
+    enabled_mask: Optional[jnp.ndarray] = None,
+) -> TrackingResult:
+    """All frames solved independently in one vmap (no warm start) — the
+    high-throughput path when frames are dense enough to converge from rest;
+    this is BASELINE config 3's shape."""
+    p = character.num_model_parameters
+    ef0, per_frame = _marker_error_template(character, markers, config)
+    limits = LimitErrorFunction.create()
+    opts = SolverOptions(max_iterations=config.max_iter,
+                         regularization=config.regularization)
+    x0 = jnp.zeros(p) if initial is None else initial
+
+    def solve_one(pos_f, occ_f):
+        ef = per_frame(ef0, pos_f, occ_f)
+        fn = SkeletonSolverFunction(character, (ef, limits))
+        res = solve_gauss_newton(fn.residual, fn.error, x0, enabled_mask, opts)
+        return res.params, res.error
+
+    motion, errors = jax.vmap(solve_one)(markers.positions, markers.occluded)
+    return TrackingResult(motion=motion, errors=errors)
+
+
+def track_sequence(
+    character: Character,
+    markers: MarkerSequence,
+    config: TrackingConfig = TrackingConfig(),
+    universal: Optional[np.ndarray] = None,
+    initial: Optional[jnp.ndarray] = None,
+):
+    """Whole-sequence solve with smoothness (trackSequence,
+    marker_tracker.cpp:228-700). Returns (TrackingResult, universal values)."""
+    f = markers.num_frames
+    ef0, per_frame = _marker_error_template(character, markers, config)
+    stacked = jax.vmap(per_frame, in_axes=(None, 0, 0))(
+        ef0, markers.positions, markers.occluded)
+    from momentum_tpu.sequence.solver_function import broadcast_frames
+
+    limits = broadcast_frames(LimitErrorFunction.create(), f)
+    seq_errors = ()
+    if config.smoothing > 0:
+        seq_errors = (ModelParametersSequenceErrorFunction.create(
+            character.num_model_parameters, weight=config.smoothing),)
+
+    fn = SequenceSolverFunction.create(
+        character, f, universal=universal,
+        per_frame_errors=(stacked, limits), sequence_errors=seq_errors)
+    if initial is not None:
+        pf0, u0 = fn.split(initial)
+    else:
+        pf0 = jnp.zeros((f, fn.num_per_frame))
+        u0 = jnp.zeros((fn.num_universal,))
+    res = solve_sequence(fn, pf0, u0, SolverOptions(
+        max_iterations=config.max_iter, regularization=config.regularization))
+    motion = fn.join(res.per_frame, res.universal)
+    return TrackingResult(motion=motion, errors=jnp.broadcast_to(res.error, (f,))), res.universal
+
+
+def calibrate_model(
+    character: Character,
+    markers: MarkerSequence,
+    config: CalibrationConfig = CalibrationConfig(),
+    scaling_set: str = "scaling",
+):
+    """Alternating identity calibration (calibrateModel,
+    marker_tracker.cpp:1479-1720): sample frames, then repeat major_iter
+    times {per-frame track → universal-scale sequence solve}.
+
+    `scaling_set` names the parameter set holding identity/scale params
+    (falls back to any parameter whose name contains 'scale').
+    Returns (calibrated model params (P,) with identity filled in, motion).
+    """
+    f_all = markers.num_frames
+    n_sample = min(config.calib_frames, f_all)
+    stride = max(1, f_all // n_sample)
+    idx = np.arange(0, f_all, stride)[:n_sample]
+    sampled = MarkerSequence(
+        positions=markers.positions[idx], occluded=markers.occluded[idx],
+        names=markers.names)
+
+    pt = character.parameter_transform
+    p = character.num_model_parameters
+    universal = np.zeros(p, bool)
+    if scaling_set in pt.parameter_sets:
+        universal[list(pt.parameter_sets[scaling_set])] = True
+    else:
+        for i, n in enumerate(pt.names):
+            if "scale" in n.lower():
+                universal[i] = True
+    if config.global_scale_only:
+        keep = np.zeros(p, bool)
+        for i, n in enumerate(pt.names):
+            if universal[i] and "global" in n.lower():
+                keep[i] = True
+        universal = keep if keep.any() else universal
+
+    track_cfg = TrackingConfig(
+        loss_alpha=config.loss_alpha, loss_c=config.loss_c,
+        max_iter=config.max_iter, regularization=config.regularization)
+
+    identity = jnp.zeros(p)
+    motion = None
+    for _ in range(config.major_iter):
+        init = identity  # warm start with current identity estimate
+        tracked = track_poses_per_frame(character, sampled, track_cfg, initial=init)
+        seq_res, u = track_sequence(
+            character, sampled, track_cfg, universal=universal,
+            initial=tracked.motion)
+        u_idx = np.nonzero(universal)[0]
+        identity = identity.at[u_idx].set(u)
+        motion = seq_res.motion
+    return identity, motion
+
+
+def calibrate_locators(
+    character: Character,
+    markers: MarkerSequence,
+    motion: jnp.ndarray,
+    config: CalibrationConfig = CalibrationConfig(),
+    iterations: int = 10,
+):
+    """Refine locator offsets given a tracked motion (calibrateLocators):
+    least-squares on the offset variables with poses held fixed. Because the
+    marker residual is linear in the offset in the joint frame, a few GN
+    steps on the offsets converge quickly; implemented with jax.grad on the
+    summed clip energy."""
+    li, mi = _match_locators(character, markers)
+    loc = character.locators
+    parents = jnp.asarray(np.asarray(loc.parent)[li])
+    base_w = jnp.asarray(np.asarray(loc.weight)[li])
+    states = jax.vmap(character.skeleton_states)(motion)  # (F, nJ, 8)
+
+    from momentum_tpu.math import skel_state as ss
+
+    def energy(offsets):
+        st = jnp.take(states, parents, axis=-2)  # (F, L, 8)
+        world = ss.transform_points(st, offsets)
+        tgt = markers.positions[:, mi]
+        w = base_w * (1.0 - markers.occluded[:, mi].astype(jnp.float32))
+        return jnp.sum(w * jnp.sum((world - tgt) ** 2, axis=-1))
+
+    offsets = jnp.asarray(np.asarray(loc.offset)[li])
+
+    # Gauss-Newton on a per-locator 3x3 system (closed-form per step)
+    def gn_step(offsets, _):
+        g = jax.grad(energy)(offsets)
+        # diagonal 3x3 blocks of the Hessian via 3 HVPs (offsets independent)
+        def hvp(v):
+            return jax.jvp(jax.grad(energy), (offsets,), (v,))[1]
+        eye = jnp.eye(3)
+        cols = jnp.stack([hvp(jnp.broadcast_to(eye[i], offsets.shape)) for i in range(3)],
+                         axis=-1)  # (L, 3, 3)
+        delta = jnp.linalg.solve(cols + 1e-8 * eye, g[..., None])[..., 0]
+        return offsets - delta, None
+
+    offsets, _ = jax.lax.scan(gn_step, offsets, None, length=iterations)
+
+    new_off = np.asarray(loc.offset).copy()
+    new_off[li] = np.asarray(offsets)
+    new_loc = dataclasses.replace(loc, offset=jnp.asarray(new_off))
+    return dataclasses.replace(character, locators=new_loc)

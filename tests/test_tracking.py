@@ -1,0 +1,111 @@
+"""Marker-tracking pipeline tests (reference: test/marker_tracking/,
+test/process_markers with synthetic data substituted for the bundled C3D)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from momentum_tpu.testing.fixtures import create_test_character
+from momentum_tpu.tracking import (
+    CalibrationConfig,
+    MarkerSequence,
+    TrackingConfig,
+    calibrate_locators,
+    calibrate_model,
+    track_poses_batched,
+    track_poses_per_frame,
+    track_sequence,
+)
+
+
+@pytest.fixture(scope="module")
+def char():
+    return create_test_character(4)
+
+
+def _rng():
+    return np.random.default_rng(12345)
+
+
+def _synthetic_markers(char, f, rng, occlusion=0.0, scale=None):
+    p = char.num_model_parameters
+    t = np.linspace(0, 1, f)[:, None]
+    phase = rng.uniform(0, 2 * np.pi, p)
+    amp = rng.uniform(0.05, 0.3, p)
+    thetas = amp * np.sin(2 * np.pi * t + phase)
+    # respect the fixture's MinMax limit on parameter 0 ([-0.1, 0.1]) so the
+    # limit penalty is zero at the ground truth
+    thetas[:, 0] = np.clip(thetas[:, 0], -0.09, 0.09)
+    if scale is not None:
+        si = char.parameter_transform.parameter_index("scale_global")
+        thetas[:, si] = scale
+    thetas = jnp.asarray(thetas, jnp.float32)
+    states = jax.vmap(char.skeleton_states)(thetas)
+    positions = jax.vmap(char.locators.world_positions)(states)
+    occluded = jnp.asarray(rng.random((f, char.locators.num_locators)) < occlusion)
+    markers = MarkerSequence(positions=positions, occluded=occluded,
+                             names=tuple(char.locators.names))
+    return thetas, markers
+
+
+class TestTracking:
+    def test_per_frame_tracking_recovers_markers(self, char):
+        rng = _rng()
+        thetas, markers = _synthetic_markers(char, 8, rng)
+        cfg = TrackingConfig(max_iter=30, regularization=1e-5)
+        res = jax.jit(lambda m: track_poses_per_frame(char, m, cfg))(markers)
+        assert res.motion.shape == (8, char.num_model_parameters)
+        assert float(jnp.max(res.errors)) < 1e-6
+
+    def test_batched_tracking(self, char):
+        rng = _rng()
+        _, markers = _synthetic_markers(char, 8, rng)
+        cfg = TrackingConfig(max_iter=30, regularization=1e-5)
+        res = track_poses_batched(char, markers, cfg)
+        assert float(jnp.max(res.errors)) < 1e-6
+
+    def test_occluded_markers_ignored(self, char):
+        rng = _rng()
+        _, markers = _synthetic_markers(char, 6, rng, occlusion=0.3)
+        # corrupt occluded marker positions — they must not affect the fit
+        corrupted = jnp.where(markers.occluded[..., None],
+                              jnp.full_like(markers.positions, 1e3),
+                              markers.positions)
+        markers2 = dataclasses.replace(markers, positions=corrupted)
+        cfg = TrackingConfig(max_iter=30, regularization=1e-5)
+        res = track_poses_per_frame(char, markers2, cfg)
+        assert float(jnp.max(res.errors)) < 1e-6
+
+    def test_sequence_tracking_with_smoothing(self, char):
+        rng = _rng()
+        _, markers = _synthetic_markers(char, 6, rng)
+        cfg = TrackingConfig(max_iter=25, regularization=1e-5, smoothing=1e-4)
+        res, _ = track_sequence(char, markers, cfg)
+        assert float(res.errors[0]) < 1e-3
+
+    def test_calibration_recovers_scale(self, char):
+        rng = _rng()
+        true_scale = 0.25
+        _, markers = _synthetic_markers(char, 12, rng, scale=true_scale)
+        cfg = CalibrationConfig(calib_frames=6, major_iter=2,
+                                max_iter=25, regularization=1e-6)
+        identity, motion = calibrate_model(char, markers, cfg)
+        si = char.parameter_transform.parameter_index("scale_global")
+        np.testing.assert_allclose(float(identity[si]), true_scale, atol=5e-3)
+
+    def test_calibrate_locators_recovers_offsets(self, char):
+        rng = _rng()
+        thetas, markers = _synthetic_markers(char, 10, rng)
+        # perturb the character's locator offsets; calibration should restore
+        true_offsets = np.asarray(char.locators.offset)
+        perturbed = dataclasses.replace(
+            char, locators=dataclasses.replace(
+                char.locators,
+                offset=jnp.asarray(true_offsets + rng.normal(0, 0.1, true_offsets.shape)
+                                   .astype(np.float32))))
+        recovered = calibrate_locators(perturbed, markers, thetas)
+        np.testing.assert_allclose(
+            np.asarray(recovered.locators.offset), true_offsets, atol=1e-3)
