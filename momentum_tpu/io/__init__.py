@@ -1,0 +1,13 @@
+from momentum_tpu.io.bvh import load_bvh, save_bvh  # noqa: F401
+from momentum_tpu.io.gltf import load_character_glb, save_character_glb  # noqa: F401
+from momentum_tpu.io.markers import RawMarkerData, load_c3d, load_trc, save_trc  # noqa: F401
+from momentum_tpu.io.model_definition import (  # noqa: F401
+    load_model_definition,
+    load_momentum_model,
+    parse_parameter_limits,
+    parse_parameter_sets,
+    parse_parameter_transform,
+    write_model_definition,
+)
+from momentum_tpu.io.motion import load_mmo, save_mmo  # noqa: F401
+from momentum_tpu.io.pose_prior import load_mppca, save_mppca  # noqa: F401

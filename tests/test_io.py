@@ -1,0 +1,234 @@
+"""IO round-trip tests (reference pattern: momentum/test/io/ + bundled
+resources; real reference assets are read from /root/reference when present)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import momentum_tpu.io as mio
+from momentum_tpu.errors.pose_prior import Mppca
+from momentum_tpu.testing.fixtures import create_test_character
+
+REF = "/root/reference/momentum/test/resources"
+
+
+def _rng():
+    return np.random.default_rng(12345)
+
+
+class TestModelDefinition:
+    MODEL_TEXT = """Momentum Model Definition V1.0
+
+[ParameterTransform]
+root.tx = 1 * root_tx
+root.ty = 1 * root_ty
+root.rz = 0.5 * shared_rz
+joint1.rx = 1 * joint1_rx
+joint1.rz = 0.5 * shared_rz
+joint1.sc = 1 * scale  # comment
+joint2.ty = 0.1
+joint2.rx = 2 * joint1.rx
+
+[ParameterSets]
+parameterset rigid root_tx root_ty
+
+[ParameterLimits]
+limit root_tx minmax [-0.5, 0.5] 2.0
+limit joint1.rx minmax [-1, 1]
+limit joint1.rx minmax_passive [-2, 2]
+limit root_tx linear root_ty [2, 0.5]
+limit root_tx halfplane root_ty [1, 1] 0.25
+"""
+
+    def _skel(self):
+        from momentum_tpu.character import make_skeleton
+        return make_skeleton([-1, 0, 1], names=["root", "joint1", "joint2"])
+
+    def test_parse_transform(self):
+        skel = self._skel()
+        pt, limits = mio.load_model_definition(self.MODEL_TEXT, skel)
+        assert pt.names == ("root_tx", "root_ty", "shared_rz", "joint1_rx", "scale")
+        mat = np.asarray(pt.transform)
+        assert mat[0, 0] == 1.0  # root.tx <- root_tx
+        assert mat[5, 2] == 0.5  # root.rz <- 0.5 shared_rz
+        assert mat[7 + 5, 2] == 0.5  # joint1.rz
+        assert mat[7 + 6, 4] == 1.0  # joint1.sc <- scale
+        # joint2.rx = 2 * joint1.rx -> copies joint1.rx's terms scaled by 2
+        assert mat[14 + 3, 3] == 2.0
+        # bare-number offset
+        assert float(np.asarray(pt.offsets)[14 + 1]) == pytest.approx(0.1)
+        assert pt.parameter_sets["rigid"] == (0, 1)
+
+    def test_parse_limits(self):
+        skel = self._skel()
+        pt, limits = mio.load_model_definition(self.MODEL_TEXT, skel)
+        c = limits.counts
+        assert c["minmax"] == 1 and c["minmax_joint"] == 2
+        assert c["linear"] == 1 and c["halfplane"] == 1
+        np.testing.assert_allclose(np.asarray(limits.minmax_bounds)[0], [-0.5, 0.5])
+        assert float(np.asarray(limits.minmax_weight)[0]) == 2.0
+        assert float(np.asarray(limits.minmax_joint_passive)[1]) == 1.0
+        # halfplane normal normalized
+        n = np.asarray(limits.halfplane_normal)[0]
+        np.testing.assert_allclose(np.linalg.norm(n), 1.0, atol=1e-6)
+
+    def test_write_round_trip(self):
+        skel = self._skel()
+        pt, limits = mio.load_model_definition(self.MODEL_TEXT, skel)
+        text = mio.write_model_definition(pt, skel, limits)
+        pt2, limits2 = mio.load_model_definition(text, skel)
+        assert pt2.names == pt.names
+        np.testing.assert_allclose(np.asarray(pt2.transform), np.asarray(pt.transform))
+        np.testing.assert_allclose(np.asarray(pt2.offsets), np.asarray(pt.offsets))
+        assert limits2.counts["minmax"] == limits.counts["minmax"]
+
+    def test_reference_sample_model(self):
+        path = "/root/reference/momentum/examples/convert_model/test_data/character.model"
+        if not os.path.exists(path):
+            pytest.skip("reference asset unavailable")
+        from momentum_tpu.character import make_skeleton
+        skel = make_skeleton([-1, 0, 1], names=["root", "joint1", "joint2"])
+        pt, _ = mio.load_model_definition(path, skel)
+        assert "scale_global" in pt.names
+        assert "shared_rz" in pt.names
+
+
+class TestMotionIO:
+    def test_mmo_round_trip(self, tmp_path):
+        rng = _rng()
+        poses = rng.normal(size=(20, 9)).astype(np.float32)
+        scale = rng.normal(size=4).astype(np.float32)
+        pnames = [f"p{i}" for i in range(9)]
+        jnames = [f"j{i}" for i in range(4)]
+        path = str(tmp_path / "test.mmo")
+        mio.save_mmo(path, poses, scale, pnames, jnames)
+        p2, s2, pn2, jn2 = mio.load_mmo(path)
+        np.testing.assert_allclose(p2, poses)
+        np.testing.assert_allclose(s2, scale)
+        assert pn2 == pnames and jn2 == jnames
+
+
+class TestMppcaIO:
+    def test_round_trip(self, tmp_path):
+        rng = _rng()
+        d, k = 6, 3
+        prior = Mppca.from_components(
+            np.ones(k) / k,
+            rng.normal(size=(k, d)),
+            [rng.normal(size=(d, 2)) for _ in range(k)],
+            rng.uniform(0.1, 0.5, k),
+            names=tuple(f"p{i}" for i in range(d)),
+        )
+        path = str(tmp_path / "prior.mppca")
+        mio.save_mppca(path, prior)
+        p2 = mio.load_mppca(path)
+        np.testing.assert_allclose(np.asarray(p2.mu), np.asarray(prior.mu), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(p2.cinv), np.asarray(prior.cinv), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(p2.rpre), np.asarray(prior.rpre), atol=1e-5)
+        assert p2.names == prior.names
+        # whitening factor consistency: LᵀL == Cinv
+        l = np.asarray(p2.l)
+        np.testing.assert_allclose(
+            np.einsum("kij,kil->kjl", l, l), np.asarray(p2.cinv), atol=1e-3)
+
+
+class TestMarkers:
+    def test_reference_c3d(self):
+        path = f"{REF}/markers.c3d"
+        if not os.path.exists(path):
+            pytest.skip("reference asset unavailable")
+        data = mio.load_c3d(path)
+        assert data.num_frames > 0 and data.num_markers > 0
+        assert len(data.names) == data.num_markers
+        vis = data.positions[~data.occluded]
+        assert np.isfinite(vis).all()
+        assert np.abs(vis).max() < 1e5
+
+    def test_reference_c3d_int_vs_real(self):
+        pi = f"{REF}/data_format_variant/int/pc_int.c3d"
+        pr = f"{REF}/data_format_variant/real/pc_real.c3d"
+        if not (os.path.exists(pi) and os.path.exists(pr)):
+            pytest.skip("reference asset unavailable")
+        di = mio.load_c3d(pi)
+        dr = mio.load_c3d(pr)
+        assert di.num_markers == dr.num_markers
+        both = ~(di.occluded | dr.occluded)
+        scale = max(1.0, np.abs(dr.positions[both]).max())
+        np.testing.assert_allclose(
+            di.positions[both] / scale, dr.positions[both] / scale, atol=2e-3)
+
+    def test_trc_round_trip(self, tmp_path):
+        rng = _rng()
+        pos = rng.normal(size=(5, 3, 3)).astype(np.float32)
+        occ = np.zeros((5, 3), bool)
+        occ[2, 1] = True
+        data = mio.RawMarkerData(pos, occ, ["A", "B", "C"], 60.0)
+        path = str(tmp_path / "test.trc")
+        mio.save_trc(path, data)
+        d2 = mio.load_trc(path)
+        assert d2.names == ["A", "B", "C"]
+        np.testing.assert_array_equal(d2.occluded, occ)
+        np.testing.assert_allclose(d2.positions[~occ], pos[~occ], atol=1e-4)
+
+
+class TestBvh:
+    def test_round_trip(self, tmp_path):
+        char = create_test_character(4)
+        rng = _rng()
+        f = 3
+        jp = np.zeros((f, char.num_joints, 7), np.float32)
+        jp[:, :, 3:6] = rng.uniform(-0.5, 0.5, (f, char.num_joints, 3))
+        jp[:, 0, :3] = rng.uniform(-1, 1, (f, 3))
+        path = str(tmp_path / "test.bvh")
+        mio.save_bvh(path, char, jp.reshape(f, -1), fps=30.0)
+        char2, jp2, fps = mio.load_bvh(path)
+        assert abs(fps - 30.0) < 1e-3
+        # joint count includes end-sites; compare world positions of real joints
+        from momentum_tpu.character import fk
+        s1 = fk.global_skel_states(char.skeleton, jnp.asarray(jp.reshape(f, -1)))
+        s2 = fk.global_skel_states(char2.skeleton, jp2)
+        name_map = [char2.skeleton.joint_names.index(n) for n in char.skeleton.joint_names]
+        np.testing.assert_allclose(
+            np.asarray(s1[..., :3]), np.asarray(s2[..., name_map, :3]), atol=1e-3)
+
+
+class TestGltf:
+    def test_character_round_trip(self, tmp_path):
+        char = create_test_character(4)
+        rng = _rng()
+        motion = rng.normal(0, 0.2, (6, char.num_model_parameters)).astype(np.float32)
+        path = str(tmp_path / "char.glb")
+        mio.save_character_glb(path, char, motion=motion, fps=60.0)
+        char2, motion2, fps = mio.load_character_glb(path)
+        assert fps == 60.0
+        assert char2.skeleton.joint_names == char.skeleton.joint_names
+        np.testing.assert_allclose(
+            np.asarray(char2.skeleton.translation_offset),
+            np.asarray(char.skeleton.translation_offset), atol=1e-6)
+        assert char2.parameter_transform.names == char.parameter_transform.names
+        np.testing.assert_allclose(
+            np.asarray(char2.parameter_transform.transform),
+            np.asarray(char.parameter_transform.transform), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(motion2), motion, atol=1e-6)
+        # locators + collision + mesh + skin survive
+        assert char2.locators.num_locators == char.locators.num_locators
+        np.testing.assert_allclose(np.asarray(char2.locators.offset),
+                                   np.asarray(char.locators.offset), atol=1e-6)
+        assert char2.collision.num_capsules == char.collision.num_capsules
+        assert char2.mesh.num_vertices == char.mesh.num_vertices
+        np.testing.assert_allclose(np.asarray(char2.skin_weights.weight),
+                                   np.asarray(char.skin_weights.weight), atol=1e-6)
+        # FK equivalence
+        theta = jnp.asarray(rng.uniform(-0.3, 0.3, char.num_model_parameters), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(char.skeleton_states(theta)),
+            np.asarray(char2.skeleton_states(theta)), atol=1e-5)
+
+    def test_reference_glb_loads(self):
+        path = f"{REF}/blender_simple_armature.glb"
+        if not os.path.exists(path):
+            pytest.skip("reference asset unavailable")
+        char, motion, fps = mio.load_character_glb(path)
+        assert char.num_joints > 0
