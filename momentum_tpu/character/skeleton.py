@@ -35,6 +35,9 @@ class Skeleton:
     pre_rotation: jnp.ndarray = dataclasses.field(metadata=dict(static=False))
     translation_offset: jnp.ndarray = dataclasses.field(metadata=dict(static=False))
     joint_names: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    # precomputed pointer-doubling schedule (tuple of tuples) — static so FK
+    # works when the skeleton arrays are traced (e.g. inside shard_map)
+    prefix_schedule: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
     @property
     def num_joints(self) -> int:
@@ -106,6 +109,8 @@ class Skeleton:
         (pymomentum/backend/utils.py:24-70), reshaped for gather-friendly TPU
         execution. Returned arrays have length nJ+1 (sentinel last).
         """
+        if self.prefix_schedule:
+            return [np.asarray(p, np.int32) for p in self.prefix_schedule]
         parents = self._parents_np()
         n = len(parents)
         p = np.empty(n + 1, dtype=np.int32)
@@ -154,4 +159,5 @@ def make_skeleton(
         joint_names=tuple(names),
     )
     skel.validate()
-    return skel
+    schedule = tuple(tuple(int(x) for x in lev) for lev in skel.prefix_levels())
+    return dataclasses.replace(skel, prefix_schedule=schedule)
