@@ -53,7 +53,9 @@ def main():
         def solve_one(target):
             ef = dataclasses.replace(ef0, target=target)
             fn = SkeletonSolverFunction(char, (ef,))
-            return solve_levenberg_marquardt(fn.residual, fn.error, x0, options=opts)
+            return solve_levenberg_marquardt(
+                fn.residual, fn.error, x0, options=opts,
+                jacobian_fn=fn.residual_and_jacobian)
 
         return jax.vmap(solve_one)(targets)
 

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""End-to-end marker-file pipeline CLI.
+
+Mirror of the reference's process_markers_app
+(momentum/examples/process_markers_app/process_markers_app.cpp:16 →
+marker_tracking/process_markers.cpp:292 processMarkerFile):
+  load character (+ model definition) → load markers (C3D/TRC) →
+  calibrate identity → track per frame → save motion (GLB/MMO/BVH).
+
+Usage:
+  python examples/process_markers.py --markers clip.c3d --character char.glb \
+      --out solved.glb [--calib-frames 60] [--max-iter 30] [--smoothing 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--markers", required=True, help="C3D or TRC marker file")
+    ap.add_argument("--character", required=True, help="GLB character file")
+    ap.add_argument("--model", help="optional .model/.cfg parameter definition")
+    ap.add_argument("--out", required=True, help="output .glb/.mmo/.bvh motion")
+    ap.add_argument("--calib-frames", type=int, default=60)
+    ap.add_argument("--major-iter", type=int, default=2)
+    ap.add_argument("--max-iter", type=int, default=30)
+    ap.add_argument("--smoothing", type=float, default=0.0)
+    ap.add_argument("--no-calibrate", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import momentum_tpu.io as mio
+    from momentum_tpu.io.model_definition import load_model_definition
+    from momentum_tpu.tracking import (
+        CalibrationConfig, TrackingConfig, calibrate_model, track_poses_per_frame,
+        track_sequence,
+    )
+
+    t0 = time.time()
+    character, _, _ = mio.load_character_glb(args.character)
+    if args.model:
+        import dataclasses
+        pt, limits = load_model_definition(args.model, character.skeleton)
+        character = dataclasses.replace(
+            character, parameter_transform=pt, limits=limits)
+    print(f"character: {character.num_joints} joints, "
+          f"{character.num_model_parameters} parameters")
+
+    if args.markers.lower().endswith(".trc"):
+        raw = mio.load_trc(args.markers)
+    else:
+        raw = mio.load_c3d(args.markers)
+    markers = raw.to_marker_sequence()
+    print(f"markers: {markers.num_frames} frames × {markers.num_markers} markers "
+          f"@ {raw.fps:g} fps")
+
+    identity = jnp.zeros(character.num_model_parameters)
+    if not args.no_calibrate:
+        cfg = CalibrationConfig(calib_frames=args.calib_frames,
+                                major_iter=args.major_iter,
+                                max_iter=args.max_iter)
+        identity, _ = calibrate_model(character, markers, cfg)
+        print(f"calibrated identity: |θ_id| = {float(jnp.linalg.norm(identity)):.4f}")
+
+    tcfg = TrackingConfig(max_iter=args.max_iter, smoothing=args.smoothing)
+    if args.smoothing > 0:
+        result, _ = track_sequence(character, markers, tcfg, initial=None)
+    else:
+        result = track_poses_per_frame(character, markers, tcfg, initial=identity)
+    med = float(jnp.median(result.errors))
+    print(f"tracked {markers.num_frames} frames, median residual {med:.3e} "
+          f"({time.time() - t0:.1f}s total)")
+
+    motion = np.asarray(result.motion)
+    if args.out.endswith(".glb"):
+        mio.save_character_glb(args.out, character, motion=motion, fps=raw.fps)
+    elif args.out.endswith(".mmo"):
+        mio.save_mmo(args.out, motion, np.zeros(character.num_joints, np.float32),
+                     list(character.parameter_transform.names),
+                     list(character.skeleton.joint_names))
+    elif args.out.endswith(".bvh"):
+        jp = np.asarray(character.parameter_transform.apply(jnp.asarray(motion)))
+        mio.save_bvh(args.out, character, jp, fps=raw.fps)
+    else:
+        raise SystemExit(f"unknown output format: {args.out}")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,6 @@
+from momentum_tpu.axel.queries import (  # noqa: F401
+    closest_point_on_mesh,
+    knn,
+    ray_mesh_intersect,
+)
+from momentum_tpu.axel.sdf import SignedDistanceField, mesh_to_sdf  # noqa: F401

@@ -110,6 +110,26 @@ class ErrorFunction:
         """Static residual row count (C*D) for this module."""
         raise NotImplementedError
 
+    # -- optional analytic fast path ----------------------------------------
+    # Subclasses may implement
+    #     jacobian(character, ctx, jc) -> (rows (R,), j_rows (R, nJ*7))
+    # returning the weighted residual rows together with their Jacobian w.r.t.
+    # JOINT parameters (the solver chains through the parameter transform).
+    # `jc` is a solver.analytic_jacobian.JacobianContext. When every error
+    # function in a solver function provides this, the solver skips the
+    # tangent-batched AD Jacobian entirely (the reference's analytic
+    # SkeletonDerivative path, skeleton_derivative.cpp).
+    has_analytic_jacobian: bool = False
+
+    def _row_scale(self, w, sq):
+        """Common sqrt(weight·w·ρ') row scaling with IRLS freeze."""
+        scale = jnp.sqrt(jnp.maximum(self.weight * w, 0.0))
+        loss = self._loss()
+        if loss.alpha == 2.0:
+            return scale * (1.0 / loss.c)
+        return scale * jax.lax.stop_gradient(
+            jnp.sqrt(jnp.maximum(loss.deriv(sq), 0.0)))
+
 
 class VectorErrorFunction(ErrorFunction):
     """Helper base for modules whose raw() is (C, D) with static C, D."""

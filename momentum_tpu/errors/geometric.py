@@ -383,3 +383,163 @@ class ProjectionErrorFunction(VectorErrorFunction):
         )
         return cls(weight=jnp.asarray(weight, jnp.float32), near_clip=near_clip,
                    loss=loss or GeneralizedLoss(), **f)
+
+
+# ---------------------------------------------------------------------------
+# analytic Jacobians (chain rules over point/vector joint derivatives;
+# reference: the corresponding getJacobian paths which combine evalFunction's
+# dfdv with SkeletonDerivative's point/vector walks)
+# ---------------------------------------------------------------------------
+
+def _aim_geom_jacobians(self, ctx, jc):
+    from momentum_tpu.solver.analytic_jacobian import point_jacobian, vector_jacobian
+
+    states = jnp.take(ctx.skel_states, self.parent, axis=-2)
+    p = ss.transform_points(states, self.local_point)
+    d = ss.rotate_vectors(states, self.local_dir)
+    jp = point_jacobian(jc, p, self.parent)  # (C, 3, J)
+    jd = vector_jacobian(jc, d, self.parent)
+    return p, d, jp, jd
+
+
+def _finish(self, f, j, w):
+    sq = jnp.sum(f * f, axis=-1)
+    scale = self._row_scale(w, sq)
+    rows = (scale[..., None] * f).reshape(-1)
+    jrows = (scale[:, None, None] * j).reshape(rows.shape[0], -1)
+    return rows, jrows, None
+
+
+def _aim_dist_jacobian(self, character, ctx, jc):
+    p, d, jp, jd = _aim_geom_jacobians(self, ctx, jc)
+    t = self.target - p
+    jt = -jp
+    dt = jnp.sum(d * t, axis=-1)  # (C,)
+    # f = (d·t)d − t ; df = d(d·t)·d + (d·t)·Jd − Jt
+    ddt = jnp.einsum("ci,cij->cj", t, jd) + jnp.einsum("ci,cij->cj", d, jt)  # (C, J)
+    j = d[..., None] * ddt[:, None, :] + dt[:, None, None] * jd - jt
+    f = dt[..., None] * d - t
+    return _finish(self, f, j, self.cweight)
+
+
+def _aim_dir_jacobian(self, character, ctx, jc):
+    p, d, jp, jd = _aim_geom_jacobians(self, ctx, jc)
+    t = self.target - p
+    norm = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    safe = jnp.maximum(norm, 1e-12)
+    that = jnp.where(norm > _EPS, t / safe, 0.0)
+    # d t̂ = (I − t̂ t̂ᵀ)/‖t‖ · dt ; dt = −Jp
+    proj = jp - jnp.einsum("ci,cj,cjk->cik", that, that, jp)
+    j = jd + proj / safe[..., None]
+    f = d - that
+    return _finish(self, f, j, self.cweight)
+
+
+def _fixed_axis_geom(self, ctx, jc):
+    from momentum_tpu.solver.analytic_jacobian import vector_jacobian
+
+    states = jnp.take(ctx.skel_states, self.parent, axis=-2)
+    v = ss.rotate_vectors(states, self.local_axis)
+    jv = vector_jacobian(jc, v, self.parent)
+    return v, jv
+
+
+def _fixed_axis_diff_jacobian(self, character, ctx, jc):
+    v, jv = _fixed_axis_geom(self, ctx, jc)
+    return _finish(self, v - self.global_axis, jv, self.cweight)
+
+
+def _fixed_axis_cos_jacobian(self, character, ctx, jc):
+    v, jv = _fixed_axis_geom(self, ctx, jc)
+    f = 1.0 - jnp.sum(v * self.global_axis, axis=-1, keepdims=True)
+    j = -jnp.einsum("ci,cij->cj", self.global_axis, jv)[:, None, :]
+    return _finish(self, f, j, self.cweight)
+
+
+def _fixed_axis_angle_jacobian(self, character, ctx, jc):
+    v, jv = _fixed_axis_geom(self, ctx, jc)
+    c = jnp.clip(jnp.sum(v * self.global_axis, axis=-1), -1.0 + 1e-7, 1.0 - 1e-7)
+    f = jnp.arccos(c)[..., None]
+    dacos = -1.0 / jnp.sqrt(1.0 - c * c)
+    j = (dacos[:, None] * jnp.einsum("ci,cij->cj", self.global_axis, jv))[:, None, :]
+    return _finish(self, f, j, self.cweight)
+
+
+def _plane_jacobian(self, character, ctx, jc):
+    from momentum_tpu.solver.analytic_jacobian import point_jacobian
+
+    states = jnp.take(ctx.skel_states, self.parent, axis=-2)
+    p = ss.transform_points(states, self.offset)
+    jp = point_jacobian(jc, p, self.parent)
+    val = jnp.sum(p * self.normal, axis=-1) - self.d
+    gate = jnp.where(val < 0, 1.0, 0.0) if self.half_plane else jnp.ones_like(val)
+    if self.half_plane:
+        val = jnp.minimum(val, 0.0)
+    j = (gate[:, None] * jnp.einsum("ci,cij->cj", self.normal, jp))[:, None, :]
+    return _finish(self, val[..., None], j, self.cweight)
+
+
+def _normal_jacobian(self, character, ctx, jc):
+    from momentum_tpu.solver.analytic_jacobian import point_jacobian, vector_jacobian
+
+    states = jnp.take(ctx.skel_states, self.parent, axis=-2)
+    p = ss.transform_points(states, self.local_point)
+    nrm = ss.rotate_vectors(states, self.local_normal)
+    jp = point_jacobian(jc, p, self.parent)
+    jn = vector_jacobian(jc, nrm, self.parent)
+    diff = p - self.global_point
+    f = jnp.sum(nrm * diff, axis=-1, keepdims=True)
+    j = (jnp.einsum("ci,cij->cj", diff, jn)
+         + jnp.einsum("ci,cij->cj", nrm, jp))[:, None, :]
+    return _finish(self, f, j, self.cweight)
+
+
+def _distance_jacobian(self, character, ctx, jc):
+    from momentum_tpu.solver.analytic_jacobian import point_jacobian
+
+    states = jnp.take(ctx.skel_states, self.parent, axis=-2)
+    p = ss.transform_points(states, self.offset)
+    jp = point_jacobian(jc, p, self.parent)
+    dvec = p - self.origin
+    dist = jnp.linalg.norm(dvec + 1e-20, axis=-1)
+    dhat = dvec / jnp.maximum(dist, 1e-12)[..., None]
+    f = (dist - self.target)[..., None]
+    j = jnp.einsum("ci,cij->cj", dhat, jp)[:, None, :]
+    return _finish(self, f, j, self.cweight)
+
+
+def _projection_jacobian(self, character, ctx, jc):
+    from momentum_tpu.solver.analytic_jacobian import point_jacobian
+
+    states = jnp.take(ctx.skel_states, self.parent, axis=-2)
+    p = ss.transform_points(states, self.offset)
+    jp = point_jacobian(jc, p, self.parent)
+    q = jnp.einsum("...ij,...j->...i", self.projection[..., :3], p) + self.projection[..., 3]
+    z = q[..., 2]
+    valid = (z >= self.near_clip).astype(p.dtype)
+    safe_z = jnp.where(jnp.abs(z) > _EPS, z, 1.0)
+    f = (q[..., :2] / safe_z[..., None]
+         - self.target) * valid[..., None]
+    # d(q.xy/z) = [1/z, 0, -x/z²; 0, 1/z, -y/z²]·M[:, :3]·Jp
+    jq = jnp.einsum("cij,cjk->cik", self.projection[..., :3], jp)  # (C, 3, J)
+    inv_z = 1.0 / safe_z
+    j = jnp.stack([
+        inv_z[:, None] * jq[:, 0] - (q[..., 0] * inv_z**2)[:, None] * jq[:, 2],
+        inv_z[:, None] * jq[:, 1] - (q[..., 1] * inv_z**2)[:, None] * jq[:, 2],
+    ], axis=1) * valid[:, None, None]
+    return _finish(self, f, j, self.cweight)
+
+
+for _cls, _fn in [
+    (AimDistErrorFunction, _aim_dist_jacobian),
+    (AimDirErrorFunction, _aim_dir_jacobian),
+    (FixedAxisDiffErrorFunction, _fixed_axis_diff_jacobian),
+    (FixedAxisCosErrorFunction, _fixed_axis_cos_jacobian),
+    (FixedAxisAngleErrorFunction, _fixed_axis_angle_jacobian),
+    (PlaneErrorFunction, _plane_jacobian),
+    (NormalErrorFunction, _normal_jacobian),
+    (DistanceErrorFunction, _distance_jacobian),
+    (ProjectionErrorFunction, _projection_jacobian),
+]:
+    _cls.has_analytic_jacobian = True
+    _cls.jacobian = _fn

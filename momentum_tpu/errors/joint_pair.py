@@ -162,3 +162,81 @@ class JointToJointOrientationErrorFunction(VectorErrorFunction):
                         cweight=cweight)
         return cls(target=jnp.asarray(tgt), weight=jnp.asarray(weight, jnp.float32),
                    loss=loss or GeneralizedLoss(), **f)
+
+
+# ---------------------------------------------------------------------------
+# analytic Jacobians
+# ---------------------------------------------------------------------------
+
+def _finish_pair(self, f, j, w):
+    import jax
+
+    sq = jnp.sum(f * f, axis=-1)
+    scale = self._row_scale(w, sq)
+    rows = (scale[..., None] * f).reshape(-1)
+    jrows = (scale[:, None, None] * j).reshape(rows.shape[0], -1)
+    return rows, jrows, None
+
+
+def _j2j_position_jacobian(self, character, ctx, jc):
+    """rel = R_refᵀ(p_s − p_r); d rel = R_refᵀ(dp_s − dp_r − ω_ref×(p_s−p_r))
+    where ω_ref×diff is vector_jacobian of the world diff attached to ref."""
+    from momentum_tpu.solver.analytic_jacobian import point_jacobian, vector_jacobian
+
+    src, ref, p_src, p_ref = self._points(ctx)
+    _, q_ref, _ = ss.split(ref)
+    diff = p_src - p_ref
+    j_ps = point_jacobian(jc, p_src, self.source)
+    j_pr = point_jacobian(jc, p_ref, self.reference)
+    j_rot = vector_jacobian(jc, diff, self.reference)
+    j_world = j_ps - j_pr - j_rot  # (C, 3, J)
+    r_ref_t = jnp.swapaxes(quat.to_rotation_matrix(q_ref), -1, -2)
+    j = jnp.einsum("cij,cjk->cik", r_ref_t, j_world)
+    f = quat.rotate_vector(quat.conjugate(q_ref), diff) - self.target
+    return _finish_pair(self, f, j, self.cweight)
+
+
+def _j2j_distance_jacobian(self, character, ctx, jc):
+    from momentum_tpu.solver.analytic_jacobian import point_jacobian
+
+    _, _, p_src, p_ref = self._points(ctx)
+    dvec = p_src - p_ref
+    dist = jnp.linalg.norm(dvec + 1e-20, axis=-1)
+    dhat = dvec / jnp.maximum(dist, 1e-12)[..., None]
+    j_ps = point_jacobian(jc, p_src, self.source)
+    j_pr = point_jacobian(jc, p_ref, self.reference)
+    j = jnp.einsum("ci,cij->cj", dhat, j_ps - j_pr)[:, None, :]
+    f = (dist - self.target)[..., None]
+    return _finish_pair(self, f, j, self.cweight * K_J2J_DISTANCE_WEIGHT)
+
+
+def _j2j_orientation_jacobian(self, character, ctx, jc):
+    """Columns c_j = R_refᵀ·w_j with w_j = R_src·e_j:
+    d c_j = R_refᵀ(dw_j − ω_ref×w_j)."""
+    from momentum_tpu.solver.analytic_jacobian import vector_jacobian
+
+    src = jnp.take(ctx.skel_states, self.source, axis=-2)
+    ref = jnp.take(ctx.skel_states, self.reference, axis=-2)
+    _, q_src, _ = ss.split(src)
+    _, q_ref, _ = ss.split(ref)
+    r_src = quat.to_rotation_matrix(q_src)
+    r_ref_t = jnp.swapaxes(quat.to_rotation_matrix(q_ref), -1, -2)
+    rel = jnp.einsum("cij,cjk->cik", r_ref_t, r_src)
+    f = (rel - quat.to_rotation_matrix(self.target)).reshape(rel.shape[:-2] + (9,))
+    cols = []
+    for jcol in range(3):
+        w = r_src[..., jcol]
+        jw = vector_jacobian(jc, w, self.source) - vector_jacobian(jc, w, self.reference)
+        cols.append(jnp.einsum("cij,cjk->cik", r_ref_t, jw))  # (C, 3, J)
+    j_full = jnp.stack(cols, axis=2)  # (C, 3row, 3col, J)
+    c = self.source.shape[0]
+    j = j_full.reshape(c, 9, -1)
+    return _finish_pair(self, f, j, self.cweight)
+
+
+JointToJointPositionErrorFunction.has_analytic_jacobian = True
+JointToJointPositionErrorFunction.jacobian = _j2j_position_jacobian
+JointToJointDistanceErrorFunction.has_analytic_jacobian = True
+JointToJointDistanceErrorFunction.jacobian = _j2j_distance_jacobian
+JointToJointOrientationErrorFunction.has_analytic_jacobian = True
+JointToJointOrientationErrorFunction.jacobian = _j2j_orientation_jacobian

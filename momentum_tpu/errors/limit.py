@@ -133,6 +133,123 @@ class LimitErrorFunction(ErrorFunction):
             return jnp.zeros(ctx.model_params.shape[:-1] + (0,), ctx.model_params.dtype)
         return jnp.concatenate(rows, axis=-1)
 
+    has_analytic_jacobian = True
+
+    def jacobian(self, character, ctx: EvalContext, jc):
+        """Analytic rows for every record type (limit_error_function.cpp
+        gradient paths). Ellipsoid rows use the frozen-projection
+        approximation: the surface projection point is held fixed during the
+        linearization (first-order exact when the residual is normal to the
+        surface)."""
+        from momentum_tpu.solver.analytic_jacobian import point_jacobian
+
+        lim = character.limits
+        mp = ctx.model_params
+        jp = ctx.joint_params
+        p_dim = mp.shape[-1]
+        jp_dim = jp.shape[-1]
+        dtype = mp.dtype
+        kw = K_LIMIT_WEIGHT * self.weight
+
+        rows_l, jjp_l, jm_l = [], [], []
+
+        def scale_of(w, sq):
+            s = jnp.sqrt(jnp.maximum(kw * w, 0.0))
+            if self.loss.alpha == 2.0:
+                return s * (1.0 / self.loss.c)
+            return s * jax.lax.stop_gradient(
+                jnp.sqrt(jnp.maximum(self.loss.deriv(sq), 0.0)))
+
+        def add(r, w, j_jp=None, j_model=None):
+            sq = r * r
+            s = scale_of(w, sq)
+            n = r.shape[0]
+            rows_l.append(s * r)
+            jjp_l.append(jnp.zeros((n, jp_dim), dtype) if j_jp is None else s[:, None] * j_jp)
+            jm_l.append(jnp.zeros((n, p_dim), dtype) if j_model is None else s[:, None] * j_model)
+
+        if lim.minmax_index.shape[0]:
+            vals = jnp.take(mp, lim.minmax_index, axis=-1)
+            r = _minmax_residual(vals, lim.minmax_bounds)
+            active = (r != 0).astype(dtype)
+            m = lim.minmax_index.shape[0]
+            jm = jnp.zeros((m, p_dim), dtype).at[jnp.arange(m), lim.minmax_index].set(-active)
+            add(r, lim.minmax_weight, j_model=jm)
+        if lim.minmax_joint_index.shape[0]:
+            vals = jnp.take(jp, lim.minmax_joint_index, axis=-1)
+            r = _minmax_residual(vals, lim.minmax_joint_bounds)
+            w = lim.minmax_joint_weight * (1.0 - lim.minmax_joint_passive)
+            active = (r != 0).astype(dtype)
+            m = lim.minmax_joint_index.shape[0]
+            jj = jnp.zeros((m, jp_dim), dtype).at[
+                jnp.arange(m), lim.minmax_joint_index].set(-active)
+            add(r, w, j_jp=jj)
+        if lim.linear_ref.shape[0]:
+            ref = jnp.take(mp, lim.linear_ref, axis=-1)
+            tgt = jnp.take(mp, lim.linear_tgt, axis=-1)
+            r = _linear_residual(ref, tgt, lim.linear_scale, lim.linear_offset,
+                                 lim.linear_range)
+            in_r = ((tgt >= lim.linear_range[..., 0])
+                    & (tgt < lim.linear_range[..., 1])).astype(dtype)
+            m = lim.linear_ref.shape[0]
+            jm = jnp.zeros((m, p_dim), dtype)
+            jm = jm.at[jnp.arange(m), lim.linear_tgt].add(in_r * lim.linear_scale)
+            jm = jm.at[jnp.arange(m), lim.linear_ref].add(-in_r)
+            add(r, lim.linear_weight, j_model=jm)
+        if lim.linear_joint_ref.shape[0]:
+            ref = jnp.take(jp, lim.linear_joint_ref, axis=-1)
+            tgt = jnp.take(jp, lim.linear_joint_tgt, axis=-1)
+            r = _linear_residual(ref, tgt, lim.linear_joint_scale,
+                                 lim.linear_joint_offset, lim.linear_joint_range)
+            in_r = ((tgt >= lim.linear_joint_range[..., 0])
+                    & (tgt < lim.linear_joint_range[..., 1])).astype(dtype)
+            m = lim.linear_joint_ref.shape[0]
+            jj = jnp.zeros((m, jp_dim), dtype)
+            jj = jj.at[jnp.arange(m), lim.linear_joint_tgt].add(in_r * lim.linear_joint_scale)
+            jj = jj.at[jnp.arange(m), lim.linear_joint_ref].add(-in_r)
+            add(r, lim.linear_joint_weight, j_jp=jj)
+        if lim.halfplane_idx1.shape[0]:
+            p1 = jnp.take(mp, lim.halfplane_idx1, axis=-1)
+            p2 = jnp.take(mp, lim.halfplane_idx2, axis=-1)
+            d = p1 * lim.halfplane_normal[..., 0] + p2 * lim.halfplane_normal[..., 1] \
+                - lim.halfplane_offset
+            r = jnp.minimum(d, 0.0)
+            active = (d < 0).astype(dtype)
+            m = lim.halfplane_idx1.shape[0]
+            jm = jnp.zeros((m, p_dim), dtype)
+            jm = jm.at[jnp.arange(m), lim.halfplane_idx1].add(active * lim.halfplane_normal[..., 0])
+            jm = jm.at[jnp.arange(m), lim.halfplane_idx2].add(active * lim.halfplane_normal[..., 1])
+            add(r, lim.halfplane_weight, j_model=jm)
+        if lim.ellipsoid_parent.shape[0]:
+            par = jnp.take(ctx.skel_states, lim.ellipsoid_parent, axis=-2)
+            epar = jnp.take(ctx.skel_states, lim.ellipsoid_frame_parent, axis=-2)
+            pos = ss.transform_points(par, lim.ellipsoid_point_offset)
+            local = ss.transform_points(ss.inverse(epar), pos)
+            ell_inv = lim.ellipsoid_inv
+            ep = jnp.einsum("...ij,...j->...i", ell_inv[..., :3, :3], local) + ell_inv[..., :3, 3]
+            nrm = ep / jnp.maximum(jnp.linalg.norm(ep, axis=-1, keepdims=True), 1e-12)
+            ell = lim.ellipsoid_mat
+            proj = jnp.einsum("...ij,...j->...i", ell[..., :3, :3], nrm) + ell[..., :3, 3]
+            proj_world = ss.transform_points(epar, proj)
+            diff = pos - proj_world
+            sq = jnp.sum(diff * diff, axis=-1)
+            w = lim.ellipsoid_weight * _K_POSITION_WEIGHT
+            s = scale_of(w, sq)
+            j_pos = point_jacobian(jc, pos, lim.ellipsoid_parent)
+            j_proj = point_jacobian(jc, jax.lax.stop_gradient(proj_world),
+                                    lim.ellipsoid_frame_parent)
+            jdiff = j_pos - j_proj  # (E, 3, nJ7)
+            e = lim.ellipsoid_parent.shape[0]
+            rows_l.append((s[:, None] * diff).reshape(-1))
+            jjp_l.append((s[:, None, None] * jdiff).reshape(3 * e, jp_dim))
+            jm_l.append(jnp.zeros((3 * e, p_dim), dtype))
+
+        if not rows_l:
+            z = jnp.zeros((0,), dtype)
+            return z, jnp.zeros((0, jp_dim), dtype), jnp.zeros((0, p_dim), dtype)
+        return (jnp.concatenate(rows_l), jnp.concatenate(jjp_l),
+                jnp.concatenate(jm_l))
+
     def num_rows_for(self, character) -> int:
         c = character.limits.counts
         return (c["minmax"] + c["minmax_joint"] + c["linear"] + c["linear_joint"]

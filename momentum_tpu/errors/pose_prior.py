@@ -122,6 +122,22 @@ class PosePriorErrorFunction(ErrorFunction):
     def num_rows(self) -> int:
         return self.prior.dim
 
+    has_analytic_jacobian = True
+
+    def jacobian(self, character, ctx: EvalContext, jc):
+        """rows = √(½kW·w)·L*·d*, J_model = √(½kW·w)·L*·S with S the
+        static dim→parameter selection (pose_prior_error_function.cpp:181-195)."""
+        best, d_best, _ = self._best(ctx.model_params)
+        l_best = jnp.take(self.prior.l, best, axis=0)
+        coef = jnp.sqrt(0.5 * K_POSE_PRIOR_WEIGHT * self.weight)
+        rows = coef * jnp.einsum("de,e->d", l_best, d_best)
+        idx = np.asarray(self.param_index, np.int64)
+        sel = np.zeros((self.prior.dim, ctx.model_params.shape[-1]), np.float32)
+        valid = idx >= 0
+        sel[np.arange(self.prior.dim)[valid], idx[valid]] = 1.0
+        j_model = coef * (l_best @ jnp.asarray(sel))
+        return rows, None, j_model
+
     @classmethod
     def create(cls, prior: Mppca, parameter_names, weight=1.0):
         """Map prior dims onto model parameters by name (loadInternal,

@@ -60,6 +60,23 @@ class PositionErrorFunction(VectorErrorFunction):
         world = ss.transform_points(states, self.offset)
         return world - self.target, self.cweight
 
+    has_analytic_jacobian = True
+
+    def jacobian(self, character, ctx: EvalContext, jc):
+        """Analytic rows + d(rows)/d(joint params)
+        (position path of skeleton_derivative.cpp)."""
+        from momentum_tpu.solver.analytic_jacobian import point_jacobian
+
+        states = jnp.take(ctx.skel_states, self.parent, axis=-2)
+        world = ss.transform_points(states, self.offset)
+        f = world - self.target
+        sq = jnp.sum(f * f, axis=-1)
+        scale = self._row_scale(self.cweight, sq)
+        j_pt = point_jacobian(jc, world, self.parent)  # (C, 3, nJ7)
+        rows = (scale[:, None] * f).reshape(-1)
+        j = (scale[:, None, None] * j_pt).reshape(rows.shape[0], -1)
+        return rows, j, None
+
     @classmethod
     def create(cls, parent, offset, target, cweight=None, weight=1.0, loss=None, capacity=None):
         parent = np.asarray(parent, np.int32)
@@ -108,6 +125,30 @@ class OrientationErrorFunction(VectorErrorFunction):
         r_target = quat.to_rotation_matrix(self.target)
         diff = r_world - r_target
         return diff.reshape(diff.shape[:-2] + (9,)), self.cweight
+
+    has_analytic_jacobian = True
+
+    def jacobian(self, character, ctx: EvalContext, jc):
+        """Each column of R_world·R_offset is a world direction; its joint
+        derivative is rotationAxis × column (orientation path of
+        skeleton_derivative.cpp)."""
+        from momentum_tpu.solver.analytic_jacobian import vector_jacobian
+
+        states = jnp.take(ctx.skel_states, self.parent, axis=-2)
+        _, q, _ = ss.split(states)
+        r_world = quat.to_rotation_matrix(quat.multiply(q, self.offset))
+        diff = r_world - quat.to_rotation_matrix(self.target)
+        f = diff.reshape(diff.shape[:-2] + (9,))
+        sq = jnp.sum(f * f, axis=-1)
+        scale = self._row_scale(self.cweight, sq)
+        c = self.parent.shape[0]
+        # d r[i, j] — column j is the direction; stack (C, 3out_i, 3col_j, nJ7)
+        jcols = [vector_jacobian(jc, r_world[..., j], self.parent) for j in range(3)]
+        j_full = jnp.stack(jcols, axis=2)  # (C, 3out, 3col, nJ7)
+        j_rows = j_full.reshape(c, 9, -1)  # row-major (i*3 + j) matches raw()
+        rows = (scale[:, None] * f).reshape(-1)
+        j = (scale[:, None, None] * j_rows).reshape(rows.shape[0], -1)
+        return rows, j, None
 
     @classmethod
     def create(cls, parent, target, offset=None, cweight=None, weight=1.0, loss=None, capacity=None):
@@ -164,6 +205,15 @@ class ModelParametersErrorFunction(ErrorFunction):
     def error(self, character, ctx: EvalContext) -> jnp.ndarray:
         f, w = self.raw(character, ctx)
         return self.weight * jnp.sum(w * jnp.sum(f * f, axis=-1))
+
+    has_analytic_jacobian = True
+
+    def jacobian(self, character, ctx: EvalContext, jc):
+        """Direct model-parameter rows: J = diag(scale)."""
+        scale = jnp.sqrt(jnp.maximum(self.weight * self.pweight, 0.0))
+        rows = scale * (ctx.model_params - self.target)
+        j_model = jnp.diag(scale)
+        return rows, None, j_model
 
     @classmethod
     def create(cls, target, pweight=None, weight=1.0):

@@ -101,3 +101,42 @@ class StateErrorFunction(ErrorFunction):
             weight=jnp.asarray(weight, jnp.float32),
             rotation_error_type=rotation_error_type,
         )
+
+
+def _state_jacobian(self, character, ctx, jc):
+    """Analytic rows for the matrix rotation type: joint origins are world
+    points of their own joints; rotation-matrix columns are world directions."""
+    from momentum_tpu.solver.analytic_jacobian import point_jacobian, vector_jacobian
+
+    nj = self.target_state.shape[0]
+    idx = jnp.arange(nj, dtype=jnp.int32)
+    t, q, _ = ss.split(ctx.skel_states)
+    t_tgt, q_tgt, _ = ss.split(self.target_state)
+    pos_diff = t - t_tgt
+    j_pos = point_jacobian(jc, t, idx)  # (nJ, 3, J)
+    r = quat.to_rotation_matrix(q)
+    rot_diff = (r - quat.to_rotation_matrix(q_tgt)).reshape(nj, 9)
+    cols = [vector_jacobian(jc, r[..., k], idx) for k in range(3)]
+    j_rot = jnp.stack(cols, axis=2).reshape(nj, 9, -1)
+
+    pos_s = jnp.sqrt(jnp.maximum(
+        self.weight * K_STATE_POSITION_WEIGHT * self.pos_wgt * self.position_weight, 0.0))
+    rot_s = jnp.sqrt(jnp.maximum(
+        self.weight * K_STATE_ORIENTATION_WEIGHT * self.rot_wgt * self.rotation_weight, 0.0))
+    rows = jnp.concatenate([
+        (pos_s[:, None] * pos_diff).reshape(-1),
+        (rot_s[:, None] * rot_diff).reshape(-1),
+    ])
+    j = jnp.concatenate([
+        (pos_s[:, None, None] * j_pos).reshape(nj * 3, -1),
+        (rot_s[:, None, None] * j_rot).reshape(nj * 9, -1),
+    ])
+    return rows, j, None
+
+
+def _state_has_analytic(self):
+    return self.rotation_error_type == "matrix"
+
+
+StateErrorFunction.has_analytic_jacobian = property(_state_has_analytic)
+StateErrorFunction.jacobian = _state_jacobian

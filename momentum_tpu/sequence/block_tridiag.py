@@ -26,11 +26,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from momentum_tpu.math.linalg import psd_solve
+
 __all__ = ["block_tridiag_solve", "banded_to_tridiag", "schur_arrowhead_solve"]
 
 
 def _chol_solve(a, b):
-    return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(a), b)
+    return psd_solve(a, b)
 
 
 def block_tridiag_solve(diag: jnp.ndarray, upper: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:

@@ -289,7 +289,7 @@ def solve_sequence_sharded(
         shard_map, mesh=mesh,
         in_specs=(char_specs, ef_specs, seq_specs, pf_spec, rep),
         out_specs=(pf_spec, rep, rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     def run(character, per_frame_errors, sequence_errors, pf, u):
         import dataclasses as _dc

@@ -27,6 +27,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from momentum_tpu.math.linalg import psd_solve
+
 from momentum_tpu.solver.gauss_newton import SolverOptions, _jacobian
 from momentum_tpu.solver.ik import solve_ik
 from momentum_tpu.solver.skeleton_solver_function import SkeletonSolverFunction
@@ -74,7 +76,7 @@ def _bwd(options, method, res, g):
     jt = jt * mask[:, None]
     h = 2.0 * (jt @ jt.T)
     h = h + (options.regularization + (1.0 - mask)) * jnp.eye(p, dtype=theta.dtype)
-    u = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h), g * mask) * mask
+    u = psd_solve(h, g * mask) * mask
 
     # φ̄ = −(∂G/∂φ)ᵀ u with G(φ) = ∂E/∂θ at fixed θ*
     def theta_grad(fn):

@@ -36,6 +36,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from momentum_tpu.math.linalg import psd_solve
+
 __all__ = ["SolverOptions", "SolveResult", "solve_gauss_newton", "solve_levenberg_marquardt"]
 
 _FLT_EPS = float(jnp.finfo(jnp.float32).eps)
@@ -67,8 +69,12 @@ class SolveResult(NamedTuple):
     converged: jnp.ndarray
 
 
-def _jacobian(residual_fn: Callable, x: jnp.ndarray):
-    """(rows, Jᵀ) with Jᵀ (P, R) via one linearize + vmapped JVP over basis."""
+def _jacobian(residual_fn: Callable, x: jnp.ndarray, jacobian_fn=None):
+    """(rows, Jᵀ) with Jᵀ (P, R). Uses an analytic (rows, J) provider when
+    given, else one linearize + vmapped JVP over the basis."""
+    if jacobian_fn is not None:
+        rows, j = jacobian_fn(x)
+        return rows, j.T
     rows, jvp = jax.linearize(residual_fn, x)
     eye = jnp.eye(x.shape[-1], dtype=x.dtype)
     jt = jax.vmap(jvp)(eye)  # row p = J @ e_p = column p of J
@@ -105,11 +111,13 @@ def solve_gauss_newton(
     x0: jnp.ndarray,
     enabled_mask: Optional[jnp.ndarray] = None,
     options: SolverOptions = SolverOptions(),
+    jacobian_fn: Optional[Callable] = None,
 ) -> SolveResult:
     """Minimize ‖r(x)‖² (r = weighted residual rows) by damped Gauss-Newton.
 
     residual_fn: (P,) -> (R,); error_fn: (P,) -> scalar exact energy.
     enabled_mask: optional (P,) 0/1 — disabled parameters are frozen.
+    jacobian_fn: optional analytic (P,) -> (rows, J (R, P)) fast path.
     """
     p = x0.shape[-1]
     mask = jnp.ones(p, x0.dtype) if enabled_mask is None else enabled_mask.astype(x0.dtype)
@@ -118,14 +126,14 @@ def solve_gauss_newton(
 
     def body(state):
         x, last_err, it, done = state
-        rows, jt = _jacobian(residual_fn, x)
+        rows, jt = _jacobian(residual_fn, x, jacobian_fn)
         jt = jt * mask[:, None]
         jtj = jt @ jt.T
         jtr = jt @ rows
         a = jtj + opts.regularization * jnp.eye(p, dtype=x.dtype)
         # keep disabled rows SPD even at regularization == 0
         a = a + (1.0 - mask) * jnp.eye(p, dtype=x.dtype)
-        delta = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(a), jtr)
+        delta = psd_solve(a, jtr)
         delta = delta * mask
         err = error_fn(x)
         if opts.do_line_search:
@@ -153,6 +161,7 @@ def solve_levenberg_marquardt(
     x0: jnp.ndarray,
     enabled_mask: Optional[jnp.ndarray] = None,
     options: SolverOptions = SolverOptions(),
+    jacobian_fn: Optional[Callable] = None,
 ) -> SolveResult:
     """LM with multiplicative damping: each iteration solves
     (JᵀJ + λ·diag(JᵀJ) + reg·I) δ = Jᵀr and accepts only if the energy drops,
@@ -163,14 +172,14 @@ def solve_levenberg_marquardt(
 
     def body(state):
         x, err, lam, it, done = state
-        rows, jt = _jacobian(residual_fn, x)
+        rows, jt = _jacobian(residual_fn, x, jacobian_fn)
         jt = jt * mask[:, None]
         jtj = jt @ jt.T
         jtr = jt @ rows
         diag = jnp.diagonal(jtj)
         a = jtj + jnp.diag(lam * jnp.maximum(diag, 1e-12)) \
             + (opts.regularization + (1.0 - mask)) * jnp.eye(p, dtype=x.dtype)
-        delta = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(a), jtr) * mask
+        delta = psd_solve(a, jtr) * mask
         x_trial = x - delta
         err_trial = error_fn(x_trial)
         accept = err_trial < err

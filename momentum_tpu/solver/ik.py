@@ -42,7 +42,9 @@ def solve_ik(
         solve = solve_levenberg_marquardt
     else:
         raise ValueError(f"unknown method {method!r}")
-    result = solve(solver_fn.residual, solver_fn.error, x0, enabled_mask, options)
+    jac_fn = solver_fn.residual_and_jacobian if solver_fn.fully_analytic else None
+    result = solve(solver_fn.residual, solver_fn.error, x0, enabled_mask, options,
+                   jacobian_fn=jac_fn)
     bad = ~jnp.all(jnp.isfinite(result.params), axis=-1, keepdims=True)
     params = jnp.where(bad, x0, result.params)
     return SolveResult(params, result.error, result.iterations, result.converged)

@@ -84,3 +84,56 @@ class SkeletonSolverFunction:
 
     def gradient(self, model_params: jnp.ndarray) -> jnp.ndarray:
         return jax.grad(self.error)(model_params)
+
+    # ---- analytic Jacobian fast path ----
+
+    @property
+    def fully_analytic(self) -> bool:
+        return all(getattr(ef, "has_analytic_jacobian", False)
+                   for ef in self.error_functions)
+
+    def residual_and_jacobian(self, model_params: jnp.ndarray):
+        """(rows (R,), J (R, P)) mixing analytic modules (chained through the
+        dense parameter-transform matmul — the reference's sparse PT scatter,
+        skeleton_derivative.cpp) with AD for modules lacking an analytic path.
+        Replaces the P-tangent jacfwd: memory traffic drops from O(P·nJ) to
+        O(C·nJ) per evaluation."""
+        from momentum_tpu.solver.analytic_jacobian import make_jacobian_context
+
+        ctx = self.context(model_params)
+        analytic = [ef for ef in self.error_functions
+                    if getattr(ef, "has_analytic_jacobian", False)]
+        ad_efs = [ef for ef in self.error_functions
+                  if not getattr(ef, "has_analytic_jacobian", False)]
+
+        rows_list = []
+        j_list = []
+        if analytic:
+            jc = make_jacobian_context(self.character, ctx)
+            pt_mat = self.character.parameter_transform.transform  # (nJ7, P)
+            jp_blocks = []
+            model_blocks = []
+            for ef in analytic:
+                r, j_jp, j_model = ef.jacobian(self.character, ctx, jc)
+                rows_list.append(r)
+                n = r.shape[0]
+                p = model_params.shape[-1]
+                jp_blocks.append(j_jp if j_jp is not None
+                                 else jnp.zeros((n, pt_mat.shape[0]), r.dtype))
+                model_blocks.append(j_model if j_model is not None
+                                    else jnp.zeros((n, p), r.dtype))
+            j_jp_all = jnp.concatenate(jp_blocks)
+            j_model_all = jnp.concatenate(model_blocks)
+            j_list.append(j_jp_all @ pt_mat + j_model_all)
+        if ad_efs:
+            def ad_residual(x):
+                c2 = self.context(x)
+                return jnp.concatenate(
+                    [ef.residual(self.character, c2) for ef in ad_efs], axis=-1)
+
+            rows_ad, jvp = jax.linearize(ad_residual, model_params)
+            eye = jnp.eye(model_params.shape[-1], dtype=model_params.dtype)
+            j_ad = jax.vmap(jvp)(eye).T  # (R_ad, P)
+            rows_list.append(rows_ad)
+            j_list.append(j_ad)
+        return jnp.concatenate(rows_list), jnp.concatenate(j_list)

@@ -1,0 +1,115 @@
+"""Analytic-vs-AD Jacobian equivalence (the reference's VALIDATE_IDENTICAL
+pattern for SIMD-vs-scalar error functions, error_function_helpers.h:80-93)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import momentum_tpu.errors as E
+from momentum_tpu.math.generalized_loss import GeneralizedLoss
+from momentum_tpu.solver import SkeletonSolverFunction, SolverOptions, solve_ik
+from momentum_tpu.testing.fixtures import create_test_character
+
+
+@pytest.fixture(scope="module")
+def char():
+    return create_test_character(5)
+
+
+def _rng():
+    return np.random.default_rng(12345)
+
+
+def _efs(char, rng):
+    n = 6
+    parents = rng.integers(0, char.num_joints, n)
+    offsets = rng.uniform(-0.5, 0.5, (n, 3))
+    targets = rng.uniform(-1.5, 1.5, (n, 3))
+    weights = rng.uniform(0.5, 2.0, n)
+    pos = E.PositionErrorFunction.create(parents, offsets, targets, weights)
+    ori = E.OrientationErrorFunction.create(
+        rng.integers(0, char.num_joints, 3),
+        np.stack([_rand_quat(rng) for _ in range(3)]), weight=2.0)
+    reg = E.ModelParametersErrorFunction.create(
+        rng.normal(0, 0.1, char.num_model_parameters).astype(np.float32), weight=0.5)
+    lim = E.LimitErrorFunction.create(weight=1.5)
+    d = char.num_model_parameters
+    prior = E.Mppca.from_components(
+        np.ones(2) / 2, rng.uniform(-0.2, 0.2, (2, d)),
+        [rng.normal(size=(d, 2)) * 0.3 for _ in range(2)],
+        rng.uniform(0.05, 0.2, 2), names=tuple(char.parameter_transform.names))
+    pp = E.PosePriorErrorFunction.create(prior, char.parameter_transform.names, weight=2.0)
+    return (pos, ori, reg, lim, pp)
+
+
+def _rand_quat(rng):
+    v = rng.normal(size=4)
+    return (v / np.linalg.norm(v)).astype(np.float32)
+
+
+def test_analytic_matches_ad(char):
+    rng = _rng()
+    fn = SkeletonSolverFunction(char, _efs(char, rng))
+    assert fn.fully_analytic
+    x = jnp.asarray(rng.uniform(-0.4, 0.4, char.num_model_parameters), jnp.float32)
+
+    rows_a, j_a = fn.residual_and_jacobian(x)
+    rows_ad = fn.residual(x)
+    j_ad = jax.jacfwd(fn.residual)(x)
+
+    np.testing.assert_allclose(np.asarray(rows_a), np.asarray(rows_ad), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(j_a), np.asarray(j_ad), atol=2e-4)
+
+
+def test_analytic_matches_ad_robust_loss(char):
+    rng = _rng()
+    n = 5
+    ef = E.PositionErrorFunction.create(
+        rng.integers(0, char.num_joints, n), rng.uniform(-0.5, 0.5, (n, 3)),
+        rng.uniform(-1, 1, (n, 3)), loss=GeneralizedLoss(alpha=0.0, c=0.7))
+    fn = SkeletonSolverFunction(char, (ef,))
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, char.num_model_parameters), jnp.float32)
+    rows_a, j_a = fn.residual_and_jacobian(x)
+    np.testing.assert_allclose(np.asarray(rows_a), np.asarray(fn.residual(x)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(j_a), np.asarray(jax.jacfwd(fn.residual)(x)),
+                               atol=2e-4)
+
+
+def test_mixed_analytic_and_ad(char):
+    """Modules without an analytic path fall back to AD within one assembly."""
+    rng = _rng()
+    pos = E.PositionErrorFunction.create(
+        rng.integers(0, char.num_joints, 4), rng.uniform(-0.5, 0.5, (4, 3)),
+        rng.uniform(-1, 1, (4, 3)))
+    aim = E.AimDirErrorFunction.create(  # no analytic path yet
+        rng.integers(0, char.num_joints, 2), rng.uniform(-0.5, 0.5, (2, 3)),
+        _unit(rng, 2), rng.uniform(-1, 1, (2, 3)))
+    fn = SkeletonSolverFunction(char, (pos, aim))
+    assert not fn.fully_analytic
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, char.num_model_parameters), jnp.float32)
+    rows, j = fn.residual_and_jacobian(x)
+    # same row content in (possibly reordered) concatenation: compare JᵀJ/Jᵀr
+    j_ad = jax.jacfwd(fn.residual)(x)
+    r_ad = fn.residual(x)
+    np.testing.assert_allclose(np.asarray(j.T @ rows), np.asarray(j_ad.T @ r_ad), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j.T @ j), np.asarray(j_ad.T @ j_ad), atol=2e-4)
+
+
+def _unit(rng, n):
+    v = rng.normal(size=(n, 3))
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def test_solve_ik_uses_analytic_and_converges(char):
+    rng = _rng()
+    theta_star = jnp.asarray(rng.uniform(-0.3, 0.3, char.num_model_parameters), jnp.float32)
+    targets = char.locators.world_positions(char.skeleton_states(theta_star))
+    ef = E.PositionErrorFunction.create(
+        np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+        np.asarray(targets))
+    fn = SkeletonSolverFunction(char, (ef,))
+    assert fn.fully_analytic
+    res = solve_ik(fn, jnp.zeros(char.num_model_parameters),
+                   options=SolverOptions(max_iterations=40, regularization=1e-5))
+    assert float(res.error) < 1e-6

@@ -1,0 +1,127 @@
+"""axel-equivalent spatial library tests (reference: axel/axel/test/ — BVH vs
+brute force, SDF sampling, KNN)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from momentum_tpu.axel import (
+    SignedDistanceField,
+    closest_point_on_mesh,
+    knn,
+    mesh_to_sdf,
+    ray_mesh_intersect,
+)
+from momentum_tpu.errors.sdf import SdfCollisionErrorFunction, VertexSdfErrorFunction
+from momentum_tpu.solver import SkeletonSolverFunction
+from momentum_tpu.testing.fixtures import create_test_character
+
+
+def _rng():
+    return np.random.default_rng(12345)
+
+
+def _unit_cube():
+    v = np.asarray([
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+    ], np.float32)
+    f = np.asarray([
+        [0, 2, 1], [0, 3, 2],  # bottom (z=0), outward -z
+        [4, 5, 6], [4, 6, 7],  # top
+        [0, 1, 5], [0, 5, 4],  # y=0
+        [2, 3, 7], [2, 7, 6],  # y=1
+        [1, 2, 6], [1, 6, 5],  # x=1
+        [3, 0, 4], [3, 4, 7],  # x=0
+    ], np.int32)
+    return jnp.asarray(v), jnp.asarray(f)
+
+
+class TestQueries:
+    def test_closest_point_matches_brute(self):
+        rng = _rng()
+        v, f = _unit_cube()
+        q = jnp.asarray(rng.uniform(-0.5, 1.5, (20, 3)), jnp.float32)
+        cp, fi, bary, d2 = closest_point_on_mesh(q, v, f)
+        # distance from an outside point to the cube surface is known
+        for i in range(20):
+            p = np.asarray(q[i])
+            clamped = np.clip(p, 0.0, 1.0)
+            if np.any(p != clamped):  # outside: distance to the box
+                expected = np.linalg.norm(p - clamped)
+                np.testing.assert_allclose(np.sqrt(float(d2[i])), expected, atol=1e-4)
+
+    def test_ray_intersect(self):
+        v, f = _unit_cube()
+        o = jnp.asarray([[0.5, 0.5, -1.0], [0.5, 0.5, 2.0], [2.0, 2.0, -1.0]], jnp.float32)
+        d = jnp.asarray([[0, 0, 1.0], [0, 0, -1.0], [0, 0, 1.0]], jnp.float32)
+        t, fi, hit = ray_mesh_intersect(o, d, v, f)
+        assert bool(hit[0]) and abs(float(t[0]) - 1.0) < 1e-5
+        assert bool(hit[1]) and abs(float(t[1]) - 1.0) < 1e-5
+        assert not bool(hit[2])
+
+    def test_knn(self):
+        rng = _rng()
+        pts = jnp.asarray(rng.normal(size=(100, 3)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(5, 3)), jnp.float32)
+        idx, d2 = knn(pts, q, 4)
+        brute = np.sum((np.asarray(q)[:, None] - np.asarray(pts)[None]) ** 2, axis=-1)
+        for i in range(5):
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(idx[i])), np.sort(np.argsort(brute[i])[:4]))
+
+
+class TestSdf:
+    def test_mesh_to_sdf_signs_and_values(self):
+        v, f = _unit_cube()
+        sdf = mesh_to_sdf(v, f, resolution=(24, 24, 24), padding=0.3)
+        inside = jnp.asarray([[0.5, 0.5, 0.5]], jnp.float32)
+        # outside points must stay inside the padded grid (border-clamped)
+        outside = jnp.asarray([[1.2, 0.5, 0.5], [0.5, 0.5, -0.25]], jnp.float32)
+        di = float(sdf.sample(inside)[0])
+        do = np.asarray(sdf.sample(outside))
+        assert di < 0 and abs(di + 0.5) < 0.08
+        assert do[0] > 0 and abs(do[0] - 0.2) < 0.08
+        assert do[1] > 0 and abs(do[1] - 0.25) < 0.08
+
+    def test_gradient_points_outward(self):
+        v, f = _unit_cube()
+        sdf = mesh_to_sdf(v, f, resolution=(24, 24, 24), padding=0.3)
+        g = np.asarray(sdf.gradient(jnp.asarray([[1.3, 0.5, 0.5]], jnp.float32)))[0]
+        assert g[0] > 0.5  # increasing distance along +x
+
+
+class TestSdfErrors:
+    def test_vertex_sdf_gradient(self):
+        char = create_test_character(4)
+        v, f = _unit_cube()
+        sdf = mesh_to_sdf(v, f, resolution=(16, 16, 16), padding=0.5)
+        rng = _rng()
+        idx = rng.integers(0, char.mesh.num_vertices, 5)
+        ef = VertexSdfErrorFunction.create(sdf, idx, weight=2.0)
+        fn = SkeletonSolverFunction(char, (ef,))
+        x = jnp.asarray(rng.uniform(-0.2, 0.2, char.num_model_parameters), jnp.float32)
+        g = np.asarray(fn.gradient(x))
+        eps = 1e-2  # grid interpolation is piecewise-trilinear; coarse FD
+        xs = np.asarray(x, np.float64)
+        for i in rng.choice(char.num_model_parameters, 3, replace=False):
+            xp, xm = xs.copy(), xs.copy()
+            xp[i] += eps
+            xm[i] -= eps
+            fd = (float(fn.error(jnp.asarray(xp, jnp.float32)))
+                  - float(fn.error(jnp.asarray(xm, jnp.float32)))) / (2 * eps)
+            assert abs(g[i] - fd) < 0.1 * max(0.05, abs(fd))
+
+    def test_sdf_collision_zero_outside(self):
+        char = create_test_character(4)
+        v, f = _unit_cube()
+        # cube far away from the character -> all distances positive -> no penalty
+        v = v + jnp.asarray([50.0, 0.0, 0.0])
+        sdf = mesh_to_sdf(v, f, resolution=(16, 16, 16), padding=0.5)
+        ef = SdfCollisionErrorFunction.create(sdf, np.arange(char.mesh.num_vertices))
+        fn = SkeletonSolverFunction(char, (ef,))
+        x = jnp.zeros(char.num_model_parameters)
+        assert float(fn.error(x)) >= 0.0
+        # far outside the grid the clamped sample is the (positive) border value
+        assert float(fn.error(x)) == 0.0

@@ -113,3 +113,22 @@ class TestUtilities:
         assert c3.blend_shape is None
         expected = np.asarray(bs.apply(coeffs))
         np.testing.assert_allclose(np.asarray(c3.mesh.vertices), expected, atol=1e-6)
+
+
+class TestTransformPose:
+    def test_rigid_retarget(self, char):
+        from momentum_tpu.character.transform_pose import transform_pose
+        from momentum_tpu.math import quaternion as quat, skel_state as ss
+
+        rng = _rng()
+        theta = jnp.asarray(rng.uniform(-0.3, 0.3, char.num_model_parameters), jnp.float32)
+        q = quat.from_axis_angle(jnp.asarray([0.2, 0.1, -0.3]))
+        xf = ss.join(jnp.asarray([1.0, 2.0, -0.5]), q, jnp.ones(1))
+        theta2 = transform_pose(char, theta, xf)
+        s2 = char.skeleton_states(theta2)
+        expected = ss.multiply(xf, char.skeleton_states(theta))
+        np.testing.assert_allclose(np.asarray(s2[..., :3]),
+                                   np.asarray(expected[..., :3]), atol=1e-5)
+        dots = np.abs(np.sum(np.asarray(s2[..., 3:7]) * np.asarray(expected[..., 3:7]),
+                             axis=-1))
+        np.testing.assert_allclose(dots, 1.0, atol=1e-5)
