@@ -60,6 +60,11 @@ class SolverOptions:
     lambda_down: float = 0.1
     lambda_min: float = 1e-10
     lambda_max: float = 1e8
+    # Use Σ rows² (the GN surrogate, exact for L2 losses) as the energy for
+    # convergence/acceptance instead of calling error_fn — saves one full
+    # FK+residual evaluation per iteration. The reference always evaluates
+    # the true robust energy; enable only when losses are L2.
+    energy_from_residual: bool = False
 
 
 class SolveResult(NamedTuple):
@@ -135,7 +140,7 @@ def solve_gauss_newton(
         a = a + (1.0 - mask) * jnp.eye(p, dtype=x.dtype)
         delta = psd_solve(a, jtr)
         delta = delta * mask
-        err = error_fn(x)
+        err = jnp.sum(rows * rows) if opts.energy_from_residual else error_fn(x)
         if opts.do_line_search:
             alpha = _line_search(error_fn, x, delta, err, opts.line_search_steps)
             delta = alpha * delta
@@ -181,7 +186,11 @@ def solve_levenberg_marquardt(
             + (opts.regularization + (1.0 - mask)) * jnp.eye(p, dtype=x.dtype)
         delta = psd_solve(a, jtr) * mask
         x_trial = x - delta
-        err_trial = error_fn(x_trial)
+        if opts.energy_from_residual:
+            r_trial = residual_fn(x_trial)
+            err_trial = jnp.sum(r_trial * r_trial)
+        else:
+            err_trial = error_fn(x_trial)
         accept = err_trial < err
         x_new = jnp.where(accept, x_trial, x)
         err_new = jnp.where(accept, err_trial, err)
@@ -200,7 +209,11 @@ def solve_levenberg_marquardt(
         _, _, _, it, done = state
         return (it < opts.max_iterations) & (~jnp.all(done))
 
-    err0 = error_fn(x0)
+    if opts.energy_from_residual:
+        r0 = residual_fn(x0)
+        err0 = jnp.sum(r0 * r0)
+    else:
+        err0 = error_fn(x0)
     init = (x0, err0, jnp.asarray(opts.lambda_init, x0.dtype), jnp.asarray(0, jnp.int32),
             jnp.asarray(False))
     x, err, _, it, done = jax.lax.while_loop(cond, body, init)

@@ -232,3 +232,36 @@ class TestGltf:
             pytest.skip("reference asset unavailable")
         char, motion, fps = mio.load_character_glb(path)
         assert char.num_joints > 0
+
+
+class TestUrdf:
+    URDF = """<robot name="arm">
+  <link name="base"/>
+  <link name="upper"/>
+  <link name="lower"/>
+  <joint name="shoulder" type="revolute">
+    <parent link="base"/><child link="upper"/>
+    <origin xyz="0 0.5 0" rpy="0 0 0"/>
+    <axis xyz="0 0 1"/>
+    <limit lower="-1.57" upper="1.57"/>
+  </joint>
+  <joint name="elbow" type="revolute">
+    <parent link="upper"/><child link="lower"/>
+    <origin xyz="0 1 0" rpy="0 0 0"/>
+    <axis xyz="0 0 1"/>
+    <limit lower="-2.0" upper="0.1"/>
+  </joint>
+</robot>"""
+
+    def test_load(self):
+        from momentum_tpu.io.urdf import load_urdf
+        char = load_urdf(self.URDF)
+        assert char.skeleton.joint_names == ("base", "upper", "lower")
+        assert char.parameter_transform.names == ("shoulder", "elbow")
+        assert char.limits.counts["minmax"] == 2
+        # rotating the shoulder about URDF z-axis moves the elbow in the xy plane
+        theta = jnp.asarray([np.pi / 2, 0.0], jnp.float32)
+        states = char.skeleton_states(theta)
+        lower_pos = np.asarray(states[2, :3])
+        # rest: lower at y=1.5; shoulder z-rotation by 90deg -> x = -1
+        np.testing.assert_allclose(lower_pos, [-1.0, 0.5, 0.0], atol=1e-5)
