@@ -53,6 +53,11 @@ def load_c3d(path) -> RawMarkerData:
     with open(path, "rb") as f:
         data = f.read()
 
+    # native fast path for the point stream (labels still parsed below)
+    from momentum_tpu import native
+
+    native_points = native.c3d_read_points(str(path)) if native.available() else None
+
     # --- header (block 1) ---
     param_block, magic = data[0], data[1]
     if magic != 0x50:
@@ -152,6 +157,14 @@ def load_c3d(path) -> RawMarkerData:
         if next_off == 0:
             break
         pos = body_end
+
+    if native_points is not None:
+        n_pos, n_occ, n_rate = native_points
+        if n_pos.shape == (n_frames, n_points, 3):
+            n_pos = np.where(n_occ[..., None], np.nan, n_pos)
+            if len(labels) < n_points:
+                labels += [f"M{i}" for i in range(len(labels), n_points)]
+            return RawMarkerData(n_pos, n_occ, labels[:n_points], n_rate)
 
     # --- point data ---
     dstart = (data_block - 1) * 512
