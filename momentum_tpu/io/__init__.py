@@ -1,4 +1,6 @@
 from momentum_tpu.io.bvh import load_bvh, save_bvh  # noqa: F401
+from momentum_tpu.io.fbx import load_fbx  # noqa: F401
+from momentum_tpu.io.urdf import load_urdf  # noqa: F401
 from momentum_tpu.io.gltf import load_character_glb, save_character_glb  # noqa: F401
 from momentum_tpu.io.markers import RawMarkerData, load_c3d, load_trc, save_trc  # noqa: F401
 from momentum_tpu.io.model_definition import (  # noqa: F401

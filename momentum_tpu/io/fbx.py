@@ -1,0 +1,333 @@
+"""FBX binary import (characters: skeleton + mesh + skinning).
+
+Reference: momentum/io/fbx/ loads FBX through the bundled OpenFBX C++ parser
+(openfbx_loader.h; saving requires the proprietary Autodesk SDK and is not
+supported here either, CMakeLists.txt:69-80). This is a from-scratch reader
+of the standard Kaydara FBX binary container:
+
+  header "Kaydara FBX Binary  \\x00" + version; nested node records
+  (u32 offsets < v7500, u64 from v7500) with typed properties
+  (Y/C/I/F/D/L scalars, f/d/l/i/b arrays with optional zlib encoding 1).
+
+Character assembly mirrors the reference's mapping:
+  * Model nodes of type LimbNode/Root → joints; Lcl Translation →
+    translationOffset, PreRotation+Lcl Rotation (XYZ degrees) → preRotation
+  * Geometry → mesh (PolygonVertexIndex fan-triangulated)
+  * Deformer/Cluster → skin weights (top-8 influences, renormalized)
+  * Connections (OO) define the hierarchy
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["load_fbx"]
+
+_MAGIC = b"Kaydara FBX Binary  \x00"
+
+
+class _Node:
+    __slots__ = ("name", "props", "children")
+
+    def __init__(self, name, props):
+        self.name = name
+        self.props = props
+        self.children = []
+
+    def find(self, name):
+        return [c for c in self.children if c.name == name]
+
+    def first(self, name):
+        for c in self.children:
+            if c.name == name:
+                return c
+        return None
+
+
+def _read_array(data, off, fmt, itemsize):
+    n, enc, comp_len = struct.unpack_from("<III", data, off)
+    off += 12
+    if enc == 0:
+        raw = data[off: off + n * itemsize]
+        off += n * itemsize
+    else:
+        raw = zlib.decompress(data[off: off + comp_len])
+        off += comp_len
+    return np.frombuffer(raw, fmt, n), off
+
+
+def _read_property(data, off):
+    t = data[off: off + 1]
+    off += 1
+    if t == b"Y":
+        return struct.unpack_from("<h", data, off)[0], off + 2
+    if t == b"C":
+        return bool(data[off]), off + 1
+    if t == b"I":
+        return struct.unpack_from("<i", data, off)[0], off + 4
+    if t == b"F":
+        return struct.unpack_from("<f", data, off)[0], off + 4
+    if t == b"D":
+        return struct.unpack_from("<d", data, off)[0], off + 8
+    if t == b"L":
+        return struct.unpack_from("<q", data, off)[0], off + 8
+    if t == b"f":
+        return _read_array(data, off, "<f4", 4)
+    if t == b"d":
+        return _read_array(data, off, "<f8", 8)
+    if t == b"l":
+        return _read_array(data, off, "<i8", 8)
+    if t == b"i":
+        return _read_array(data, off, "<i4", 4)
+    if t == b"b":
+        return _read_array(data, off, "<u1", 1)
+    if t == b"S" or t == b"R":
+        (n,) = struct.unpack_from("<I", data, off)
+        off += 4
+        raw = data[off: off + n]
+        return (raw.decode("utf-8", "replace") if t == b"S" else raw), off + n
+    raise ValueError(f"unknown FBX property type {t!r}")
+
+
+def _read_node(data, off, big):
+    if big:
+        end, n_props, _plen = struct.unpack_from("<QQQ", data, off)
+        off += 24
+    else:
+        end, n_props, _plen = struct.unpack_from("<III", data, off)
+        off += 12
+    name_len = data[off]
+    off += 1
+    name = data[off: off + name_len].decode("utf-8", "replace")
+    off += name_len
+    if end == 0 and not name:
+        return None, off
+    props = []
+    for _ in range(n_props):
+        v, off = _read_property(data, off)
+        props.append(v)
+    node = _Node(name, props)
+    while off < end:
+        child, off = _read_node(data, off, big)
+        if child is None:
+            break
+    # consume remaining null record if any
+        node.children.append(child)
+    return node, max(off, end)
+
+
+def _parse(data):
+    if not data.startswith(_MAGIC):
+        raise ValueError("not a binary FBX file")
+    version = struct.unpack_from("<I", data, 23)[0]
+    big = version >= 7500
+    off = 27
+    root = _Node("", [])
+    while off < len(data) - 16:
+        node, off = _read_node(data, off, big)
+        if node is None:
+            break
+        root.children.append(node)
+    return root, version
+
+
+def _euler_xyz_deg_to_quat(rx, ry, rz):
+    """FBX default rotation order XYZ (applied as Rx then Ry then Rz in world:
+    matrix Rz·Ry·Rx... FBX eEulerXYZ means M = Rx·Ry·Rz with row-vector
+    convention = Rz·Ry·Rx column convention)."""
+    import math
+
+    def axis_q(a, ax):
+        q = [0.0, 0.0, 0.0, math.cos(a / 2)]
+        q[ax] = math.sin(a / 2)
+        return np.asarray(q)
+
+    def qmul(a, b):
+        x1, y1, z1, w1 = a
+        x2, y2, z2, w2 = b
+        return np.asarray([
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ])
+
+    import math
+    r = [math.radians(v) for v in (rx, ry, rz)]
+    return qmul(axis_q(r[2], 2), qmul(axis_q(r[1], 1), axis_q(r[0], 0)))
+
+
+def load_fbx(path):
+    """→ Character (skeleton + optional skinned mesh)."""
+    import jax.numpy as jnp
+
+    from momentum_tpu.character import (
+        Character, Mesh, SkinWeights, make_skeleton,
+    )
+    from momentum_tpu.character.parameter_transform import make_identity_transform
+
+    with open(path, "rb") as f:
+        data = f.read()
+    root, _version = _parse(data)
+
+    objects = None
+    connections = None
+    for c in root.children:
+        if c.name == "Objects":
+            objects = c
+        elif c.name == "Connections":
+            connections = c
+    if objects is None:
+        raise ValueError("FBX: no Objects section")
+
+    models = {}
+    geoms = {}
+    clusters = {}
+    skins = {}
+    for node in objects.children:
+        if node.name == "Model":
+            uid = node.props[0]
+            mtype = node.props[2] if len(node.props) > 2 else ""
+            models[uid] = (node, mtype)
+        elif node.name == "Geometry":
+            geoms[node.props[0]] = node
+        elif node.name == "Deformer":
+            sub = node.props[2] if len(node.props) > 2 else ""
+            if sub == "Cluster":
+                clusters[node.props[0]] = node
+            elif sub == "Skin":
+                skins[node.props[0]] = node
+
+    # connections: child -> parent (OO)
+    parent_of = {}
+    links = []  # (src, dst)
+    if connections is not None:
+        for c in connections.children:
+            if c.name == "C" and len(c.props) >= 3 and c.props[0] == "OO":
+                src, dst = c.props[1], c.props[2]
+                links.append((src, dst))
+                if src in models and (dst in models or dst == 0):
+                    parent_of[src] = dst
+
+    # joints = models whose type is LimbNode/Root/Null reachable in hierarchy
+    joint_types = {"LimbNode", "Root", "Null", "Skeleton"}
+    joint_uids = [uid for uid, (_, t) in models.items() if t in joint_types]
+    if not joint_uids:
+        joint_uids = list(models.keys())
+    joint_set = set(joint_uids)
+
+    # topological order: parents before children
+    order = []
+    seen = set()
+
+    def visit(uid):
+        if uid in seen or uid not in joint_set:
+            return
+        p = parent_of.get(uid, 0)
+        if p in joint_set:
+            visit(p)
+        seen.add(uid)
+        order.append(uid)
+
+    for uid in joint_uids:
+        visit(uid)
+
+    uid_to_idx = {u: i for i, u in enumerate(order)}
+    names, parents, pre, offs = [], [], [], []
+    for uid in order:
+        node, _ = models[uid]
+        raw_name = node.props[1] if len(node.props) > 1 else f"j{uid}"
+        name = raw_name.split("\x00")[0] or f"j{uid}"
+        names.append(name)
+        p = parent_of.get(uid, 0)
+        parents.append(uid_to_idx.get(p, -1))
+        t = [0.0, 0.0, 0.0]
+        r = [0.0, 0.0, 0.0]
+        pr = [0.0, 0.0, 0.0]
+        p70 = node.first("Properties70")
+        if p70 is not None:
+            for pn in p70.children:
+                key = pn.props[0] if pn.props else ""
+                if key == "Lcl Translation":
+                    t = [float(x) for x in pn.props[4:7]]
+                elif key == "Lcl Rotation":
+                    r = [float(x) for x in pn.props[4:7]]
+                elif key == "PreRotation":
+                    pr = [float(x) for x in pn.props[4:7]]
+        q_pre = _euler_xyz_deg_to_quat(*pr)
+        q_rot = _euler_xyz_deg_to_quat(*r)
+        x1, y1, z1, w1 = q_pre
+        x2, y2, z2, w2 = q_rot
+        q = np.asarray([
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ])
+        pre.append(list(q))
+        offs.append(t)
+
+    skeleton = make_skeleton(parents, np.asarray(pre), np.asarray(offs), names)
+
+    # mesh: first geometry
+    mesh = None
+    skin_weights = None
+    if geoms:
+        g = next(iter(geoms.values()))
+        v_node = g.first("Vertices")
+        i_node = g.first("PolygonVertexIndex")
+        if v_node is not None and i_node is not None:
+            verts = np.asarray(v_node.props[0], np.float32).reshape(-1, 3)
+            poly = np.asarray(i_node.props[0], np.int64)
+            faces = []
+            start = 0
+            for k, idx in enumerate(poly):
+                if idx < 0:
+                    closing = -idx - 1
+                    ring = list(poly[start:k]) + [closing]
+                    for t in range(1, len(ring) - 1):
+                        faces.append([ring[0], ring[t], ring[t + 1]])
+                    start = k + 1
+            mesh = Mesh(vertices=jnp.asarray(verts),
+                        faces=jnp.asarray(np.asarray(faces, np.int32)))
+
+            # skinning via clusters
+            geo_uid = g.props[0]
+            v = verts.shape[0]
+            acc = np.zeros((v, len(order)), np.float32)
+            cluster_joint = {}
+            for (src, dst) in links:
+                if src in models and dst in clusters and src in uid_to_idx:
+                    cluster_joint[dst] = uid_to_idx[src]
+            for cuid, cl in clusters.items():
+                j = cluster_joint.get(cuid)
+                if j is None:
+                    continue
+                idx_node = cl.first("Indexes")
+                w_node = cl.first("Weights")
+                if idx_node is None or w_node is None:
+                    continue
+                vi = np.asarray(idx_node.props[0], np.int64)
+                wv = np.asarray(w_node.props[0], np.float64)
+                ok = vi < v
+                acc[vi[ok], j] += wv[ok].astype(np.float32)
+            if acc.any():
+                top = np.argsort(-acc, axis=1)[:, :8]
+                w8 = np.take_along_axis(acc, top, axis=1)
+                norm = w8.sum(axis=1, keepdims=True)
+                w8 = np.where(norm > 0, w8 / np.maximum(norm, 1e-12), 0.0)
+                skin_weights = SkinWeights(
+                    index=jnp.asarray(top.astype(np.int32)),
+                    weight=jnp.asarray(w8.astype(np.float32)))
+
+    character = Character(
+        skeleton=skeleton,
+        parameter_transform=make_identity_transform(skeleton.num_joints),
+        mesh=mesh, skin_weights=skin_weights,
+    )
+    if mesh is not None and skin_weights is not None:
+        character = character.with_inverse_bind_pose()
+    return character

@@ -265,3 +265,26 @@ class TestUrdf:
         lower_pos = np.asarray(states[2, :3])
         # rest: lower at y=1.5; shoulder z-rotation by 90deg -> x = -1
         np.testing.assert_allclose(lower_pos, [-1.0, 0.5, 0.0], atol=1e-5)
+
+
+class TestFbx:
+    def test_reference_animation_fbx(self):
+        path = "/root/reference/pymomentum/test/resources/animation_test.fbx"
+        if not os.path.exists(path):
+            pytest.skip("reference asset unavailable")
+        from momentum_tpu.io.fbx import load_fbx
+        char = load_fbx(path)
+        assert char.num_joints == 3
+        assert "joint1" in char.skeleton.joint_names
+        # FK runs
+        states = char.skeleton_states(jnp.zeros(char.num_model_parameters))
+        assert states.shape == (3, 8)
+
+    def test_reference_cube_fbx(self):
+        path = "/root/reference/momentum/test/resources/cube_uvs_per_vertex.fbx"
+        if not os.path.exists(path):
+            pytest.skip("reference asset unavailable")
+        from momentum_tpu.io.fbx import load_fbx
+        char = load_fbx(path)
+        assert char.mesh is not None and char.mesh.num_vertices == 8
+        assert char.mesh.faces.shape[0] == 12  # cube quads fan-triangulated
