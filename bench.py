@@ -46,18 +46,19 @@ def main():
         np.zeros((char.locators.num_locators, 3)),
     )
     x0 = jnp.zeros(char.num_model_parameters)
-    opts = SolverOptions(max_iterations=iters, regularization=1e-4)
+    opts = SolverOptions(max_iterations=iters, regularization=1e-4,
+                         energy_from_residual=True)
 
     @jax.jit
     def solve_batch(targets):
-        def solve_one(target):
-            ef = dataclasses.replace(ef0, target=target)
-            fn = SkeletonSolverFunction(char, (ef,))
-            return solve_levenberg_marquardt(
-                fn.residual, fn.error, x0, options=opts,
-                jacobian_fn=fn.residual_and_jacobian)
-
-        return jax.vmap(solve_one)(targets)
+        # batch-native path: batched analytic Jacobians + batched linalg +
+        # the fused Pallas FK kernel — no vmap
+        ef = dataclasses.replace(ef0, target=targets)
+        fn = SkeletonSolverFunction(char, (ef,))
+        x0b = jnp.broadcast_to(x0, (targets.shape[0],) + x0.shape)
+        return solve_levenberg_marquardt(
+            fn.residual, fn.error, x0b, options=opts,
+            jacobian_fn=fn.residual_and_jacobian)
 
     # warmup / compile
     res = solve_batch(targets)

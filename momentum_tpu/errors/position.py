@@ -72,9 +72,10 @@ class PositionErrorFunction(VectorErrorFunction):
         f = world - self.target
         sq = jnp.sum(f * f, axis=-1)
         scale = self._row_scale(self.cweight, sq)
-        j_pt = point_jacobian(jc, world, self.parent)  # (C, 3, nJ7)
-        rows = (scale[:, None] * f).reshape(-1)
-        j = (scale[:, None, None] * j_pt).reshape(rows.shape[0], -1)
+        j_pt = point_jacobian(jc, world, self.parent)  # (..., C, 3, nJ7)
+        rows = (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
+        j = (scale[..., None, None] * j_pt).reshape(
+            j_pt.shape[:-3] + (rows.shape[-1], j_pt.shape[-1]))
         return rows, j, None
 
     @classmethod
@@ -212,7 +213,7 @@ class ModelParametersErrorFunction(ErrorFunction):
         """Direct model-parameter rows: J = diag(scale)."""
         scale = jnp.sqrt(jnp.maximum(self.weight * self.pweight, 0.0))
         rows = scale * (ctx.model_params - self.target)
-        j_model = jnp.diag(scale)
+        j_model = jnp.broadcast_to(jnp.diag(scale), rows.shape + rows.shape[-1:])
         return rows, None, j_model
 
     @classmethod

@@ -51,34 +51,36 @@ def make_jacobian_context(character, ctx) -> JacobianContext:
 def point_jacobian(jc: JacobianContext, points: jnp.ndarray, parents: jnp.ndarray):
     """d(world point)/d(joint parameters).
 
-    points (C, 3) world positions rigidly attached to `parents` (C,).
-    Returns (C, 3, nJ*7).
+    points (..., C, 3) world positions rigidly attached to `parents` (C,).
+    Returns (..., C, 3, nJ*7). Supports leading batch dims on both the
+    points and the JacobianContext arrays (batch-native solve path).
     """
     mask = jnp.take(jc.anc_mask, parents, axis=1).T  # (C, nJ)
-    diff = points[:, None, :] - jc.joint_pos[None, :, :]  # (C, nJ, 3)
-    # translation: (C, nJ, 3out, 3dof)
-    jt = jnp.broadcast_to(jc.trans_axis[None], diff.shape[:2] + (3, 3))
+    diff = points[..., :, None, :] - jc.joint_pos[..., None, :, :]  # (..., C, nJ, 3)
+    # translation: (..., C, nJ, 3out, 3dof)
+    jt = jnp.broadcast_to(jc.trans_axis[..., None, :, :, :], diff.shape + (3,))
     # rotation: cross(axis_k, diff) for each of the 3 axes
-    axes = jnp.swapaxes(jc.rot_axis, -1, -2)  # (nJ, 3dof, 3)
-    jr = jnp.cross(axes[None], diff[:, :, None, :])  # (C, nJ, 3dof, 3)
-    jr = jnp.swapaxes(jr, -1, -2)  # (C, nJ, 3out, 3dof)
-    js = (diff * _LN2)[..., None]  # (C, nJ, 3out, 1)
-    j = jnp.concatenate([jt, jr, js], axis=-1)  # (C, nJ, 3, 7)
+    axes = jnp.swapaxes(jc.rot_axis, -1, -2)  # (..., nJ, 3dof, 3)
+    jr = jnp.cross(axes[..., None, :, :, :], diff[..., :, :, None, :])
+    jr = jnp.swapaxes(jr, -1, -2)  # (..., C, nJ, 3out, 3dof)
+    js = (diff * _LN2)[..., None]  # (..., C, nJ, 3out, 1)
+    j = jnp.concatenate([jt, jr, js], axis=-1)  # (..., C, nJ, 3, 7)
     j = j * mask[:, :, None, None]
-    c = points.shape[0]
-    return jnp.swapaxes(j, 1, 2).reshape(c, 3, -1)
+    c = points.shape[-2]
+    j = jnp.swapaxes(j, -3, -2)  # (..., C, 3, nJ, 7)
+    return j.reshape(j.shape[:-2] + (-1,))
 
 
 def vector_jacobian(jc: JacobianContext, vectors: jnp.ndarray, parents: jnp.ndarray):
     """d(world direction)/d(joint parameters): only rotation DOFs contribute.
-    vectors (C, 3) world-space; returns (C, 3, nJ*7)."""
+    vectors (..., C, 3) world-space; returns (..., C, 3, nJ*7)."""
     mask = jnp.take(jc.anc_mask, parents, axis=1).T
-    axes = jnp.swapaxes(jc.rot_axis, -1, -2)  # (nJ, 3dof, 3)
-    jr = jnp.cross(axes[None], vectors[:, None, None, :])  # (C, nJ, 3dof, 3)
-    jr = jnp.swapaxes(jr, -1, -2)  # (C, nJ, 3out, 3dof)
+    axes = jnp.swapaxes(jc.rot_axis, -1, -2)  # (..., nJ, 3dof, 3)
+    jr = jnp.cross(axes[..., None, :, :, :], vectors[..., :, None, None, :])
+    jr = jnp.swapaxes(jr, -1, -2)  # (..., C, nJ, 3out, 3dof)
     zeros3 = jnp.zeros(jr.shape[:-1] + (3,), jr.dtype)
     zeros1 = jnp.zeros(jr.shape[:-1] + (1,), jr.dtype)
-    j = jnp.concatenate([zeros3, jr, zeros1], axis=-1)  # (C, nJ, 3, 7)
+    j = jnp.concatenate([zeros3, jr, zeros1], axis=-1)  # (..., C, nJ, 3, 7)
     j = j * mask[:, :, None, None]
-    c = vectors.shape[0]
-    return jnp.swapaxes(j, 1, 2).reshape(c, 3, -1)
+    j = jnp.swapaxes(j, -3, -2)  # (..., C, 3, nJ, 7)
+    return j.reshape(j.shape[:-2] + (-1,))

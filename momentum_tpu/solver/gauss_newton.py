@@ -75,11 +75,12 @@ class SolveResult(NamedTuple):
 
 
 def _jacobian(residual_fn: Callable, x: jnp.ndarray, jacobian_fn=None):
-    """(rows, Jᵀ) with Jᵀ (P, R). Uses an analytic (rows, J) provider when
-    given, else one linearize + vmapped JVP over the basis."""
+    """(rows, Jᵀ) with Jᵀ (..., P, R). Uses an analytic (rows, J) provider
+    when given (supports leading batch dims — the batch-native path), else
+    one linearize + vmapped JVP over the basis (unbatched x only)."""
     if jacobian_fn is not None:
         rows, j = jacobian_fn(x)
-        return rows, j.T
+        return rows, jnp.swapaxes(j, -1, -2)
     rows, jvp = jax.linearize(residual_fn, x)
     eye = jnp.eye(x.shape[-1], dtype=x.dtype)
     jt = jax.vmap(jvp)(eye)  # row p = J @ e_p = column p of J
@@ -129,25 +130,25 @@ def solve_gauss_newton(
     opts = options
     big = jnp.asarray(jnp.finfo(jnp.float32).max, x0.dtype)
 
+    batched = x0.ndim > 1
+
     def body(state):
         x, last_err, it, done = state
         rows, jt = _jacobian(residual_fn, x, jacobian_fn)
         jt = jt * mask[:, None]
-        jtj = jt @ jt.T
-        jtr = jt @ rows
-        a = jtj + opts.regularization * jnp.eye(p, dtype=x.dtype)
-        # keep disabled rows SPD even at regularization == 0
-        a = a + (1.0 - mask) * jnp.eye(p, dtype=x.dtype)
+        jtj = jnp.einsum("...pr,...qr->...pq", jt, jt)
+        jtr = jnp.einsum("...pr,...r->...p", jt, rows)
+        a = jtj + (opts.regularization + (1.0 - mask)) * jnp.eye(p, dtype=x.dtype)
         delta = psd_solve(a, jtr)
         delta = delta * mask
-        err = jnp.sum(rows * rows) if opts.energy_from_residual else error_fn(x)
+        err = jnp.sum(rows * rows, axis=-1) if opts.energy_from_residual else error_fn(x)
         if opts.do_line_search:
             alpha = _line_search(error_fn, x, delta, err, opts.line_search_steps)
             delta = alpha * delta
         x_new = x - delta
         conv = _converged(last_err, err, opts.threshold)
         newly_done = (it + 1 >= opts.min_iterations) & conv
-        x = jnp.where(done, x, x_new)
+        x = jnp.where(done[..., None], x, x_new) if batched else jnp.where(done, x, x_new)
         err_out = jnp.where(done, last_err, err)
         return x, err_out, it + 1, done | newly_done
 
@@ -155,7 +156,9 @@ def solve_gauss_newton(
         _, _, it, done = state
         return (it < opts.max_iterations) & (~jnp.all(done))
 
-    init = (x0, big, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    err_shape = x0.shape[:-1]
+    init = (x0, jnp.broadcast_to(big, err_shape), jnp.asarray(0, jnp.int32),
+            jnp.zeros(err_shape, bool))
     x, err, it, done = jax.lax.while_loop(cond, body, init)
     return SolveResult(params=x, error=err, iterations=it, converged=done)
 
@@ -175,24 +178,29 @@ def solve_levenberg_marquardt(
     mask = jnp.ones(p, x0.dtype) if enabled_mask is None else enabled_mask.astype(x0.dtype)
     opts = options
 
+    batched = x0.ndim > 1
+
     def body(state):
         x, err, lam, it, done = state
         rows, jt = _jacobian(residual_fn, x, jacobian_fn)
         jt = jt * mask[:, None]
-        jtj = jt @ jt.T
-        jtr = jt @ rows
-        diag = jnp.diagonal(jtj)
-        a = jtj + jnp.diag(lam * jnp.maximum(diag, 1e-12)) \
+        jtj = jnp.einsum("...pr,...qr->...pq", jt, jt)
+        jtr = jnp.einsum("...pr,...r->...p", jt, rows)
+        diag = jnp.diagonal(jtj, axis1=-2, axis2=-1)
+        damp = lam[..., None] if batched else lam
+        a = jtj \
+            + (damp * jnp.maximum(diag, 1e-12))[..., None] * jnp.eye(p, dtype=x.dtype) \
             + (opts.regularization + (1.0 - mask)) * jnp.eye(p, dtype=x.dtype)
         delta = psd_solve(a, jtr) * mask
         x_trial = x - delta
         if opts.energy_from_residual:
             r_trial = residual_fn(x_trial)
-            err_trial = jnp.sum(r_trial * r_trial)
+            err_trial = jnp.sum(r_trial * r_trial, axis=-1)
         else:
             err_trial = error_fn(x_trial)
         accept = err_trial < err
-        x_new = jnp.where(accept, x_trial, x)
+        acc = accept[..., None] if batched else accept
+        x_new = jnp.where(acc, x_trial, x)
         err_new = jnp.where(accept, err_trial, err)
         lam_new = jnp.clip(
             jnp.where(accept, lam * opts.lambda_down, lam * opts.lambda_up),
@@ -200,7 +208,7 @@ def solve_levenberg_marquardt(
         )
         conv = accept & _converged(err, err_trial, opts.threshold)
         newly_done = (it + 1 >= opts.min_iterations) & conv
-        x = jnp.where(done, x, x_new)
+        x = jnp.where(done[..., None], x, x_new) if batched else jnp.where(done, x, x_new)
         err_out = jnp.where(done, err, err_new)
         lam_out = jnp.where(done, lam, lam_new)
         return x, err_out, lam_out, it + 1, done | newly_done
@@ -211,10 +219,12 @@ def solve_levenberg_marquardt(
 
     if opts.energy_from_residual:
         r0 = residual_fn(x0)
-        err0 = jnp.sum(r0 * r0)
+        err0 = jnp.sum(r0 * r0, axis=-1)
     else:
         err0 = error_fn(x0)
-    init = (x0, err0, jnp.asarray(opts.lambda_init, x0.dtype), jnp.asarray(0, jnp.int32),
-            jnp.asarray(False))
+    err_shape = x0.shape[:-1]
+    init = (x0, jnp.broadcast_to(err0, err_shape),
+            jnp.broadcast_to(jnp.asarray(opts.lambda_init, x0.dtype), err_shape),
+            jnp.asarray(0, jnp.int32), jnp.zeros(err_shape, bool))
     x, err, _, it, done = jax.lax.while_loop(cond, body, init)
     return SolveResult(params=x, error=err, iterations=it, converged=done)

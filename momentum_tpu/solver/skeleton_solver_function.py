@@ -116,15 +116,15 @@ class SkeletonSolverFunction:
             for ef in analytic:
                 r, j_jp, j_model = ef.jacobian(self.character, ctx, jc)
                 rows_list.append(r)
-                n = r.shape[0]
                 p = model_params.shape[-1]
                 jp_blocks.append(j_jp if j_jp is not None
-                                 else jnp.zeros((n, pt_mat.shape[0]), r.dtype))
+                                 else jnp.zeros(r.shape + (pt_mat.shape[0],), r.dtype))
                 model_blocks.append(j_model if j_model is not None
-                                    else jnp.zeros((n, p), r.dtype))
-            j_jp_all = jnp.concatenate(jp_blocks)
-            j_model_all = jnp.concatenate(model_blocks)
-            j_list.append(j_jp_all @ pt_mat + j_model_all)
+                                    else jnp.zeros(r.shape + (p,), r.dtype))
+            j_jp_all = jnp.concatenate(jp_blocks, axis=-2)
+            j_model_all = jnp.concatenate(model_blocks, axis=-2)
+            j_list.append(
+                jnp.einsum("...rj,jp->...rp", j_jp_all, pt_mat) + j_model_all)
         if ad_efs:
             def ad_residual(x):
                 c2 = self.context(x)
@@ -136,4 +136,5 @@ class SkeletonSolverFunction:
             j_ad = jax.vmap(jvp)(eye).T  # (R_ad, P)
             rows_list.append(rows_ad)
             j_list.append(j_ad)
-        return jnp.concatenate(rows_list), jnp.concatenate(j_list)
+        return (jnp.concatenate(rows_list, axis=-1),
+                jnp.concatenate(j_list, axis=-2))

@@ -9,6 +9,7 @@ from momentum_tpu.tracking.tracker import (  # noqa: F401
     TrackingResult,
     calibrate_locators,
     calibrate_model,
+    refine_motion,
     track_poses_batched,
     track_poses_per_frame,
     track_sequence,

@@ -298,3 +298,59 @@ def calibrate_locators(
     new_off[li] = np.asarray(offsets)
     new_loc = dataclasses.replace(loc, offset=jnp.asarray(new_off))
     return dataclasses.replace(character, locators=new_loc)
+
+
+def refine_motion(
+    character: Character,
+    markers: MarkerSequence,
+    motion: jnp.ndarray,
+    config=None,
+):
+    """Refine an existing motion against the markers (refineMotion,
+    marker_tracker.cpp): whole-sequence solve warm-started at `motion`, with
+    an optional per-frame regularizer pulling toward the input and optional
+    identity re-calibration (RefineConfig.calib_id)."""
+    from momentum_tpu.errors import ModelParametersErrorFunction
+    from momentum_tpu.tracking.config import RefineConfig
+
+    config = config or RefineConfig()
+    f = markers.num_frames
+    p = character.num_model_parameters
+    ef0, per_frame = _marker_error_template(character, markers, config)
+    stacked = jax.vmap(per_frame, in_axes=(None, 0, 0))(
+        ef0, markers.positions, markers.occluded)
+    from momentum_tpu.sequence.solver_function import broadcast_frames
+
+    limits = broadcast_frames(LimitErrorFunction.create(), f)
+    per_frame_errors = [stacked, limits]
+    if config.regularizer > 0:
+        reg0 = ModelParametersErrorFunction.create(
+            np.zeros(p, np.float32), weight=config.regularizer)
+        reg = jax.vmap(lambda t: dataclasses.replace(reg0, target=t))(motion)
+        per_frame_errors.append(reg)
+
+    seq_errors = ()
+    if config.smoothing > 0:
+        seq_errors = (ModelParametersSequenceErrorFunction.create(
+            p, weight=config.smoothing),)
+
+    universal = None
+    if config.calib_id:
+        pt = character.parameter_transform
+        universal = np.zeros(p, bool)
+        if "scaling" in pt.parameter_sets:
+            universal[list(pt.parameter_sets["scaling"])] = True
+        else:
+            for i, n in enumerate(pt.names):
+                if "scale" in n.lower():
+                    universal[i] = True
+
+    fn = SequenceSolverFunction.create(
+        character, f, universal=universal,
+        per_frame_errors=tuple(per_frame_errors), sequence_errors=seq_errors)
+    pf0, u0 = fn.split(motion)
+    res = solve_sequence(fn, pf0, u0, SolverOptions(
+        max_iterations=config.max_iter, regularization=config.regularization))
+    refined = fn.join(res.per_frame, res.universal)
+    return TrackingResult(motion=refined,
+                          errors=jnp.broadcast_to(res.error, (f,))), res.universal

@@ -82,10 +82,11 @@ def test_mixed_analytic_and_ad(char):
     pos = E.PositionErrorFunction.create(
         rng.integers(0, char.num_joints, 4), rng.uniform(-0.5, 0.5, (4, 3)),
         rng.uniform(-1, 1, (4, 3)))
-    aim = E.AimDirErrorFunction.create(  # no analytic path yet
-        rng.integers(0, char.num_joints, 2), rng.uniform(-0.5, 0.5, (2, 3)),
-        _unit(rng, 2), rng.uniform(-1, 1, (2, 3)))
-    fn = SkeletonSolverFunction(char, (pos, aim))
+    # logmap state error has no analytic path (falls back to AD)
+    theta_t = jnp.asarray(rng.uniform(-0.3, 0.3, char.num_model_parameters), jnp.float32)
+    state_ef = E.StateErrorFunction.create(
+        char.skeleton_states(theta_t), rotation_error_type="logmap")
+    fn = SkeletonSolverFunction(char, (pos, state_ef))
     assert not fn.fully_analytic
     x = jnp.asarray(rng.uniform(-0.3, 0.3, char.num_model_parameters), jnp.float32)
     rows, j = fn.residual_and_jacobian(x)
@@ -113,3 +114,45 @@ def test_solve_ik_uses_analytic_and_converges(char):
     res = solve_ik(fn, jnp.zeros(char.num_model_parameters),
                    options=SolverOptions(max_iterations=40, regularization=1e-5))
     assert float(res.error) < 1e-6
+
+
+def test_batched_native_solve_matches_vmapped(char):
+    """Batch-native LM (no vmap: batched analytic Jacobians + batched linalg,
+    the Pallas-FK-compatible path) must match the vmapped solve."""
+    import dataclasses
+    from momentum_tpu.solver.gauss_newton import solve_levenberg_marquardt
+
+    rng = _rng()
+    b = 3
+    thetas = jnp.asarray(rng.uniform(-0.3, 0.3, (b, char.num_model_parameters)),
+                         jnp.float32)
+    states = jax.vmap(char.skeleton_states)(thetas)
+    targets = jax.vmap(char.locators.world_positions)(states)
+    ef0 = E.PositionErrorFunction.create(
+        np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+        np.zeros((char.locators.num_locators, 3)))
+    opts = SolverOptions(max_iterations=10, regularization=1e-4,
+                         energy_from_residual=True)
+    x0 = jnp.zeros(char.num_model_parameters)
+
+    # vmapped reference
+    def one(t):
+        ef = dataclasses.replace(ef0, target=t)
+        fn = SkeletonSolverFunction(char, (ef,))
+        return solve_levenberg_marquardt(
+            fn.residual, fn.error, x0, options=opts,
+            jacobian_fn=fn.residual_and_jacobian)
+
+    ref = jax.vmap(one)(targets)
+
+    # batch-native
+    ef_b = dataclasses.replace(ef0, target=targets)
+    fn_b = SkeletonSolverFunction(char, (ef_b,))
+    res = solve_levenberg_marquardt(
+        fn_b.residual, fn_b.error, jnp.broadcast_to(x0, (b,) + x0.shape),
+        options=opts, jacobian_fn=fn_b.residual_and_jacobian)
+
+    np.testing.assert_allclose(np.asarray(res.params), np.asarray(ref.params),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.error), np.asarray(ref.error),
+                               rtol=1e-3, atol=1e-9)

@@ -1,0 +1,107 @@
+"""PoseShape + utils tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from momentum_tpu.character.pose_shape import PoseShape
+from momentum_tpu.testing.fixtures import create_test_character
+
+
+def _rng():
+    return np.random.default_rng(12345)
+
+
+class TestPoseShape:
+    def test_neutral_at_base(self):
+        char = create_test_character(4)
+        rng = _rng()
+        v = 10
+        # choose baseRot so that at the rest pose rel quats are identity?
+        # simpler: zero shape vectors except a known column
+        base_shape = rng.normal(size=(v, 3)).astype(np.float32)
+        sv = np.zeros((v, 3, 2 * 4), np.float32)
+        ps = PoseShape(
+            base_rot=jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+            base_shape=jnp.asarray(base_shape),
+            shape_vectors=jnp.asarray(sv),
+            base_joint=0,
+            joint_map=(1, 2),
+        )
+        states = char.skeleton_states(jnp.zeros(char.num_model_parameters))
+        out = ps.compute(states)
+        np.testing.assert_allclose(np.asarray(out), base_shape, atol=1e-6)
+
+    def test_deformation_follows_rotation(self):
+        char = create_test_character(4)
+        rng = _rng()
+        v = 6
+        base_shape = np.zeros((v, 3), np.float32)
+        sv = rng.normal(size=(v, 3, 4)).astype(np.float32)
+        ps = PoseShape(
+            base_rot=jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+            base_shape=jnp.asarray(base_shape),
+            shape_vectors=jnp.asarray(sv),
+            base_joint=0,
+            joint_map=(1,),
+        )
+        theta0 = jnp.zeros(char.num_model_parameters)
+        theta1 = theta0.at[7].set(0.8)  # joint1_rx
+        out0 = np.asarray(ps.compute(char.skeleton_states(theta0)))
+        out1 = np.asarray(ps.compute(char.skeleton_states(theta1)))
+        assert np.abs(out1 - out0).max() > 1e-3  # rotation drives the shape
+
+
+class TestUtils:
+    def test_logging_levels(self):
+        from momentum_tpu.utils import get_logger, set_log_level
+        lg = get_logger("momentum_tpu.test")
+        set_log_level("debug")
+        lg.debug("debug message")
+        set_log_level("info")
+
+    def test_profile_scope(self):
+        from momentum_tpu.utils import profile_scope
+        with profile_scope("test"):
+            x = jnp.ones(3) + 1
+        assert float(x[0]) == 2.0
+
+
+class TestMeshOps:
+    def test_self_intersection_detects(self):
+        from momentum_tpu.math.mesh_ops import intersect_mesh_brute_force
+        # two separate triangles that cross each other
+        verts = np.asarray([
+            [0, 0, 0], [2, 0, 0], [0, 2, 0],        # tri A in z=0 plane
+            [0.5, 0.5, -1], [0.5, 0.5, 1], [1.5, 0.5, 0.5],  # tri B crossing it
+            [10, 10, 10], [11, 10, 10], [10, 11, 10],        # far-away tri C
+        ], np.float32)
+        faces = np.asarray([[0, 1, 2], [3, 4, 5], [6, 7, 8]], np.int32)
+        pairs = intersect_mesh_brute_force(verts, faces)
+        assert (pairs == [0, 1]).all(axis=1).any()
+        assert not (pairs[:, 1] == 2).any()
+
+    def test_support_polygon_square(self):
+        from momentum_tpu.math.mesh_ops import support_polygon
+        rng = np.random.default_rng(0)
+        base = np.asarray([[0, 0, 0], [1, 0, 0], [1, 0, 1], [0, 0, 1]], np.float32)
+        high = rng.uniform(0, 1, (10, 3)).astype(np.float32)
+        high[:, 1] += 1.0  # above the tolerance
+        hull = support_polygon(np.concatenate([base, high]), up_axis=1)
+        assert hull.shape == (4, 2)
+
+
+class TestPallasFK:
+    def test_matches_xla_fk(self):
+        import jax
+        from momentum_tpu.character import fk
+        from momentum_tpu.ops.fk_pallas import fk_pallas
+        char = create_test_character(8)
+        skel = char.skeleton
+        rng = _rng()
+        jp_arr = jnp.asarray(rng.uniform(-0.5, 0.5, (4, skel.num_joints * 7)),
+                             jnp.float32)
+        local = jax.vmap(lambda x: fk.local_skel_states(skel, x))(jp_arr)
+        ref = jax.vmap(lambda x: fk.global_skel_states(skel, x))(jp_arr)
+        out = fk_pallas(skel, local)  # interpreter mode on CPU
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

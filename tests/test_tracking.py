@@ -109,3 +109,23 @@ class TestTracking:
         recovered = calibrate_locators(perturbed, markers, thetas)
         np.testing.assert_allclose(
             np.asarray(recovered.locators.offset), true_offsets, atol=1e-3)
+
+
+class TestRefine:
+    def test_refine_improves_noisy_motion(self, char):
+        from momentum_tpu.tracking import refine_motion
+        from momentum_tpu.tracking.config import RefineConfig
+
+        rng = _rng()
+        thetas, markers = _synthetic_markers(char, 6, rng)
+        noisy = thetas + jnp.asarray(
+            rng.normal(0, 0.05, thetas.shape), jnp.float32)
+        cfg = RefineConfig(max_iter=15, regularization=1e-5,
+                           regularizer=1e-3, smoothing=1e-4)
+        refined, _ = refine_motion(char, markers, noisy, cfg)
+        # refined motion reproduces the markers much better than the noisy one
+        def marker_err(motion):
+            states = jax.vmap(char.skeleton_states)(motion)
+            pos = jax.vmap(char.locators.world_positions)(states)
+            return float(jnp.mean(jnp.sum((pos - markers.positions) ** 2, axis=-1)))
+        assert marker_err(refined.motion) < 0.05 * marker_err(noisy)
