@@ -215,3 +215,25 @@ def resample_motion(poses: np.ndarray, src_fps: float, dst_fps: float) -> np.nda
     i0 = np.clip(np.floor(t_out).astype(np.int64), 0, f - 2)
     frac = (t_out - i0)[:, None]
     return poses[i0] * (1 - frac) + poses[i0 + 1] * frac
+
+
+def add_blend_shape_parameters(character: Character, blend_shape, num_shapes=None) -> Character:
+    """Extend the parameter transform with blendshape coefficient parameters
+    (ParameterTransform::addBlendShapeParameters, parameter_transform.h:189-227):
+    new columns are zero (they drive no joints); their indices are recorded in
+    character.blend_shape_param_index so the mesh pipeline picks them up."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    pt = character.parameter_transform
+    k = num_shapes if num_shapes is not None else blend_shape.num_shapes
+    old_p = pt.num_model_parameters
+    tf = np.asarray(pt.transform)
+    tf2 = np.concatenate([tf, np.zeros((tf.shape[0], k), tf.dtype)], axis=1)
+    names = pt.names + tuple(f"blend_{i}" for i in range(k))
+    pt2 = ParameterTransform(
+        transform=jnp.asarray(tf2), offsets=pt.offsets, names=names,
+        parameter_sets=pt.parameter_sets)
+    return dataclasses.replace(
+        character, parameter_transform=pt2, blend_shape=blend_shape,
+        blend_shape_param_index=tuple(range(old_p, old_p + k)))
