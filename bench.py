@@ -17,7 +17,9 @@ import time
 
 import numpy as np
 
-TARGET_SOLVES_PER_SEC = 100_000.0
+# BASELINE.json's north star is >=100k solves/sec on a v5e-8 (8-chip) slice;
+# the metric is defined per chip, so the per-chip bar is 100k/8.
+TARGET_SOLVES_PER_SEC_PER_CHIP = 100_000.0 / 8.0
 
 
 def main():
@@ -83,7 +85,7 @@ def main():
                 "metric": "full_body_ik_solves_per_sec_per_chip",
                 "value": round(solves_per_sec, 1),
                 "unit": f"solves/s ({num_joints}-joint char, {iters} LM iters, median residual {med_err:.2e}, {conv_frac:.2f} conv@1e-5, divergent {nan_frac:.3f})",
-                "vs_baseline": round(solves_per_sec / TARGET_SOLVES_PER_SEC, 4),
+                "vs_baseline": round(solves_per_sec / TARGET_SOLVES_PER_SEC_PER_CHIP, 4),
             }
         )
     )

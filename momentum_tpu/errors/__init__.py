@@ -29,7 +29,11 @@ from momentum_tpu.errors.vertex import (  # noqa: F401
     VertexPositionErrorFunction,
     VertexProjectionErrorFunction,
 )
-from momentum_tpu.errors.collision import CollisionErrorFunction, compute_valid_pairs  # noqa: F401
+from momentum_tpu.errors.collision import (  # noqa: F401
+    CollisionErrorFunction,
+    PlaneCollisionErrorFunction,
+    compute_valid_pairs,
+)
 from momentum_tpu.errors.body import (  # noqa: F401
     CenterOfMassErrorFunction,
     FloorErrorFunction,

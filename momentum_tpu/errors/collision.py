@@ -126,3 +126,51 @@ class CollisionErrorFunction(VectorErrorFunction):
             weight=jnp.asarray(weight, jnp.float32),
             loss=loss or GeneralizedLoss(),
         )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PlaneCollisionErrorFunction(VectorErrorFunction):
+    """Tapered capsules vs a fixed world plane (plane_collision_error_function
+    .cpp:140-169 + plane_collision_query.h): per capsule, overlap = max over
+    both endpoints of (radius − signedDistance(endpoint, plane)); energy
+    kCollisionWeight(5e-3)·weight·Σ overlap²."""
+
+    plane_normal: jnp.ndarray  # (3,) unit
+    plane_offset: jnp.ndarray  # scalar: plane is n·x = offset
+    pweight: jnp.ndarray  # (C,) per-capsule weight
+    weight: jnp.ndarray
+    loss: GeneralizedLoss = dataclasses.field(
+        default=GeneralizedLoss(), metadata=dict(static=True)
+    )
+
+    D = 1
+
+    def constraint_count(self) -> int:
+        return self.pweight.shape[0]
+
+    def raw(self, character, ctx: EvalContext):
+        o, d, r = capsule_states(character.collision, ctx.skel_states)
+        p0 = o
+        p1 = o + d
+        n = self.plane_normal
+        d0 = jnp.einsum("...i,i->...", p0, n) - self.plane_offset
+        d1 = jnp.einsum("...i,i->...", p1, n) - self.plane_offset
+        over0 = r[..., 0] - d0
+        over1 = r[..., 1] - d1
+        overlap = jnp.maximum(jnp.maximum(over0, over1), 0.0)
+        return overlap[..., None], self.pweight * K_COLLISION_WEIGHT
+
+    @classmethod
+    def create(cls, character, plane_normal=(0.0, 1.0, 0.0), plane_offset=0.0,
+               weight=1.0, loss=None):
+        n = np.asarray(plane_normal, np.float32)
+        n = n / np.linalg.norm(n)
+        c = character.collision.num_capsules
+        return cls(
+            plane_normal=jnp.asarray(n),
+            plane_offset=jnp.asarray(plane_offset, jnp.float32),
+            pweight=jnp.ones(c, jnp.float32),
+            weight=jnp.asarray(weight, jnp.float32),
+            loss=loss or GeneralizedLoss(),
+        )

@@ -190,3 +190,24 @@ class TestBody:
         x = self._x(char)
         _check_gradient(fn, x)
         _check_gn_consistency(fn, x)
+
+
+class TestPlaneCollision:
+    def test_penalty_below_floor(self, char):
+        # plane at y = 1.0 -> lower capsules penetrate
+        ef = E.PlaneCollisionErrorFunction.create(char, plane_offset=1.0)
+        fn = SkeletonSolverFunction(char, (ef,))
+        x = jnp.zeros(char.num_model_parameters)
+        assert float(fn.error(x)) > 0.0
+        # far below the capsules -> no penalty
+        ef2 = E.PlaneCollisionErrorFunction.create(char, plane_offset=-10.0)
+        fn2 = SkeletonSolverFunction(char, (ef2,))
+        assert float(fn2.error(x)) == 0.0
+
+    def test_gradient_fd(self, char):
+        ef = E.PlaneCollisionErrorFunction.create(char, plane_offset=0.5)
+        fn = SkeletonSolverFunction(char, (ef,))
+        rng = _rng()
+        x = jnp.asarray(rng.uniform(-0.2, 0.2, char.num_model_parameters), jnp.float32)
+        if float(fn.error(x)) > 0:
+            _check_gradient(fn, x, atol=1e-2)
