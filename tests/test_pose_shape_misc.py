@@ -105,3 +105,35 @@ class TestPallasFK:
         ref = jax.vmap(lambda x: fk.global_skel_states(skel, x))(jp_arr)
         out = fk_pallas(skel, local)  # interpreter mode on CPU
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestCompat:
+    def test_pymomentum_style_surface(self, tmp_path):
+        import jax
+        from momentum_tpu import compat
+        char = create_test_character(4)
+        rng = _rng()
+        theta = jnp.asarray(rng.uniform(-0.2, 0.2, char.num_model_parameters), jnp.float32)
+        jp_arr = compat.apply_parameter_transform(char, theta)
+        assert jp_arr.shape == (char.num_joints * 7,)
+        states = compat.model_parameters_to_skeleton_state(char, theta)
+        jp2 = compat.skeleton_state_to_joint_parameters(char, states)
+        states2 = compat.joint_parameters_to_skeleton_state(char, jp2)
+        m = compat.compare_skeleton_states(states, states2)
+        assert float(m["max_position_error"]) < 1e-3
+        pos = compat.model_parameters_to_positions(char, theta)
+        assert pos.shape == (char.locators.num_locators, 3)
+        verts = compat.skin_points_from_model_parameters(char, theta)
+        assert verts.shape == (char.mesh.num_vertices, 3)
+        u = jnp.asarray(rng.uniform(0, 1, char.num_model_parameters), jnp.float32)
+        sample = compat.uniform_random_to_model_parameters(char, u)
+        assert float(sample[0]) <= 0.1 + 1e-6  # respects the MinMax limit
+
+    def test_obj_export(self, tmp_path):
+        from momentum_tpu.io.obj import export_motion_objs, save_obj
+        char = create_test_character(4)
+        motion = jnp.zeros((2, char.num_model_parameters))
+        paths = export_motion_objs(str(tmp_path / "frame"), char, motion)
+        assert len(paths) == 2
+        text = open(paths[0]).read()
+        assert text.count("\nf ") + text.startswith("f ") == char.mesh.faces.shape[0]
