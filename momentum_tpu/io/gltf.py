@@ -117,8 +117,10 @@ def _pt_from_json(j, skeleton):
     )
 
 
-def save_character_glb(path, character, motion=None, fps=120.0) -> None:
-    """Write character (+ optional (F, P) model-parameter motion) as .glb."""
+def save_character_glb(path, character, motion=None, fps=120.0, markers=None) -> None:
+    """Write character (+ optional (F, P) model-parameter motion, + optional
+    marker sequence) as .glb. `markers` is a tracking.MarkerSequence or a
+    RawMarkerData (saveMarkerSequence analog, gltf_builder.cpp:374-383)."""
     import jax.numpy as jnp
 
     from momentum_tpu.math import skel_state as ss
@@ -228,6 +230,15 @@ def save_character_glb(path, character, motion=None, fps=120.0) -> None:
             "nframes": int(motion.shape[0]),
             "fps": float(fps),
         }
+    if markers is not None:
+        m_pos = np.asarray(markers.positions, np.float32)
+        m_occ = np.asarray(markers.occluded, np.uint8)
+        ext["markers"] = {
+            "names": list(markers.names),
+            "positions": w.add(m_pos.reshape(-1), "SCALAR"),
+            "occluded": w.add(m_occ.reshape(-1), "SCALAR"),
+            "nframes": int(m_pos.shape[0]),
+        }
 
     doc = dict(
         asset=dict(version="2.0", generator="momentum_tpu"),
@@ -273,8 +284,9 @@ def _read_accessor(doc, blob, idx):
     return arr if n_comp > 1 else arr[:, 0]
 
 
-def load_character_glb(path):
-    """→ (Character, motion (F, P) float32 or None, fps)."""
+def load_character_glb(path, return_markers=False):
+    """→ (Character, motion (F, P) float32 or None, fps)
+    [+ MarkerSequence or None when return_markers]."""
     import jax.numpy as jnp
 
     from momentum_tpu.character import (
@@ -421,4 +433,21 @@ def load_character_glb(path):
         nf = int(m.get("nframes", 0)) or (
             len(flat) // max(1, len(m.get("parameterNames", pt.names))))
         motion = jnp.asarray(flat.reshape(nf, -1))
-    return character, motion, fps
+    if not return_markers:
+        return character, motion, fps
+    markers = None
+    if "markers" in ext:
+        mk = ext["markers"]
+        names = tuple(mk.get("names", ()))
+        nf = int(mk["nframes"])
+        pos = _read_accessor(doc, blob, mk["positions"]).astype(np.float32)
+        occ = _read_accessor(doc, blob, mk["occluded"]).astype(bool)
+        nm = len(names) or (pos.size // (nf * 3))
+        from momentum_tpu.tracking import MarkerSequence
+
+        markers = MarkerSequence(
+            positions=jnp.asarray(pos.reshape(nf, nm, 3)),
+            occluded=jnp.asarray(occ.reshape(nf, nm)),
+            names=names,
+        )
+    return character, motion, fps, markers
