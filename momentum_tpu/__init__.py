@@ -26,4 +26,12 @@ _jax.config.update(
     _os.environ.get("MOMENTUM_TPU_MATMUL_PRECISION", "highest"),
 )
 
+# Persistent compilation cache: TPU solver programs take minutes to compile
+# (fused while_loop solves); caching makes repeat runs near-instant.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _cache = _os.path.expanduser("~/.cache/momentum_tpu_jax")
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from momentum_tpu.math import quaternion, skel_state  # noqa: F401
