@@ -6,3 +6,13 @@ from momentum_tpu.solver.gauss_newton import (  # noqa: F401
 )
 from momentum_tpu.solver.skeleton_solver_function import SkeletonSolverFunction  # noqa: F401
 from momentum_tpu.solver.ik import solve_ik  # noqa: F401
+from momentum_tpu.solver.diff_ik import gradient_rmse, solve_ik_ift  # noqa: F401
+from momentum_tpu.solver.solvers import (  # noqa: F401
+    GaussNewtonSolver,
+    GaussNewtonSolverQR,
+    MultiposeSolver,
+    SequenceSolver,
+    SubsetGaussNewtonSolver,
+    TrustRegionQR,
+    solve_multipose,
+)
