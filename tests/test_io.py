@@ -288,3 +288,20 @@ class TestFbx:
         char = load_fbx(path)
         assert char.mesh is not None and char.mesh.num_vertices == 8
         assert char.mesh.faces.shape[0] == 12  # cube quads fan-triangulated
+
+
+class TestUsd:
+    def test_usda_round_trip(self, tmp_path):
+        from momentum_tpu.io.usd import load_usda, save_usda
+        char = create_test_character(4)
+        rng = _rng()
+        motion = jnp.asarray(rng.uniform(-0.2, 0.2, (3, char.num_model_parameters)),
+                             jnp.float32)
+        p = str(tmp_path / "c.usda")
+        save_usda(p, char, motion=motion)
+        c2, anim = load_usda(p)
+        assert c2.skeleton.joint_names == char.skeleton.joint_names
+        np.testing.assert_allclose(
+            np.asarray(c2.skeleton.translation_offset),
+            np.asarray(char.skeleton.translation_offset), atol=1e-5)
+        assert anim.shape == (3, char.num_joints, 4, 4)
