@@ -78,6 +78,21 @@ class PositionErrorFunction(VectorErrorFunction):
             j_pt.shape[:-3] + (rows.shape[-1], j_pt.shape[-1]))
         return rows, j, None
 
+    def jacobian_model(self, character, ctx: EvalContext, jc, pt_mat):
+        """Fused rows + d(rows)/d(model params) — never materializes the
+        joint-space Jacobian (analytic_jacobian.fused_point_jacobian_model)."""
+        from momentum_tpu.solver.analytic_jacobian import fused_point_jacobian_model
+
+        states = jnp.take(ctx.skel_states, self.parent, axis=-2)
+        world = ss.transform_points(states, self.offset)
+        f = world - self.target
+        sq = jnp.sum(f * f, axis=-1)
+        scale = self._row_scale(self.cweight, sq)
+        j = fused_point_jacobian_model(jc, world, self.parent, pt_mat, scale=scale)
+        rows = (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
+        j = j.reshape(j.shape[:-3] + (rows.shape[-1], pt_mat.shape[1]))
+        return rows, j
+
     @classmethod
     def create(cls, parent, offset, target, cweight=None, weight=1.0, loss=None, capacity=None):
         parent = np.asarray(parent, np.int32)

@@ -84,3 +84,49 @@ def vector_jacobian(jc: JacobianContext, vectors: jnp.ndarray, parents: jnp.ndar
     j = j * mask[:, :, None, None]
     j = jnp.swapaxes(j, -3, -2)  # (..., C, 3, nJ, 7)
     return j.reshape(j.shape[:-2] + (-1,))
+
+
+def fused_point_jacobian_model(jc: JacobianContext, points, parents, pt_mat,
+                               scale=None):
+    """d(world point)/d(MODEL parameters) without materializing the
+    (..., C, 3, nJ·7) joint-space Jacobian.
+
+    The chain rule J_model = J_jp · PT is reassociated so every contraction
+    over joints/DOFs is an MXU matmul on small precontracted factors:
+
+      translation: Σ_j transAxis(n,·,j)·PT[n,j,·]  → A(n,3,P), then mask·A
+      scale:       (mask·diff·ln2) × PT[n,6,·]
+      rotation:    ε_{vwu} Σ_n [mask·diff](c,n,u) · [rotAxis·PT_rot](n,w,P)
+
+    Memory traffic drops ~5× vs point_jacobian + dense PT matmul (the
+    dominant cost of a solver iteration at production batch sizes).
+
+    points (..., C, 3); pt_mat (nJ*7, P); optional scale (..., C) row scaling.
+    Returns (..., C, 3, P).
+    """
+    nj = jc.anc_mask.shape[0]
+    p_dim = pt_mat.shape[1]
+    ptj = pt_mat.reshape(nj, 7, p_dim)
+    mask = jnp.take(jc.anc_mask, parents, axis=1).T  # (C, nJ)
+    if scale is not None:
+        mask = mask * scale[..., :, None]  # fold row scaling into the mask
+    diff = points[..., :, None, :] - jc.joint_pos[..., None, :, :]  # (..., C, nJ, 3)
+
+    # translation
+    a_t = jnp.einsum("...nij,njp->...nip", jc.trans_axis, ptj[:, :3])
+    term_t = jnp.einsum("...cn,...nip->...cip", mask, a_t)
+
+    # scale (log2 parameterization)
+    e = mask[..., None] * diff  # (..., C, nJ, 3)
+    term_s = _LN2 * jnp.einsum("...cnv,np->...cvp", e, ptj[:, 6])
+
+    # rotation: cross(axis_k, diff)·PT — contract joints first, then epsilon
+    d_r = jnp.einsum("...nwk,nkp->...nwp", jc.rot_axis, ptj[:, 3:6])
+    g = jnp.einsum("...cnu,...nwp->...cuwp", e, d_r)  # (..., C, 3u, 3w, P)
+    # (axis × diff)_v = ε_{vwu} axis_w diff_u ; g is indexed [..., u, w, :]
+    term_r = jnp.stack([
+        g[..., 2, 1, :] - g[..., 1, 2, :],
+        g[..., 0, 2, :] - g[..., 2, 0, :],
+        g[..., 1, 0, :] - g[..., 0, 1, :],
+    ], axis=-2)
+    return term_t + term_s + term_r

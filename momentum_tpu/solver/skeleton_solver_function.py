@@ -111,9 +111,17 @@ class SkeletonSolverFunction:
         if analytic:
             jc = make_jacobian_context(self.character, ctx)
             pt_mat = self.character.parameter_transform.transform  # (nJ7, P)
+            # fused modules first so rows and Jacobian blocks stay aligned
+            fused = [ef for ef in analytic if hasattr(ef, "jacobian_model")]
+            blockwise = [ef for ef in analytic if not hasattr(ef, "jacobian_model")]
+            for ef in fused:
+                # straight to model space, no joint-space J materialized
+                r, j_m = ef.jacobian_model(self.character, ctx, jc, pt_mat)
+                rows_list.append(r)
+                j_list.append(j_m)
             jp_blocks = []
             model_blocks = []
-            for ef in analytic:
+            for ef in blockwise:
                 r, j_jp, j_model = ef.jacobian(self.character, ctx, jc)
                 rows_list.append(r)
                 p = model_params.shape[-1]
@@ -121,10 +129,11 @@ class SkeletonSolverFunction:
                                  else jnp.zeros(r.shape + (pt_mat.shape[0],), r.dtype))
                 model_blocks.append(j_model if j_model is not None
                                     else jnp.zeros(r.shape + (p,), r.dtype))
-            j_jp_all = jnp.concatenate(jp_blocks, axis=-2)
-            j_model_all = jnp.concatenate(model_blocks, axis=-2)
-            j_list.append(
-                jnp.einsum("...rj,jp->...rp", j_jp_all, pt_mat) + j_model_all)
+            if jp_blocks:
+                j_jp_all = jnp.concatenate(jp_blocks, axis=-2)
+                j_model_all = jnp.concatenate(model_blocks, axis=-2)
+                j_list.append(
+                    jnp.einsum("...rj,jp->...rp", j_jp_all, pt_mat) + j_model_all)
         if ad_efs:
             def ad_residual(x):
                 c2 = self.context(x)

@@ -14,8 +14,6 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from momentum_tpu.sequence.solver import solve_sequence
-from momentum_tpu.sequence.solver_function import SequenceSolverFunction
 from momentum_tpu.solver.gauss_newton import (
     SolverOptions,
     solve_gauss_newton,
@@ -92,24 +90,27 @@ class TrustRegionQR(_SolverBase):
 class SequenceSolver:
     """sequence_solver.h equivalent."""
 
-    def __init__(self, solver_function: SequenceSolverFunction,
+    def __init__(self, solver_function,
                  options: SolverOptions = SolverOptions()):
         self.solver_function = solver_function
         self.options = options
         self.last_result = None
 
     def solve(self, per_frame: jnp.ndarray, universal: jnp.ndarray):
+        from momentum_tpu.sequence.solver import solve_sequence
+
         res = solve_sequence(self.solver_function, per_frame, universal, self.options)
         self.last_result = res
         return res
 
 
-def solve_multipose(fn: SequenceSolverFunction, pf0, u0,
-                    options: SolverOptions = SolverOptions()):
+def solve_multipose(fn, pf0, u0, options: SolverOptions = SolverOptions()):
     """MultiposeSolver (multipose_solver.h:18-60): N independent poses coupled
     only through shared universal parameters — exactly the sequence solve with
     no sequence error functions (the band degenerates to block-diagonal +
     arrowhead)."""
+    from momentum_tpu.sequence.solver import solve_sequence
+
     if fn.sequence_errors:
         raise ValueError("multipose solve expects no sequence error functions")
     return solve_sequence(fn, pf0, u0, options)

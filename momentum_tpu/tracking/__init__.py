@@ -14,3 +14,4 @@ from momentum_tpu.tracking.tracker import (  # noqa: F401
     track_poses_per_frame,
     track_sequence,
 )
+from momentum_tpu.tracking.gap_fill import fill_marker_gaps  # noqa: F401

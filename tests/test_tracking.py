@@ -129,3 +129,24 @@ class TestRefine:
             pos = jax.vmap(char.locators.world_positions)(states)
             return float(jnp.mean(jnp.sum((pos - markers.positions) ** 2, axis=-1)))
         assert marker_err(refined.motion) < 0.05 * marker_err(noisy)
+
+
+class TestGapFill:
+    def test_fills_interior_gaps(self, char):
+        from momentum_tpu.tracking import fill_marker_gaps
+        rng = _rng()
+        _, markers = _synthetic_markers(char, 10, rng)
+        occ = np.zeros((10, markers.num_markers), bool)
+        occ[3:6, 0] = True   # interior gap of 3 -> filled
+        occ[0:2, 1] = True   # leading gap -> stays occluded
+        m2 = dataclasses.replace(markers, occluded=jnp.asarray(occ))
+        filled = fill_marker_gaps(m2, max_gap=5)
+        occ2 = np.asarray(filled.occluded)
+        assert not occ2[3:6, 0].any()
+        assert occ2[0:2, 1].all()
+        # filled samples lie between the bracketing visible samples
+        p = np.asarray(filled.positions)
+        for f in (3, 4, 5):
+            t = (f - 2) / (6 - 2)
+            expect = (1 - t) * p[2, 0] + t * p[6, 0]
+            np.testing.assert_allclose(p[f, 0], expect, atol=1e-5)
