@@ -137,3 +137,20 @@ class TestCompat:
         assert len(paths) == 2
         text = open(paths[0]).read()
         assert text.count("\nf ") + text.startswith("f ") == char.mesh.faces.shape[0]
+
+
+class TestCovariance:
+    def test_woodbury_matches_dense(self):
+        from momentum_tpu.math.covariance import LowRankCovarianceMatrix
+        rng = _rng()
+        k, n = 3, 12
+        a = rng.normal(size=(k, n)).astype(np.float32)
+        cov = LowRankCovarianceMatrix.create(0.7, a)
+        c = 0.49 * np.eye(n) + a.T @ a
+        x = rng.normal(size=n).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(cov.times_vec(jnp.asarray(x))),
+                                   c @ x, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(cov.inverse_times_vec(jnp.asarray(x))),
+                                   np.linalg.solve(c, x), rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(float(cov.log_determinant()),
+                                   np.linalg.slogdet(c)[1], rtol=1e-4)
