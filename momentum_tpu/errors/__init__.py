@@ -24,10 +24,13 @@ from momentum_tpu.errors.joint_pair import (  # noqa: F401
 from momentum_tpu.errors.pose_prior import Mppca, PosePriorErrorFunction  # noqa: F401
 from momentum_tpu.errors.state import StateErrorFunction  # noqa: F401
 from momentum_tpu.errors.vertex import (  # noqa: F401
+    CameraVertexProjectionErrorFunction,
+    PointTriangleVertexErrorFunction,
     VertexNormalErrorFunction,
     VertexPlaneErrorFunction,
     VertexPositionErrorFunction,
     VertexProjectionErrorFunction,
+    VertexVertexDistanceErrorFunction,
 )
 from momentum_tpu.errors.collision import (  # noqa: F401
     CollisionErrorFunction,

@@ -206,3 +206,160 @@ class VertexProjectionErrorFunction(VectorErrorFunction):
                         target=np.asarray(target, np.float32).reshape(n, 2), cweight=cweight)
         return cls(weight=jnp.asarray(weight, jnp.float32), near_clip=near_clip,
                    loss=loss or GeneralizedLoss(), **f)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PointTriangleVertexErrorFunction(VectorErrorFunction):
+    """Mesh vertex constrained to a barycentric point on a mesh triangle
+    (point_triangle_vertex_error_function.cpp): Position type
+        f = v_src − Σ_i bary_i·v_tri_i                     (3 rows)
+    Plane type: f = n·(v_src − tgt) with n blended from source vertex normal
+    and target triangle normal (1 row)."""
+
+    src_vertex: jnp.ndarray  # (C,)
+    tri_vertices: jnp.ndarray  # (C, 3) int32
+    bary: jnp.ndarray  # (C, 3)
+    cweight: jnp.ndarray
+    weight: jnp.ndarray
+    constraint_type: str = dataclasses.field(default="position", metadata=dict(static=True))
+    source_normal_weight: float = dataclasses.field(default=0.5, metadata=dict(static=True))
+    target_normal_weight: float = dataclasses.field(default=0.5, metadata=dict(static=True))
+    loss: GeneralizedLoss = dataclasses.field(
+        default=GeneralizedLoss(), metadata=dict(static=True)
+    )
+
+    needs_mesh = True
+
+    @property
+    def D(self):  # noqa: N802 - mirrors VectorErrorFunction API
+        return 3 if self.constraint_type == "position" else 1
+
+    def constraint_count(self) -> int:
+        return self.src_vertex.shape[0]
+
+    def raw(self, character, ctx: EvalContext):
+        v_src = jnp.take(ctx.mesh_vertices, self.src_vertex, axis=-2)
+        tri = jnp.take(ctx.mesh_vertices, self.tri_vertices.reshape(-1), axis=-2)
+        tri = tri.reshape(tri.shape[:-2] + self.tri_vertices.shape + (3,)) \
+            if tri.ndim > 2 else tri.reshape(self.tri_vertices.shape + (3,))
+        tgt = jnp.einsum("...cv,...cvi->...ci", self.bary, tri)
+        if self.constraint_type == "position":
+            return v_src - tgt, self.cweight
+        src_n = jnp.take(ctx.mesh_normals, self.src_vertex, axis=-2)
+        a = jnp.take(ctx.mesh_vertices, self.tri_vertices[:, 0], axis=-2)
+        b = jnp.take(ctx.mesh_vertices, self.tri_vertices[:, 1], axis=-2)
+        c = jnp.take(ctx.mesh_vertices, self.tri_vertices[:, 2], axis=-2)
+        tn = jnp.cross(b - a, c - a)
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True), 1e-12)
+        n = self.source_normal_weight * src_n + self.target_normal_weight * tn
+        f = jnp.sum(n * (v_src - tgt), axis=-1, keepdims=True)
+        return f, self.cweight
+
+    @classmethod
+    def create(cls, src_vertex, tri_vertices, bary, cweight=None, weight=1.0,
+               constraint_type="position", loss=None, capacity=None):
+        src_vertex = np.asarray(src_vertex, np.int32)
+        n = src_vertex.shape[0]
+        cweight = np.ones(n, np.float32) if cweight is None else np.asarray(cweight, np.float32)
+        cap = capacity or n
+        return cls(
+            src_vertex=jnp.asarray(pad_rows(src_vertex, cap)),
+            tri_vertices=jnp.asarray(pad_rows(np.asarray(tri_vertices, np.int32).reshape(n, 3), cap)),
+            bary=jnp.asarray(pad_rows(np.asarray(bary, np.float32).reshape(n, 3), cap)),
+            cweight=jnp.asarray(pad_rows(cweight, cap)),
+            weight=jnp.asarray(weight, jnp.float32),
+            constraint_type=constraint_type,
+            loss=loss or GeneralizedLoss(),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VertexVertexDistanceErrorFunction(VectorErrorFunction):
+    """Distance between two posed mesh vertices vs target
+    (vertex_vertex_distance_error_function.cpp:52-70)."""
+
+    vertex1: jnp.ndarray
+    vertex2: jnp.ndarray
+    target: jnp.ndarray  # (C,)
+    cweight: jnp.ndarray
+    weight: jnp.ndarray
+    loss: GeneralizedLoss = dataclasses.field(
+        default=GeneralizedLoss(), metadata=dict(static=True)
+    )
+
+    needs_mesh = True
+    D = 1
+
+    def constraint_count(self) -> int:
+        return self.vertex1.shape[0]
+
+    def raw(self, character, ctx: EvalContext):
+        p1 = jnp.take(ctx.mesh_vertices, self.vertex1, axis=-2)
+        p2 = jnp.take(ctx.mesh_vertices, self.vertex2, axis=-2)
+        dist = jnp.linalg.norm(p1 - p2 + 1e-20, axis=-1)
+        return (dist - self.target)[..., None], self.cweight
+
+    @classmethod
+    def create(cls, vertex1, vertex2, target, cweight=None, weight=1.0, loss=None,
+               capacity=None):
+        vertex1 = np.asarray(vertex1, np.int32)
+        n = vertex1.shape[0]
+        cweight = np.ones(n, np.float32) if cweight is None else np.asarray(cweight, np.float32)
+        cap = capacity or n
+        return cls(
+            vertex1=jnp.asarray(pad_rows(vertex1, cap)),
+            vertex2=jnp.asarray(pad_rows(np.asarray(vertex2, np.int32), cap)),
+            target=jnp.asarray(pad_rows(np.asarray(target, np.float32), cap)),
+            cweight=jnp.asarray(pad_rows(cweight, cap)),
+            weight=jnp.asarray(weight, jnp.float32),
+            loss=loss or GeneralizedLoss(),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CameraVertexProjectionErrorFunction(VectorErrorFunction):
+    """Posed mesh vertices projected through a full camera model
+    (camera_vertex_projection_error_function.{h,cpp})."""
+
+    camera: object
+    vertex_index: jnp.ndarray
+    target: jnp.ndarray  # (C, 2)
+    cweight: jnp.ndarray
+    weight: jnp.ndarray
+    near_clip: float = dataclasses.field(default=0.01, metadata=dict(static=True))
+    loss: GeneralizedLoss = dataclasses.field(
+        default=GeneralizedLoss(), metadata=dict(static=True)
+    )
+
+    needs_mesh = True
+    D = 2
+
+    def constraint_count(self) -> int:
+        return self.vertex_index.shape[0]
+
+    def raw(self, character, ctx: EvalContext):
+        v = jnp.take(ctx.mesh_vertices, self.vertex_index, axis=-2)
+        uvz, valid = self.camera.project(v)
+        valid = valid & (uvz[..., 2] >= self.near_clip)
+        f = uvz[..., :2] - self.target
+        return jnp.where(valid[..., None], f, 0.0), self.cweight
+
+    @classmethod
+    def create(cls, camera, vertex_index, target, cweight=None, weight=1.0,
+               near_clip=0.01, loss=None, capacity=None):
+        vertex_index = np.asarray(vertex_index, np.int32)
+        n = vertex_index.shape[0]
+        cweight = np.ones(n, np.float32) if cweight is None else np.asarray(cweight, np.float32)
+        cap = capacity or n
+        return cls(
+            camera=camera,
+            vertex_index=jnp.asarray(pad_rows(vertex_index, cap)),
+            target=jnp.asarray(pad_rows(np.asarray(target, np.float32).reshape(n, 2), cap)),
+            cweight=jnp.asarray(pad_rows(cweight, cap)),
+            weight=jnp.asarray(weight, jnp.float32),
+            near_clip=near_clip,
+            loss=loss or GeneralizedLoss(),
+        )

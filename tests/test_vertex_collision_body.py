@@ -211,3 +211,61 @@ class TestPlaneCollision:
         x = jnp.asarray(rng.uniform(-0.2, 0.2, char.num_model_parameters), jnp.float32)
         if float(fn.error(x)) > 0:
             _check_gradient(fn, x, atol=1e-2)
+
+
+class TestMoreVertexErrors:
+    def _x(self, char):
+        return jnp.asarray(_rng().uniform(-0.3, 0.3, char.num_model_parameters), jnp.float32)
+
+    def test_point_triangle_position(self, char):
+        rng = _rng()
+        nv = char.mesh.num_vertices
+        faces = np.asarray(char.mesh.faces)
+        tri = faces[rng.integers(0, faces.shape[0], 3)]
+        src = rng.integers(0, nv, 3)
+        bary = rng.dirichlet(np.ones(3), 3).astype(np.float32)
+        ef = E.PointTriangleVertexErrorFunction.create(src, tri, bary)
+        fn = SkeletonSolverFunction(char, (ef,))
+        x = self._x(char)
+        _check_gradient(fn, x)
+        _check_gn_consistency(fn, x)
+
+    def test_point_triangle_plane(self, char):
+        rng = _rng()
+        faces = np.asarray(char.mesh.faces)
+        tri = faces[rng.integers(0, faces.shape[0], 2)]
+        src = rng.integers(0, char.mesh.num_vertices, 2)
+        bary = rng.dirichlet(np.ones(3), 2).astype(np.float32)
+        ef = E.PointTriangleVertexErrorFunction.create(
+            src, tri, bary, constraint_type="plane")
+        fn = SkeletonSolverFunction(char, (ef,))
+        x = self._x(char)
+        _check_gradient(fn, x)
+        _check_gn_consistency(fn, x)
+
+    def test_vertex_vertex_distance(self, char):
+        rng = _rng()
+        nv = char.mesh.num_vertices
+        ef = E.VertexVertexDistanceErrorFunction.create(
+            rng.integers(0, nv, 4), rng.integers(0, nv, 4),
+            rng.uniform(0.2, 1.0, 4))
+        fn = SkeletonSolverFunction(char, (ef,))
+        x = self._x(char)
+        _check_gradient(fn, x)
+        _check_gn_consistency(fn, x)
+
+    def test_camera_vertex_projection(self, char):
+        from momentum_tpu.camera import Camera, PinholeIntrinsics
+        from momentum_tpu.math import skel_state as ss
+        rng = _rng()
+        cam = Camera.create(
+            PinholeIntrinsics.create(100.0, 100.0, 64.0, 64.0),
+            ss.join(jnp.asarray([0.0, -1.5, 8.0]), jnp.asarray([0.0, 0, 0, 1.0]),
+                    jnp.ones(1)))
+        idx = rng.integers(0, char.mesh.num_vertices, 4)
+        ef = E.CameraVertexProjectionErrorFunction.create(
+            cam, idx, rng.uniform(0, 128, (4, 2)))
+        fn = SkeletonSolverFunction(char, (ef,))
+        x = self._x(char)
+        _check_gradient(fn, x, atol=2e-2)
+        _check_gn_consistency(fn, x)
