@@ -42,3 +42,4 @@ from momentum_tpu.errors.body import (  # noqa: F401
     FloorErrorFunction,
     HeightErrorFunction,
 )
+from momentum_tpu.errors.skinned_locator import SkinnedLocatorErrorFunction  # noqa: F401
