@@ -5,6 +5,9 @@ from momentum_tpu.sequence.block_tridiag import (  # noqa: F401
 )
 from momentum_tpu.sequence.errors import (  # noqa: F401
     AccelerationSequenceErrorFunction,
+    JointToJointSequenceErrorFunction,
+    SdfCollisionSequenceErrorFunction,
+    VertexSequenceErrorFunction,
     FiniteDifferenceSequenceErrorFunction,
     JerkSequenceErrorFunction,
     ModelParametersSequenceErrorFunction,

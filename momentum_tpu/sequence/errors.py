@@ -216,3 +216,113 @@ class VelocityMagnitudeSequenceErrorFunction(SequenceErrorFunction):
             target_magnitude=jnp.asarray(target_magnitude, jnp.float32),
             weight=jnp.asarray(weight, jnp.float32),
         )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class JointToJointSequenceErrorFunction(SequenceErrorFunction):
+    """Relative joint placement consistency across adjacent frames
+    (joint_to_joint_sequence_error_function.cpp): per constraint,
+    rel_f = R_refᵀ(p_src − p_ref) evaluated at both frames;
+    f = rel₁ − rel₀ (3 rows each)."""
+
+    source: jnp.ndarray  # (C,)
+    reference: jnp.ndarray  # (C,)
+    source_offset: jnp.ndarray  # (C, 3)
+    reference_offset: jnp.ndarray  # (C, 3)
+    cweight: jnp.ndarray  # (C,)
+    weight: jnp.ndarray
+
+    window = 2
+
+    def _rel(self, states):
+        src = jnp.take(states, self.source, axis=-2)
+        ref = jnp.take(states, self.reference, axis=-2)
+        p_src = ss.transform_points(src, self.source_offset)
+        p_ref = ss.transform_points(ref, self.reference_offset)
+        _, q_ref, _ = ss.split(ref)
+        return quat.rotate_vector(quat.conjugate(q_ref), p_src - p_ref)
+
+    def residual(self, character, ctxs):
+        rel0 = self._rel(ctxs.skel_states[..., 0, :, :])
+        rel1 = self._rel(ctxs.skel_states[..., 1, :, :])
+        f = rel1 - rel0
+        scale = jnp.sqrt(jnp.maximum(self.weight * self.cweight, 0.0))
+        return (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
+
+    @classmethod
+    def create(cls, source, reference, source_offset, reference_offset,
+               cweight=None, weight=1.0):
+        source = np.asarray(source, np.int32)
+        n = source.shape[0]
+        cweight = np.ones(n, np.float32) if cweight is None else np.asarray(cweight, np.float32)
+        return cls(
+            source=jnp.asarray(source),
+            reference=jnp.asarray(reference, jnp.int32),
+            source_offset=jnp.asarray(source_offset, jnp.float32).reshape(n, 3),
+            reference_offset=jnp.asarray(reference_offset, jnp.float32).reshape(n, 3),
+            cweight=jnp.asarray(cweight),
+            weight=jnp.asarray(weight, jnp.float32),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VertexSequenceErrorFunction(SequenceErrorFunction):
+    """Vertex velocity smoothness (vertex_sequence_error_function.cpp):
+    per tracked vertex, f = v₁ − v₀ on the posed mesh (needs mesh)."""
+
+    vertex_index: jnp.ndarray  # (C,)
+    cweight: jnp.ndarray
+    weight: jnp.ndarray
+
+    window = 2
+    needs_mesh = True
+
+    def residual(self, character, ctxs):
+        v0 = jnp.take(ctxs.mesh_vertices[..., 0, :, :], self.vertex_index, axis=-2)
+        v1 = jnp.take(ctxs.mesh_vertices[..., 1, :, :], self.vertex_index, axis=-2)
+        f = v1 - v0
+        scale = jnp.sqrt(jnp.maximum(self.weight * self.cweight, 0.0))
+        return (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
+
+    @classmethod
+    def create(cls, vertex_index, cweight=None, weight=1.0):
+        vertex_index = np.asarray(vertex_index, np.int32)
+        n = vertex_index.shape[0]
+        cweight = np.ones(n, np.float32) if cweight is None else np.asarray(cweight, np.float32)
+        return cls(vertex_index=jnp.asarray(vertex_index),
+                   cweight=jnp.asarray(cweight),
+                   weight=jnp.asarray(weight, jnp.float32))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SdfCollisionSequenceErrorFunction(SequenceErrorFunction):
+    """Per-frame SDF penetration applied across the window
+    (sdf_collision_sequence_error_function.cpp): f = min(sdf(v), 0) for each
+    tracked vertex at each frame of the window."""
+
+    sdf: object  # axel.SignedDistanceField
+    vertex_index: jnp.ndarray
+    cweight: jnp.ndarray
+    weight: jnp.ndarray
+
+    window = 2
+    needs_mesh = True
+
+    def residual(self, character, ctxs):
+        v = jnp.take(ctxs.mesh_vertices, self.vertex_index, axis=-2)  # (..., W, C, 3)
+        d = self.sdf.sample(v)
+        f = jnp.minimum(d, 0.0)
+        scale = jnp.sqrt(jnp.maximum(self.weight * self.cweight * 5e-3, 0.0))
+        return (scale * f).reshape(f.shape[:-2] + (-1,))
+
+    @classmethod
+    def create(cls, sdf, vertex_index, cweight=None, weight=1.0):
+        vertex_index = np.asarray(vertex_index, np.int32)
+        n = vertex_index.shape[0]
+        cweight = np.ones(n, np.float32) if cweight is None else np.asarray(cweight, np.float32)
+        return cls(sdf=sdf, vertex_index=jnp.asarray(vertex_index),
+                   cweight=jnp.asarray(cweight),
+                   weight=jnp.asarray(weight, jnp.float32))

@@ -32,6 +32,12 @@ __all__ = ["SkeletonSolverFunction"]
 class SkeletonSolverFunction:
     character: Character
     error_functions: tuple  # tuple of ErrorFunction pytrees
+    # Use fused model-space Jacobians where modules provide them. Off by
+    # default: at small problem sizes (nJ~24, C~24) XLA fuses the plain
+    # joint-space path better (measured 15.4k vs 14.5k solves/s) and the
+    # fused program compiles ~3x slower; enable for large rigs/constraint
+    # counts where the (B,C,3,nJ*7) intermediate dominates HBM traffic.
+    prefer_fused: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     def context(self, model_params: jnp.ndarray) -> EvalContext:
         """One FK pass (+ mesh pose if any module needs it) — the shared state
@@ -112,8 +118,10 @@ class SkeletonSolverFunction:
             jc = make_jacobian_context(self.character, ctx)
             pt_mat = self.character.parameter_transform.transform  # (nJ7, P)
             # fused modules first so rows and Jacobian blocks stay aligned
-            fused = [ef for ef in analytic if hasattr(ef, "jacobian_model")]
-            blockwise = [ef for ef in analytic if not hasattr(ef, "jacobian_model")]
+            use_fused = self.prefer_fused
+            fused = [ef for ef in analytic
+                     if use_fused and hasattr(ef, "jacobian_model")]
+            blockwise = [ef for ef in analytic if ef not in fused]
             for ef in fused:
                 # straight to model space, no joint-space J materialized
                 r, j_m = ef.jacobian_model(self.character, ctx, jc, pt_mat)
