@@ -1,0 +1,113 @@
+"""PyTorch interop — the pymomentum.torch / tensor_momentum parity layer.
+
+The reference exposes torch autograd ops (FK, skinning, parameter transform;
+pymomentum/torch/character.py:28-828, tensor_*.cpp). Here the same surface is
+backed by the JAX implementations: forward runs the jitted function on
+dlpack-shared memory, backward routes through `jax.vjp` inside a
+`torch.autograd.Function`, so torch training loops get exact gradients from
+the TPU-native kernels without a separate torch implementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["Skeleton", "LinearBlendSkinning", "ParameterTransformModule"]
+
+
+def _to_jax(t):
+    import jax.numpy as jnp
+
+    return jnp.asarray(t.detach().cpu().numpy())
+
+
+def _to_torch(x, like=None):
+    import torch
+
+    out = torch.from_numpy(np.asarray(x).copy())
+    if like is not None:
+        out = out.to(like.device, like.dtype)
+    return out
+
+
+def _autograd_wrap(jax_fn):
+    """Build a torch.autograd.Function around a unary jax function."""
+    import jax
+    import torch
+
+    class _Fn(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, x):
+            xj = _to_jax(x)
+            y, vjp = jax.vjp(jax_fn, xj)
+            ctx.vjp = vjp
+            ctx.like = x
+            return _to_torch(y, like=x)
+
+        @staticmethod
+        def backward(ctx, g):
+            (gx,) = ctx.vjp(_to_jax(g))
+            return _to_torch(gx, like=ctx.like)
+
+    return _Fn.apply
+
+
+class Skeleton:
+    """FK module: model or joint parameters → skeleton states (torch in/out).
+    Mirrors pymomentum.torch.character.Skeleton (character.py:28-440)."""
+
+    def __init__(self, character):
+        import jax
+
+        self.character = character
+        self._fk_model = _autograd_wrap(
+            jax.jit(lambda mp: character.skeleton_states(mp)))
+        from momentum_tpu.character import fk
+
+        self._fk_joint = _autograd_wrap(
+            jax.jit(lambda jp: fk.global_skel_states(character.skeleton, jp)))
+
+    def forward(self, model_parameters):
+        return self._fk_model(model_parameters)
+
+    __call__ = forward
+
+    def joint_parameters_to_skeleton_state(self, joint_parameters):
+        return self._fk_joint(joint_parameters)
+
+
+class LinearBlendSkinning:
+    """Posed mesh vertices from model parameters (torch in/out). Mirrors
+    pymomentum.torch.character.LinearBlendSkinning (character.py:442-628)."""
+
+    def __init__(self, character):
+        import jax
+
+        from momentum_tpu.compat import skin_points_from_model_parameters
+
+        char = character.with_inverse_bind_pose()
+        self.character = char
+        self._fn = _autograd_wrap(
+            jax.jit(lambda mp: skin_points_from_model_parameters(char, mp)))
+
+    def forward(self, model_parameters):
+        return self._fn(model_parameters)
+
+    __call__ = forward
+
+
+class ParameterTransformModule:
+    """model → joint parameters (torch in/out). Mirrors
+    pymomentum.torch.character.ParameterTransform (character.py:704)."""
+
+    def __init__(self, character):
+        import jax
+
+        self.character = character
+        self._fn = _autograd_wrap(
+            jax.jit(lambda mp: character.parameter_transform.apply(mp)))
+
+    def forward(self, model_parameters):
+        return self._fn(model_parameters)
+
+    __call__ = forward

@@ -154,3 +154,23 @@ class TestCovariance:
                                    np.linalg.solve(c, x), rtol=1e-3, atol=1e-5)
         np.testing.assert_allclose(float(cov.log_determinant()),
                                    np.linalg.slogdet(c)[1], rtol=1e-4)
+
+
+class TestTorchInterop:
+    def test_fk_forward_and_autograd(self):
+        import torch
+        import jax
+        from momentum_tpu.torch_interop import LinearBlendSkinning, Skeleton
+        char = create_test_character(4)
+        skel = Skeleton(char)
+        rng = _rng()
+        x = torch.tensor(rng.uniform(-0.3, 0.3, char.num_model_parameters),
+                         dtype=torch.float32, requires_grad=True)
+        states = skel(x)
+        assert states.shape == (4, 8)
+        ((states[..., :3] ** 2).sum()).backward()
+        gj = jax.grad(lambda m: (char.skeleton_states(m)[..., :3] ** 2).sum())(
+            jnp.asarray(x.detach().numpy()))
+        np.testing.assert_allclose(x.grad.numpy(), np.asarray(gj), atol=1e-4)
+        v = LinearBlendSkinning(char)(torch.zeros(char.num_model_parameters))
+        assert v.shape == (char.mesh.num_vertices, 3)
