@@ -3,4 +3,4 @@ from momentum_tpu.axel.queries import (  # noqa: F401
     knn,
     ray_mesh_intersect,
 )
-from momentum_tpu.axel.sdf import SignedDistanceField, mesh_to_sdf  # noqa: F401
+from momentum_tpu.axel.sdf import SignedDistanceField, mesh_to_sdf, sdf_to_mesh  # noqa: F401

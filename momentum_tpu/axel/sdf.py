@@ -96,3 +96,81 @@ def mesh_to_sdf(vertices, faces, resolution=(32, 32, 32), padding=0.1,
         origin=lo, spacing=spacing,
         values=dist.reshape(tuple(int(r) for r in res)),
     )
+
+
+def sdf_to_mesh(sdf: SignedDistanceField):
+    """Extract the zero isosurface as a mesh (axel/DualContouring.h analog,
+    via the naive surface-nets variant: one vertex per sign-changing cell at
+    the mean of its edge crossings, two triangles per sign-changing grid
+    edge). Host-side numpy; returns (vertices (V, 3), faces (F, 3) int32)."""
+    import numpy as np
+
+    vals = np.asarray(sdf.values)
+    origin = np.asarray(sdf.origin)
+    spacing = np.asarray(sdf.spacing)
+    nx, ny, nz = vals.shape
+
+    # cell vertex positions: average of sign-change edge crossings per cell
+    cell_vertex = {}
+    verts = []
+
+    def cell_point(cx, cy, cz):
+        key = (cx, cy, cz)
+        if key in cell_vertex:
+            return cell_vertex[key]
+        crossings = []
+        corners = [(cx + dx, cy + dy, cz + dz)
+                   for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+        edges = [(a, b) for i, a in enumerate(corners) for b in corners[i + 1:]
+                 if sum(abs(a[k] - b[k]) for k in range(3)) == 1]
+        for a, b in edges:
+            va, vb = vals[a], vals[b]
+            if (va < 0) != (vb < 0):
+                t = va / (va - vb)
+                p = np.asarray(a) + t * (np.asarray(b) - np.asarray(a))
+                crossings.append(p)
+        p = np.mean(crossings, axis=0) if crossings else np.asarray(
+            [cx + 0.5, cy + 0.5, cz + 0.5])
+        idx = len(verts)
+        verts.append(origin + p * spacing)
+        cell_vertex[key] = idx
+        return idx
+
+    faces = []
+    # for each grid edge with a sign change, connect the 4 adjacent cells
+    sign = vals < 0
+    for axis in range(3):
+        shift = np.roll(np.eye(3, dtype=int)[axis], 0)
+        sl_a = tuple(slice(0, s - (1 if k == axis else 0)) for k, s in enumerate(vals.shape))
+        sl_b = tuple(slice((1 if k == axis else 0), s) for k, s in enumerate(vals.shape))
+        change = sign[sl_a] != sign[sl_b]
+        xs, ys, zs = np.nonzero(change)
+        u_ax, v_ax = [a for a in range(3) if a != axis]
+        for x, y, z in zip(xs, ys, zs):
+            e = np.asarray([x, y, z])
+            # the edge (e -> e+axis) is shared by 4 cells offset along u/v
+            cells = []
+            ok = True
+            for du in (-1, 0):
+                for dv in (-1, 0):
+                    c = e.copy()
+                    c[u_ax] += du
+                    c[v_ax] += dv
+                    if (c < 0).any() or (c >= np.asarray(vals.shape) - 1).any():
+                        ok = False
+                    cells.append(tuple(c))
+            if not ok:
+                continue
+            q = [cell_point(*c) for c in cells]
+            # orient by the sign of the lower endpoint
+            flip = bool(sign[x, y, z])
+            a_, b_, c_, d_ = (q[0], q[1], q[3], q[2])
+            if flip:
+                faces += [[a_, b_, c_], [a_, c_, d_]]
+            else:
+                faces += [[c_, b_, a_], [d_, c_, a_]]
+
+    import jax.numpy as jnp
+
+    return (jnp.asarray(np.asarray(verts, np.float32).reshape(-1, 3)),
+            jnp.asarray(np.asarray(faces, np.int32).reshape(-1, 3)))

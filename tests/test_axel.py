@@ -125,3 +125,17 @@ class TestSdfErrors:
         assert float(fn.error(x)) >= 0.0
         # far outside the grid the clamped sample is the (positive) border value
         assert float(fn.error(x)) == 0.0
+
+
+class TestSurfaceExtraction:
+    def test_sdf_to_mesh_cube(self):
+        from momentum_tpu.axel.sdf import sdf_to_mesh
+        v, f = _unit_cube()
+        sdf = mesh_to_sdf(v, f, resolution=(20, 20, 20), padding=0.3)
+        verts, faces = sdf_to_mesh(sdf)
+        assert verts.shape[0] > 50 and faces.shape[0] > 100
+        vn = np.asarray(verts)
+        assert vn.min() > -0.15 and vn.max() < 1.15
+        # extracted surface points are near the cube surface (|sdf| small)
+        d = np.abs(np.asarray(sdf.sample(verts)))
+        assert np.median(d) < 0.05
