@@ -131,6 +131,10 @@ def solve_gauss_newton(
     big = jnp.asarray(jnp.finfo(jnp.float32).max, x0.dtype)
 
     batched = x0.ndim > 1
+    if batched and opts.do_line_search:
+        raise NotImplementedError(
+            "line search requires a per-element energy; use the unbatched/"
+            "vmapped path or disable do_line_search for batch-native solves")
 
     def body(state):
         x, last_err, it, done = state
