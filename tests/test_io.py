@@ -305,3 +305,17 @@ class TestUsd:
             np.asarray(c2.skeleton.translation_offset),
             np.asarray(char.skeleton.translation_offset), atol=1e-5)
         assert anim.shape == (3, char.num_joints, 4, 4)
+
+
+class TestLegacyJson:
+    def test_round_trip(self, tmp_path):
+        from momentum_tpu.io.legacy_json import load_legacy_json, save_legacy_json
+        char = create_test_character(4)
+        p = str(tmp_path / "c.json")
+        save_legacy_json(p, char)
+        c2 = load_legacy_json(p)
+        assert c2.skeleton.joint_names == char.skeleton.joint_names
+        np.testing.assert_allclose(
+            np.asarray(c2.skeleton.pre_rotation),
+            np.asarray(char.skeleton.pre_rotation), atol=1e-6)
+        assert c2.locators.num_locators == char.locators.num_locators
