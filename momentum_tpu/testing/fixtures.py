@@ -133,3 +133,82 @@ def create_test_character(num_joints: int = 3, dtype=jnp.float32) -> Character:
         name=f"test_character_{num_joints}",
     )
     return char.with_inverse_bind_pose()
+
+
+def create_fullbody_character(dtype=jnp.float32) -> Character:
+    """Full-body-scale synthetic rig: 52 joints in a humanoid-like tree
+    (spine/neck/head, clavicle/arm/hand and hip/leg/foot chains per side),
+    3 rotation parameters per joint + root translation + global scale,
+    and 80 locators. Matches the problem-size envelope of
+    BASELINE.md (~50-160 joints, ~200 params, SIMD-era caps)."""
+    import numpy as _np
+
+    # humanoid-ish topology: chains hanging off a spine
+    names = ["root"]
+    parents = [-1]
+    offsets = [[0.0, 0.0, 0.0]]
+
+    def chain(base_name, parent_idx, count, offset):
+        idx = parent_idx
+        for i in range(count):
+            names.append(f"{base_name}{i}")
+            parents.append(idx)
+            offsets.append(list(offset))
+            idx = len(names) - 1
+        return idx
+
+    spine_end = chain("spine", 0, 6, [0.0, 0.25, 0.0])
+    neck_end = chain("neck", spine_end, 2, [0.0, 0.12, 0.0])
+    chain("head", neck_end, 2, [0.0, 0.15, 0.0])
+    for side, sx in (("l", 1.0), ("r", -1.0)):
+        clav = chain(f"{side}_clav", spine_end, 1, [sx * 0.1, 0.05, 0.0])
+        arm = chain(f"{side}_arm", clav, 4, [sx * 0.28, 0.0, 0.0])
+        chain(f"{side}_hand", arm, 7, [sx * 0.06, 0.0, 0.0])
+        hip = chain(f"{side}_hip", 0, 1, [sx * 0.12, -0.05, 0.0])
+        leg = chain(f"{side}_leg", hip, 4, [0.0, -0.32, 0.0])
+        chain(f"{side}_foot", leg, 3, [0.0, -0.08, 0.08])
+    nj = len(names)
+    assert nj >= 50, nj
+
+    skeleton = make_skeleton(parents, translation_offsets=_np.asarray(offsets),
+                             names=names, dtype=dtype)
+
+    # parameters: root tx/ty/tz + rx/ry/rz, global scale, then rx/ry/rz per
+    # non-root joint
+    pnames = ["root_tx", "root_ty", "root_tz", "root_rx", "root_ry", "root_rz",
+              "scale_global"]
+    n_jp = nj * PARAMS_PER_JOINT
+    rows = []
+    for i in range(6):
+        rows.append((i, len(rows), 1.0))
+    rows.append((6, 6, 1.0))  # root scale <- scale_global
+    for j in range(1, nj):
+        for k, axis in enumerate("xyz"):
+            pnames.append(f"{names[j]}_r{axis}")
+            rows.append((j * PARAMS_PER_JOINT + 3 + k, len(pnames) - 1, 1.0))
+    mat = _np.zeros((n_jp, len(pnames)), _np.float64)
+    for r, c, v in rows:
+        mat[r, c] = v
+    pt = ParameterTransform(
+        transform=jnp.asarray(mat, dtype),
+        offsets=jnp.zeros(n_jp, dtype),
+        names=tuple(pnames),
+        parameter_sets={"scaling": (6,)},
+    )
+
+    rng = _np.random.default_rng(20002)
+    n_loc = 80
+    loc_parent = rng.integers(0, nj, n_loc)
+    locators = Locators(
+        parent=jnp.asarray(loc_parent, jnp.int32),
+        offset=jnp.asarray(rng.uniform(-0.12, 0.12, (n_loc, 3)), dtype),
+        weight=jnp.ones(n_loc, dtype),
+        names=tuple(f"m{i}" for i in range(n_loc)),
+    )
+
+    return Character(
+        skeleton=skeleton,
+        parameter_transform=pt,
+        locators=locators,
+        name="fullbody_synthetic",
+    )

@@ -108,3 +108,33 @@ def test_config4_shape_and_pose_fitting():
     final = probe.context(res.params).mesh_vertices
     err = float(jnp.max(jnp.linalg.norm(final[idx] - target_vertices[idx], axis=-1)))
     assert err < 5e-3
+
+
+def test_config3_fullbody_warm_started_tracking():
+    """Config 3 shape at full-body scale: 51 joints / 157 params / 80 markers,
+    warm-started batched LM — the bench.py workload, verified to converge."""
+    from momentum_tpu.testing.fixtures import create_fullbody_character
+
+    char = create_fullbody_character()
+    assert char.num_joints >= 50
+    assert char.num_model_parameters >= 150
+    rng = _rng()
+    b = 16
+    gt = jnp.asarray(rng.uniform(-0.3, 0.3, (b, char.num_model_parameters)),
+                     jnp.float32)
+    targets = jax.vmap(char.locators.world_positions)(
+        jax.vmap(char.skeleton_states)(gt))
+    ef0 = E.PositionErrorFunction.create(
+        np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+        np.zeros((char.locators.num_locators, 3)))
+    ef = dataclasses.replace(ef0, target=targets)
+    fn = SkeletonSolverFunction(char, (ef,))
+    x0 = gt + jnp.asarray(rng.normal(0, 0.05, gt.shape), jnp.float32)
+    res = solve_levenberg_marquardt(
+        fn.residual, fn.error, x0,
+        options=SolverOptions(max_iterations=6, regularization=1e-5,
+                              energy_from_residual=True),
+        jacobian_fn=fn.residual_and_jacobian)
+    e = np.asarray(res.error)
+    assert np.median(e) < 1e-6
+    assert (e < 1e-5).mean() > 0.9
