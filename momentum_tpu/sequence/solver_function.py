@@ -93,7 +93,10 @@ class SequenceSolverFunction:
     # ---- evaluation ----
 
     def _context(self, theta):
-        return SkeletonSolverFunction(self.character, self.per_frame_errors).context(theta)
+        # include sequence errors so their needs_mesh flags trigger the
+        # mesh pipeline in the shared per-frame context
+        efs = self.per_frame_errors + self.sequence_errors
+        return SkeletonSolverFunction(self.character, efs).context(theta)
 
     def frame_contexts(self, thetas: jnp.ndarray):
         """(F, P) → EvalContext with leading F axis (one FK per frame, vmapped)."""
