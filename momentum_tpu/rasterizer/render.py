@@ -136,3 +136,49 @@ def render_mesh(camera, vertices, faces, width: int, height: int,
     mask = buf["face"] >= 0
     color = jnp.where(mask[..., None], color, 0.0)
     return dict(color=color, mask=mask, **buf)
+
+
+def interpolate_attribute(buf, faces, vertex_attr):
+    """Per-pixel barycentric interpolation of a per-vertex attribute
+    (texcoords, colors, normals) over a rasterization buffer."""
+    fid = jnp.maximum(buf["face"], 0)
+    tri = jnp.take(faces, fid, axis=0)  # (H, W, 3)
+    attr = jnp.take(vertex_attr, tri, axis=0)  # (H, W, 3, K)
+    out = jnp.einsum("hwc,hwck->hwk", buf["bary"], attr)
+    return jnp.where(buf["face"][..., None] >= 0, out, 0.0)
+
+
+def sample_texture(texture, uv):
+    """Bilinear texture lookup (rasterizer texture sampling equivalent).
+    texture (Th, Tw, C); uv (..., 2) in [0, 1] with v up."""
+    th, tw = texture.shape[:2]
+    x = jnp.clip(uv[..., 0], 0.0, 1.0) * (tw - 1)
+    y = (1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)) * (th - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, tw - 1)
+    y1 = jnp.minimum(y0 + 1, th - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    c00 = texture[y0, x0]
+    c01 = texture[y0, x1]
+    c10 = texture[y1, x0]
+    c11 = texture[y1, x1]
+    return ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
+            + (c10 * (1 - fx) + c11 * fx) * fy)
+
+
+def render_mesh_textured(camera, vertices, faces, texcoords, texture,
+                         width: int, height: int, light_dir=(0.3, -0.7, 0.6),
+                         chunk: int = 64):
+    """Textured + Lambert-lit render (texture path of the reference
+    rasterizer)."""
+    out = render_mesh(camera, vertices, faces, width, height,
+                      light_dir=light_dir, chunk=chunk)
+    uv = interpolate_attribute(out, faces, texcoords)
+    albedo = sample_texture(texture, uv)
+    # reuse the Lambert term stored in out["color"] (grey albedo 0.8)
+    shade = out["color"][..., :1] / 0.8
+    color = jnp.where(out["mask"][..., None], albedo * shade, 0.0)
+    out["color"] = color
+    return out

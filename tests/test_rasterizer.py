@@ -55,3 +55,28 @@ def test_render_character_mesh():
     color = np.asarray(buf["color"])
     assert color[mask].max() > 0.05
     assert np.all(color[~mask] == 0)
+
+
+def test_textured_render():
+    import numpy as np
+    from momentum_tpu.rasterizer import render_mesh_textured
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(4)
+    v = char.mesh.vertices
+    # planar UVs from x/y extents
+    vn = np.asarray(v)
+    uv = (vn[:, :2] - vn[:, :2].min(0)) / (np.ptp(vn[:, :2], 0) + 1e-6)
+    tex = np.zeros((8, 8, 3), np.float32)
+    tex[::2, ::2] = 1.0  # checker
+    cam = Camera.create(
+        PinholeIntrinsics.create(60.0, 60.0, 32.0, 32.0),
+        ss.join(jnp.asarray([0.0, -1.5, 6.0]), jnp.asarray([0.0, 0, 0, 1.0]),
+                jnp.ones(1)))
+    out = render_mesh_textured(cam, v, char.mesh.faces, jnp.asarray(uv, jnp.float32),
+                               jnp.asarray(tex), 64, 64)
+    mask = np.asarray(out["mask"])
+    col = np.asarray(out["color"])
+    assert mask.sum() > 20
+    # checker produces both lit and dark pixels inside the mask
+    assert col[mask].max() > 0.3 and col[mask].min() < 0.05
