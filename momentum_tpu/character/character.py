@@ -63,20 +63,48 @@ class Locators:
         return ss.transform_points(states, self.offset)
 
 
+# CollisionPrimitiveType (collision_geometry.h:22-26)
+PRIMITIVE_TAPERED_CAPSULE = 0
+PRIMITIVE_ELLIPSOID = 1
+PRIMITIVE_BOX = 2
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CollisionGeometry:
-    """Per-joint tapered capsules (collision_geometry.h:22-60): transform in
-    parent-joint frame (8-param skel_state), two radii, length along local x."""
+    """Per-joint collision primitives in SoA form (collision_geometry.h:22-170
+    TaperedCapsule/Ellipsoid/Box): transform in parent-joint frame (8-param
+    skel_state) plus per-type shape fields. `ptype` selects the primitive
+    kind per row; the unused shape fields of a row are zero. Capsule-only
+    geometry (the common case) leaves the optional fields at None."""
 
     parent: jnp.ndarray  # (C,) int32
     transform: jnp.ndarray  # (C, 8) local skel_state
-    radius: jnp.ndarray  # (C, 2)
-    length: jnp.ndarray  # (C,)
+    radius: jnp.ndarray  # (C, 2) tapered-capsule endpoint radii
+    length: jnp.ndarray  # (C,) capsule length along local x
+    # 0 = tapered capsule, 1 = ellipsoid, 2 = box (None ⇒ all capsules)
+    ptype: Optional[jnp.ndarray] = None  # (C,) int32
+    ellipsoid_radii: Optional[jnp.ndarray] = None  # (C, 3)
+    box_half_extents: Optional[jnp.ndarray] = None  # (C, 3)
 
     @property
     def num_capsules(self) -> int:
         return self.parent.shape[0]
+
+    @property
+    def num_primitives(self) -> int:
+        return self.parent.shape[0]
+
+    def primitive_types(self) -> jnp.ndarray:
+        if self.ptype is None:
+            return jnp.zeros(self.parent.shape, jnp.int32)
+        return self.ptype
+
+    def shape3(self, field) -> jnp.ndarray:
+        arr = getattr(self, field)
+        if arr is None:
+            return jnp.zeros(self.parent.shape + (3,), self.radius.dtype)
+        return arr
 
 
 @jax.tree_util.register_dataclass

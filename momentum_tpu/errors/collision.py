@@ -34,7 +34,8 @@ from momentum_tpu.math import skel_state as ss
 from momentum_tpu.math.geometry import closest_points_on_segments
 from momentum_tpu.math.generalized_loss import GeneralizedLoss
 
-__all__ = ["CollisionErrorFunction", "compute_valid_pairs", "K_COLLISION_WEIGHT"]
+__all__ = ["CollisionErrorFunction", "compute_valid_pairs", "K_COLLISION_WEIGHT",
+           "primitive_states", "support_radius_along"]
 
 K_COLLISION_WEIGHT = 5e-3  # collision_error_function.h:139
 
@@ -56,6 +57,36 @@ def capsule_states(collision, skel_states):
     return t, direction, radii
 
 
+def primitive_states(collision, skel_states):
+    """World-space SoA primitive state (collision_geometry_state.h:20-60):
+    (origin, direction, radii, orientation q, ellipsoid_radii, box_half_extents),
+    all scaled by the parent joint's world scale."""
+    parent_states = jnp.take(skel_states, collision.parent, axis=-2)
+    full = ss.multiply(parent_states, collision.transform)
+    t, q, s = ss.split(full)
+    _, _, s_par = ss.split(parent_states)
+    ex = jnp.zeros_like(t).at[..., 0].set(1.0)
+    from momentum_tpu.math import quaternion as quat
+
+    direction = quat.rotate_vector(q, ex) * s * collision.length[..., None]
+    radii = collision.radius * s_par
+    ell = collision.shape3("ellipsoid_radii") * s
+    box = collision.shape3("box_half_extents") * s
+    return t, direction, radii, q, ell, box
+
+
+def support_radius_along(ptype, q, ell, box, n):
+    """Support radius of a centered primitive along world direction n
+    (plane_collision_query.cpp centeredPrimitiveRadiusAlongDirection):
+    ellipsoid ‖radii ∘ n_local‖; box Σ|h_i·n_local_i|. Branch-free select."""
+    from momentum_tpu.math import quaternion as quat
+
+    n_local = quat.rotate_vector(quat.conjugate(q), jnp.broadcast_to(n, q[..., :3].shape))
+    r_ell = jnp.linalg.norm(ell * n_local, axis=-1)
+    r_box = jnp.sum(jnp.abs(box * n_local), axis=-1)
+    return jnp.where(ptype == 1, r_ell, r_box)
+
+
 def compute_valid_pairs(character) -> np.ndarray:
     """Static (NP, 2) candidate pair list: all capsule pairs except same-joint
     pairs and pairs overlapping at the rest pose (the reference's excluded
@@ -66,11 +97,14 @@ def compute_valid_pairs(character) -> np.ndarray:
     o, d, r = capsule_states(col, rest)
     o, d, r = np.asarray(o), np.asarray(d), np.asarray(r)
     parent = np.asarray(col.parent)
+    ptypes = np.asarray(col.primitive_types())
     pairs = []
     for i in range(n):
         for j in range(i + 1, n):
             if parent[i] == parent[j]:
                 continue
+            if ptypes[i] != 0 or ptypes[j] != 0:
+                continue  # capsule-capsule narrowphase only (as upstream)
             s, t, dist = (np.asarray(x) for x in closest_points_on_segments(
                 jnp.asarray(o[i]), jnp.asarray(d[i]), jnp.asarray(o[j]), jnp.asarray(d[j])))
             delta_i = r[i, 1] - r[i, 0]
@@ -150,15 +184,21 @@ class PlaneCollisionErrorFunction(VectorErrorFunction):
         return self.pweight.shape[0]
 
     def raw(self, character, ctx: EvalContext):
-        o, d, r = capsule_states(character.collision, ctx.skel_states)
+        col = character.collision
+        o, d, r, q, ell, box = primitive_states(col, ctx.skel_states)
+        n = self.plane_normal
+        # capsule: worst endpoint overlap (plane_collision_query.cpp:181-199)
         p0 = o
         p1 = o + d
-        n = self.plane_normal
         d0 = jnp.einsum("...i,i->...", p0, n) - self.plane_offset
         d1 = jnp.einsum("...i,i->...", p1, n) - self.plane_offset
-        over0 = r[..., 0] - d0
-        over1 = r[..., 1] - d1
-        overlap = jnp.maximum(jnp.maximum(over0, over1), 0.0)
+        over_cap = jnp.maximum(r[..., 0] - d0, r[..., 1] - d1)
+        # ellipsoid/box: center distance vs support radius along the normal
+        # (plane_collision_query.cpp:200-228)
+        ptype = col.primitive_types()
+        r_sup = support_radius_along(ptype, q, ell, box, n)
+        over_cen = r_sup - d0
+        overlap = jnp.maximum(jnp.where(ptype == 0, over_cap, over_cen), 0.0)
         return overlap[..., None], self.pweight * K_COLLISION_WEIGHT
 
     @classmethod

@@ -4,6 +4,14 @@
 wrappers lower to a path ~80× slower for batched small matrices (measured
 9.85 ms vs 0.13 ms for 2048×31×31 on v5e); the raw lax.linalg cholesky +
 two triangular solves hit the fast batched kernels directly.
+
+For larger n (the 157-parameter full-body rig), XLA's own batched Cholesky
+is column-at-a-time — every one of the n steps re-touches the full (B, n, n)
+matrix, ~n passes over HBM (measured 92 ms for (2048, 157, 157) on v5e where
+the bandwidth bound is < 1 ms). `blocked_cholesky` restores the blocked
+right-looking algorithm: per 32-wide panel, one small Cholesky + one
+triangular inverse + MXU matmuls for the trailing syrk update — O(n/32)
+passes instead of O(n).
 """
 
 from __future__ import annotations
@@ -11,15 +19,101 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["psd_solve"]
+__all__ = ["psd_solve", "blocked_cholesky", "blocked_cholesky_solve"]
+
+_BLOCK = 32
+# below this size XLA's native path wins (fewer dispatches)
+_BLOCKED_MIN_N = 64
+
+
+def _tri_inv(l: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a small (..., k, k) lower-triangular block."""
+    eye = jnp.broadcast_to(jnp.eye(l.shape[-1], dtype=l.dtype), l.shape)
+    return jax.lax.linalg.triangular_solve(
+        l, eye, left_side=True, lower=True)
+
+
+def blocked_cholesky(a: jnp.ndarray, block: int = _BLOCK):
+    """Blocked right-looking Cholesky of SPD a (..., n, n) with n % block == 0.
+
+    Returns (l, linvs) — the lower factor and the per-panel inverses of
+    its diagonal blocks (reused by the blocked substitutions)."""
+    n = a.shape[-1]
+    nb = n // block
+    mm = jnp.matmul
+    cols = []       # (..., n - k*block, block) panels of L
+    linvs = []      # (..., block, block) inverses of diagonal blocks
+    trail = a       # trailing submatrix, shrinks by `block` each step
+    for _ in range(nb):
+        dkk = trail[..., :block, :block]
+        lkk = jax.lax.linalg.cholesky(dkk)
+        linv = _tri_inv(lkk)
+        a21 = trail[..., block:, :block]
+        # L21 = A21 · Lkk^{-T}  (pure matmul on the MXU)
+        l21 = mm(a21, jnp.swapaxes(linv, -1, -2))
+        cols.append(jnp.concatenate([lkk, l21], axis=-2))
+        linvs.append(linv)
+        # trailing update: A22 − L21·L21ᵀ (one syrk matmul, O(1) passes)
+        a22 = trail[..., block:, block:]
+        trail = a22 - mm(l21, jnp.swapaxes(l21, -1, -2))
+    batch = a.shape[:-2]
+    full = []
+    for k, c in enumerate(cols):
+        top = jnp.zeros(batch + (k * block, block), a.dtype)
+        full.append(jnp.concatenate([top, c], axis=-2))
+    l = jnp.concatenate(full, axis=-1)
+    return l, linvs
+
+
+def blocked_cholesky_solve(l, linvs, b: jnp.ndarray, block: int = _BLOCK):
+    """Solve L Lᵀ x = b given blocked_cholesky output. b (..., n, k)."""
+    n = l.shape[-1]
+    nb = n // block
+    mm = jnp.matmul
+    # forward: y_k = Lkk^{-1} (b_k − Σ_{j<k} L[k,j] y_j)
+    ys = []
+    for k in range(nb):
+        rhs = b[..., k * block:(k + 1) * block, :]
+        for j in range(k):
+            lkj = l[..., k * block:(k + 1) * block, j * block:(j + 1) * block]
+            rhs = rhs - mm(lkj, ys[j])
+        ys.append(mm(linvs[k], rhs))
+    # backward: x_k = Lkk^{-T} (y_k − Σ_{j>k} L[j,k]ᵀ x_j)
+    xs = [None] * nb
+    for k in reversed(range(nb)):
+        rhs = ys[k]
+        for j in range(k + 1, nb):
+            ljk = l[..., j * block:(j + 1) * block, k * block:(k + 1) * block]
+            rhs = rhs - mm(jnp.swapaxes(ljk, -1, -2), xs[j])
+        xs[k] = mm(jnp.swapaxes(linvs[k], -1, -2), rhs)
+    return jnp.concatenate(xs, axis=-2)
 
 
 def psd_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve a x = b for SPD a. a (..., n, n); b (..., n) or (..., n, k)."""
-    l = jax.lax.linalg.cholesky(a)
     vec = b.ndim == a.ndim - 1
     rhs = b[..., None] if vec else b
-    y = jax.lax.linalg.triangular_solve(l, rhs, left_side=True, lower=True)
-    x = jax.lax.linalg.triangular_solve(l, y, left_side=True, lower=True,
-                                        transpose_a=True)
+    n = a.shape[-1]
+    if n >= _BLOCKED_MIN_N:
+        pad = (-n) % _BLOCK
+        if pad:
+            # embed in a block-diagonal [[a, 0], [0, I]] — same solution
+            a = jnp.concatenate(
+                [jnp.concatenate(
+                    [a, jnp.zeros(a.shape[:-2] + (n, pad), a.dtype)], -1),
+                 jnp.concatenate(
+                     [jnp.zeros(a.shape[:-2] + (pad, n), a.dtype),
+                      jnp.broadcast_to(jnp.eye(pad, dtype=a.dtype),
+                                       a.shape[:-2] + (pad, pad))], -1)], -2)
+            rhs = jnp.concatenate(
+                [rhs, jnp.zeros(rhs.shape[:-2] + (pad,) + rhs.shape[-1:],
+                                rhs.dtype)], -2)
+        l, linvs = blocked_cholesky(a)
+        x = blocked_cholesky_solve(l, linvs, rhs)
+        x = x[..., :n, :]
+    else:
+        l = jax.lax.linalg.cholesky(a)
+        y = jax.lax.linalg.triangular_solve(l, rhs, left_side=True, lower=True)
+        x = jax.lax.linalg.triangular_solve(l, y, left_side=True, lower=True,
+                                            transpose_a=True)
     return x[..., 0] if vec else x

@@ -64,7 +64,8 @@ def _fk_kernel(n_levels, perm_ref, local_ref, out_ref):
     for lev in range(n_levels):
         perm = perm_ref[lev]
         parent = [
-            jnp.dot(perm, g[c], preferred_element_type=jnp.float32) for c in range(8)
+            jnp.dot(perm, g[c], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST) for c in range(8)
         ]
         g = list(_compose(parent, g))
     for c in range(8):
