@@ -82,7 +82,11 @@ def support_radius_along(ptype, q, ell, box, n):
     from momentum_tpu.math import quaternion as quat
 
     n_local = quat.rotate_vector(quat.conjugate(q), jnp.broadcast_to(n, q[..., :3].shape))
-    r_ell = jnp.linalg.norm(ell * n_local, axis=-1)
+    # safe norm: capsule rows carry zero radii and the unselected branch must
+    # not emit NaN gradients (0-cotangent × d‖0‖ = NaN otherwise)
+    sq = jnp.sum(jnp.square(ell * n_local), axis=-1)
+    r_ell = jnp.sqrt(jnp.maximum(sq, 1e-20))
+    r_ell = jnp.where(sq > 0, r_ell, 0.0)
     r_box = jnp.sum(jnp.abs(box * n_local), axis=-1)
     return jnp.where(ptype == 1, r_ell, r_box)
 
