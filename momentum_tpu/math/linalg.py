@@ -26,11 +26,45 @@ _BLOCK = 32
 _BLOCKED_MIN_N = 64
 
 
+def _chol_unrolled(a: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky of a small (..., k, k) SPD block, fully unrolled.
+
+    XLA's lax.linalg.cholesky lowers to a While loop whose per-step overhead
+    dominates at these sizes on TPU; k unrolled column stages fuse instead."""
+    k = a.shape[-1]
+    l = jnp.zeros_like(a)
+    for j in range(k):
+        col = a[..., j:, j]
+        if j:
+            col = col - jnp.einsum(
+                "...im,...m->...i", l[..., j:, :j], l[..., j, :j])
+        d = jnp.sqrt(col[..., :1])
+        l = l.at[..., j:, j].set(col / d)
+    return l
+
+
 def _tri_inv(l: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of a small (..., k, k) lower-triangular block."""
-    eye = jnp.broadcast_to(jnp.eye(l.shape[-1], dtype=l.dtype), l.shape)
-    return jax.lax.linalg.triangular_solve(
-        l, eye, left_side=True, lower=True)
+    """Inverse of a small (..., k, k) lower-triangular block (k a power of 2
+    times an odd base ≤ 2) via breadth-batched block recursion:
+    inv([[A,0],[B,C]]) = [[A⁻¹,0],[−C⁻¹ B A⁻¹, C⁻¹]], with the two halves
+    stacked on the batch axis so each level is O(1) batched matmuls."""
+    k = l.shape[-1]
+    if k == 1:
+        return 1.0 / l
+    if k % 2:
+        eye = jnp.broadcast_to(jnp.eye(k, dtype=l.dtype), l.shape)
+        return jax.lax.linalg.triangular_solve(l, eye, left_side=True,
+                                               lower=True)
+    h = k // 2
+    batch = l.shape[:-2]
+    sub = jnp.stack([l[..., :h, :h], l[..., h:, h:]], axis=0)
+    inv = _tri_inv(sub)
+    i11, i22 = inv[0], inv[1]
+    i21 = -jnp.matmul(i22, jnp.matmul(l[..., h:, :h], i11))
+    top = jnp.concatenate(
+        [i11, jnp.zeros(batch + (h, h), l.dtype)], axis=-1)
+    bot = jnp.concatenate([i21, i22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def blocked_cholesky(a: jnp.ndarray, block: int = _BLOCK):
@@ -46,7 +80,7 @@ def blocked_cholesky(a: jnp.ndarray, block: int = _BLOCK):
     trail = a       # trailing submatrix, shrinks by `block` each step
     for _ in range(nb):
         dkk = trail[..., :block, :block]
-        lkk = jax.lax.linalg.cholesky(dkk)
+        lkk = _chol_unrolled(dkk)
         linv = _tri_inv(lkk)
         a21 = trail[..., block:, :block]
         # L21 = A21 · Lkk^{-T}  (pure matmul on the MXU)
