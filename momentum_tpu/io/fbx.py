@@ -24,7 +24,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["load_fbx"]
+__all__ = ["load_fbx", "load_fbx_with_motion"]
 
 _MAGIC = b"Kaydara FBX Binary  \x00"
 
@@ -162,6 +162,11 @@ def _euler_xyz_deg_to_quat(rx, ry, rz):
 
 def load_fbx(path):
     """→ Character (skeleton + optional skinned mesh)."""
+    character, _ctx = _load_fbx_impl(path)
+    return character
+
+
+def _load_fbx_impl(path):
     import jax.numpy as jnp
 
     from momentum_tpu.character import (
@@ -187,7 +192,15 @@ def load_fbx(path):
     geoms = {}
     clusters = {}
     skins = {}
+    anim_curves = {}
+    anim_curve_nodes = {}
     for node in objects.children:
+        if node.name == "AnimationCurve":
+            anim_curves[node.props[0]] = node
+            continue
+        if node.name == "AnimationCurveNode":
+            anim_curve_nodes[node.props[0]] = node
+            continue
         if node.name == "Model":
             uid = node.props[0]
             mtype = node.props[2] if len(node.props) > 2 else ""
@@ -201,9 +214,10 @@ def load_fbx(path):
             elif sub == "Skin":
                 skins[node.props[0]] = node
 
-    # connections: child -> parent (OO)
+    # connections: child -> parent (OO); OP links carry the target property
     parent_of = {}
     links = []  # (src, dst)
+    op_links = []  # (src, dst, property)
     if connections is not None:
         for c in connections.children:
             if c.name == "C" and len(c.props) >= 3 and c.props[0] == "OO":
@@ -211,6 +225,8 @@ def load_fbx(path):
                 links.append((src, dst))
                 if src in models and (dst in models or dst == 0):
                     parent_of[src] = dst
+            elif c.name == "C" and len(c.props) >= 4 and c.props[0] == "OP":
+                op_links.append((c.props[1], c.props[2], c.props[3]))
 
     # joints = models whose type is LimbNode/Root/Null reachable in hierarchy
     joint_types = {"LimbNode", "Root", "Null", "Skeleton"}
@@ -237,6 +253,7 @@ def load_fbx(path):
 
     uid_to_idx = {u: i for i, u in enumerate(order)}
     names, parents, pre, offs = [], [], [], []
+    rest_rot, rest_scale = [], []
     for uid in order:
         node, _ = models[uid]
         raw_name = node.props[1] if len(node.props) > 1 else f"j{uid}"
@@ -247,6 +264,7 @@ def load_fbx(path):
         t = [0.0, 0.0, 0.0]
         r = [0.0, 0.0, 0.0]
         pr = [0.0, 0.0, 0.0]
+        sc = [1.0, 1.0, 1.0]
         p70 = node.first("Properties70")
         if p70 is not None:
             for pn in p70.children:
@@ -257,6 +275,10 @@ def load_fbx(path):
                     r = [float(x) for x in pn.props[4:7]]
                 elif key == "PreRotation":
                     pr = [float(x) for x in pn.props[4:7]]
+                elif key == "Lcl Scaling":
+                    sc = [float(x) for x in pn.props[4:7]]
+        rest_rot.append(r)
+        rest_scale.append(sc[0])
         q_pre = _euler_xyz_deg_to_quat(*pr)
         q_rot = _euler_xyz_deg_to_quat(*r)
         x1, y1, z1, w1 = q_pre
@@ -330,4 +352,105 @@ def load_fbx(path):
     )
     if mesh is not None and skin_weights is not None:
         character = character.with_inverse_bind_pose()
-    return character
+    ctx = dict(
+        uid_to_idx=uid_to_idx, op_links=op_links, anim_curves=anim_curves,
+        anim_curve_nodes=anim_curve_nodes, rest_rot=np.asarray(rest_rot),
+        rest_scale=np.asarray(rest_scale),
+        translation_offset=np.asarray(offs, np.float64),
+    )
+    return character, ctx
+
+
+_KTIME_PER_SECOND = 46186158000.0  # FBX KTime ticks per second
+
+
+def _curve_channels(ctx, curve_node_uid):
+    """dict axis('X'/'Y'/'Z') → (times_sec, values) for one AnimationCurveNode."""
+    out = {}
+    for (src, dst, prop) in ctx["op_links"]:
+        if dst != curve_node_uid or src not in ctx["anim_curves"]:
+            continue
+        axis = prop.split("|")[-1].strip("\x00 ")
+        cur = ctx["anim_curves"][src]
+        tnode = cur.first("KeyTime")
+        vnode = cur.first("KeyValueFloat")
+        if tnode is None or vnode is None:
+            continue
+        times = np.asarray(tnode.props[0], np.float64) / _KTIME_PER_SECOND
+        vals = np.asarray(vnode.props[0], np.float64)
+        if times.size:
+            out[axis] = (times, vals)
+    return out
+
+
+def _curve_defaults(node):
+    """AnimationCurveNode Properties70 d|X/d|Y/d|Z defaults."""
+    d = {"X": 0.0, "Y": 0.0, "Z": 0.0}
+    p70 = node.first("Properties70")
+    if p70 is not None:
+        for pn in p70.children:
+            key = (pn.props[0] if pn.props else "").strip("\x00")
+            if key in ("d|X", "d|Y", "d|Z") and len(pn.props) >= 5:
+                d[key[-1]] = float(pn.props[4])
+    return d
+
+
+def load_fbx_with_motion(path, fps: float = 120.0):
+    """→ (Character, motion (F, nJ·7) float32, fps).
+
+    Reference: io/fbx/fbx_io.h:49-63 loadFbxCharacterWithMotion +
+    openfbx_loader.cpp:1087-1210 — sample the Lcl Translation / Lcl Rotation /
+    Lcl Scaling animation curves at `fps` with linear interpolation into
+    7-per-joint parameters: translation minus the rest translationOffset,
+    rotation Euler XYZ degrees→radians, uniform scale stored log2. Channels
+    without curves keep the rest pose (rotation/scale only — rest translation
+    lives in the skeleton's translationOffset).
+    """
+    character, ctx = _load_fbx_impl(path)
+    nj = character.skeleton.num_joints
+    uid_to_idx = ctx["uid_to_idx"]
+
+    # gather (joint, mode, curve_node) with mode 0=T 1=R 2=S
+    tracks = []
+    t_max = 0.0
+    for (src, dst, prop) in ctx["op_links"]:
+        if src not in ctx["anim_curve_nodes"] or dst not in uid_to_idx:
+            continue
+        pname = prop.strip("\x00 ")
+        mode = {"Lcl Translation": 0, "Lcl Rotation": 1,
+                "Lcl Scaling": 2}.get(pname)
+        if mode is None:
+            continue
+        chans = _curve_channels(ctx, src)
+        for times, _ in chans.values():
+            t_max = max(t_max, float(times[-1]))
+        tracks.append((uid_to_idx[dst], mode,
+                       _curve_defaults(ctx["anim_curve_nodes"][src]), chans))
+
+    num_frames = int(np.ceil(t_max * fps)) + 1
+    motion = np.zeros((num_frames, nj * 7), np.float32)
+    # rest fill (openfbx_loader.cpp:1121-1136): rotations + log2 scale
+    motion[:, 3::7] = np.deg2rad(ctx["rest_rot"][:, 0])
+    motion[:, 4::7] = np.deg2rad(ctx["rest_rot"][:, 1])
+    motion[:, 5::7] = np.deg2rad(ctx["rest_rot"][:, 2])
+    motion[:, 6::7] = np.log2(np.maximum(ctx["rest_scale"], 1e-12))
+
+    sample_t = np.arange(num_frames, dtype=np.float64) / fps
+    for (j, mode, defaults, chans) in tracks:
+        vals = np.empty((num_frames, 3), np.float64)
+        for a, axis in enumerate("XYZ"):
+            if axis in chans:
+                times, v = chans[axis]
+                vals[:, a] = np.interp(sample_t, times, v)
+            else:
+                vals[:, a] = defaults[axis]
+        base = j * 7
+        if mode == 0:
+            motion[:, base:base + 3] = (
+                vals - ctx["translation_offset"][j][None, :]).astype(np.float32)
+        elif mode == 1:
+            motion[:, base + 3:base + 6] = np.deg2rad(vals).astype(np.float32)
+        else:
+            motion[:, base + 6] = np.log2(
+                np.maximum(vals.mean(axis=1), 1e-12)).astype(np.float32)
+    return character, motion, float(fps)

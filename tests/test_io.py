@@ -319,3 +319,27 @@ class TestLegacyJson:
             np.asarray(c2.skeleton.pre_rotation),
             np.asarray(char.skeleton.pre_rotation), atol=1e-6)
         assert c2.locators.num_locators == char.locators.num_locators
+
+
+class TestFbxMotion:
+    def test_reference_animation_fbx_motion(self):
+        path = "/root/reference/pymomentum/test/resources/animation_test.fbx"
+        if not __import__("os").path.exists(path):
+            import pytest
+            pytest.skip("reference asset unavailable")
+        import numpy as np
+        from momentum_tpu.io.fbx import load_fbx_with_motion
+
+        char, motion, fps = load_fbx_with_motion(path, fps=30.0)
+        assert fps == 30.0
+        assert motion.shape[1] == char.skeleton.num_joints * 7
+        assert motion.shape[0] > 1
+        # the asset animates joints: sampled motion is non-constant
+        assert np.abs(motion - motion[0]).max() > 1e-3
+        # FK over the sampled motion is finite and moves joints
+        import jax.numpy as jnp
+        from momentum_tpu.character.fk import global_skel_states
+        st = global_skel_states(char.skeleton, jnp.asarray(motion))
+        assert bool(jnp.all(jnp.isfinite(st)))
+        disp = np.abs(np.asarray(st[0][:, :3] - st[-1][:, :3])).max()
+        assert disp > 1.0
