@@ -34,8 +34,9 @@ def main():
     from momentum_tpu.solver.gauss_newton import solve_levenberg_marquardt
     from momentum_tpu.testing.fixtures import create_fullbody_character
 
-    batch = 2048
-    iters = 6
+    import os
+    batch = int(os.environ.get("MOMENTUM_TPU_BENCH_BATCH", 2048))
+    iters = int(os.environ.get("MOMENTUM_TPU_BENCH_ITERS", 6))
 
     char = create_fullbody_character()
     rng = np.random.default_rng(0)

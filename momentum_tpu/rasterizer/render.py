@@ -182,3 +182,68 @@ def render_mesh_textured(camera, vertices, faces, texcoords, texture,
     color = jnp.where(out["mask"][..., None], albedo * shade, 0.0)
     out["color"] = color
     return out
+
+
+def _light_basis(light_dir):
+    """Orthonormal frame whose +z looks ALONG the light direction."""
+    z = light_dir / jnp.linalg.norm(light_dir)
+    up = jnp.where(jnp.abs(z[1]) < 0.9, jnp.asarray([0.0, 1.0, 0.0]),
+                   jnp.asarray([1.0, 0.0, 0.0]))
+    x = jnp.cross(up, z)
+    x = x / jnp.linalg.norm(x)
+    y = jnp.cross(z, x)
+    return jnp.stack([x, y, z])  # (3, 3) rows
+
+
+def render_shadow_map(vertices, faces, light_dir, resolution: int = 256,
+                      chunk: int = 64):
+    """Orthographic depth map from the light's point of view (the shadow-map
+    pass of the reference rasterizer). Returns (depth (R, R), to_light fn)
+    where to_light maps world points → (u, v, z) in shadow-map coordinates."""
+    basis = _light_basis(jnp.asarray(light_dir, vertices.dtype))
+    local = vertices @ basis.T  # x, y across the beam; z along the light
+    lo = jnp.min(local, axis=0)
+    hi = jnp.max(local, axis=0)
+    span = jnp.maximum(hi[:2] - lo[:2], 1e-6)
+    scale = (resolution - 1) / span
+    # z shifted positive (rasterize draws z > 0 only)
+    z0 = lo[2] - 1.0
+
+    def to_light(points):
+        l = points @ basis.T
+        uv = (l[..., :2] - lo[:2]) * scale
+        return jnp.concatenate([uv, (l[..., 2:] - z0)], axis=-1)
+
+    buf = rasterize(to_light(vertices), faces, resolution, resolution, chunk)
+    return buf["depth"], to_light
+
+
+def shadow_factor(shadow_depth, light_uvz, bias: float = 5e-2):
+    """1.0 where lit, 0.0 where occluded, from a shadow-map lookup."""
+    res = shadow_depth.shape[0]
+    u = jnp.clip(jnp.round(light_uvz[..., 0]).astype(jnp.int32), 0, res - 1)
+    v = jnp.clip(jnp.round(light_uvz[..., 1]).astype(jnp.int32), 0, res - 1)
+    occluder = shadow_depth[v, u]
+    return jnp.where(light_uvz[..., 2] <= occluder + bias, 1.0, 0.0)
+
+
+def render_mesh_shadowed(camera, vertices, faces, width: int, height: int,
+                         light_dir=(0.3, -0.7, 0.6), shadow_resolution: int = 256,
+                         shadow_bias: float = 5e-2, chunk: int = 64):
+    """Lambert render with shadow mapping (rasterizer.h shadow maps): a depth
+    pass from the light, then per-pixel occlusion tests on reconstructed
+    world positions."""
+    light = jnp.asarray(light_dir, vertices.dtype)
+    out = render_mesh(camera, vertices, faces, width, height,
+                      light_dir=light_dir, chunk=chunk)
+    sdepth, to_light = render_shadow_map(vertices, faces, light,
+                                         shadow_resolution, chunk)
+    world = interpolate_attribute(out, faces, vertices)  # (H, W, 3)
+    lit = shadow_factor(sdepth, to_light(world), shadow_bias)
+    lit = jnp.where(out["mask"], lit, 0.0)
+    ambient = 0.15
+    # scale the diffuse part by the shadow factor (ambient stays)
+    color = out["color"] * (ambient + (1 - ambient) * lit[..., None])
+    out["color"] = jnp.where(out["mask"][..., None], color, 0.0)
+    out["shadow"] = lit
+    return out

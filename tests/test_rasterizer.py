@@ -80,3 +80,36 @@ def test_textured_render():
     assert mask.sum() > 20
     # checker produces both lit and dark pixels inside the mask
     assert col[mask].max() > 0.3 and col[mask].min() < 0.05
+
+
+def test_shadow_map_occlusion():
+    """Two horizontal quads stacked along -y light: the lower one is shadowed
+    where the upper one covers it."""
+    import numpy as np
+    from momentum_tpu.rasterizer import render_mesh_shadowed
+
+    # upper small quad (occluder) at y=2 over x,z in [-0.5, 0.5];
+    # lower big quad at y=0 over x,z in [-2, 2]
+    verts = jnp.asarray([
+        [-0.5, 2.0, -0.5], [0.5, 2.0, -0.5], [0.5, 2.0, 0.5], [-0.5, 2.0, 0.5],
+        [-2.0, 0.0, -2.0], [2.0, 0.0, -2.0], [2.0, 0.0, 2.0], [-2.0, 0.0, 2.0],
+    ])
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], jnp.int32)
+    cam = Camera.create(
+        PinholeIntrinsics.create(60.0, 60.0, 32.0, 32.0),
+        # look down from above-front
+        ss.join(jnp.asarray([0.0, -1.0, 8.0]), jnp.asarray([0.3, 0, 0, 0.954]),
+                jnp.ones(1)))
+    out = render_mesh_shadowed(cam, verts, faces, 64, 64,
+                               light_dir=(0.0, -1.0, 0.0),
+                               shadow_resolution=128)
+    import numpy as np
+    mask = np.asarray(out["mask"])
+    lit = np.asarray(out["shadow"])
+    assert mask.sum() > 50
+    # some visible pixels are lit and some are shadowed
+    assert (lit[mask] > 0.5).any()
+    assert (lit[mask] < 0.5).any()
+    # shadowed pixels are darker than lit pixels of the same surface
+    col = np.asarray(out["color"]).max(-1)
+    assert col[mask & (lit > 0.5)].mean() > col[mask & (lit < 0.5)].mean()
