@@ -69,11 +69,14 @@ class GaussNewtonSolver(_SolverBase):
 
 
 class GaussNewtonSolverQR(GaussNewtonSolver):
-    """The reference's QR variant exists because streaming Householder QR was
-    its memory-efficient factorization (gauss_newton_solver_qr.h). On TPU the
-    dense masked normal equations with a batched Cholesky are both faster and
-    exact for the same step, so this is the same solve — kept as a name for
-    ported code."""
+    """gauss_newton_solver_qr.h equivalent: the damped step is computed by a
+    QR factorization of [J; √λ·I] instead of the normal equations — the same
+    √κ conditioning advantage as the reference's streaming Householder QR
+    (online_householder_qr.h), as one batched dense factorization."""
+
+    def __init__(self, solver_function, options: SolverOptions = SolverOptions()):
+        super().__init__(solver_function,
+                         dataclasses.replace(options, linear_solver="qr"))
 
 
 class SubsetGaussNewtonSolver(GaussNewtonSolver):
@@ -82,9 +85,13 @@ class SubsetGaussNewtonSolver(GaussNewtonSolver):
 
 
 class TrustRegionQR(_SolverBase):
-    """trust_region_qr.h equivalent (adaptive-damping LM)."""
+    """trust_region_qr.h equivalent (adaptive-damping LM on the QR path)."""
 
     method = "levenberg_marquardt"
+
+    def __init__(self, solver_function, options: SolverOptions = SolverOptions()):
+        super().__init__(solver_function,
+                         dataclasses.replace(options, linear_solver="qr"))
 
 
 class SequenceSolver:

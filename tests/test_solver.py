@@ -210,3 +210,52 @@ class TestLimits:
         x_out = x_in.at[0].set(0.5)  # limit on param 0 is [-0.1, 0.1]
         # error = kLimitWeight * w * (0.4)^2
         np.testing.assert_allclose(float(fn.error(x_out)), 10.0 * 0.4**2, rtol=1e-5)
+
+
+def test_qr_linear_solver_matches_cholesky():
+    """The QR path computes the same damped step as the normal equations."""
+    import dataclasses as dc
+    from momentum_tpu.solver.gauss_newton import (
+        SolverOptions, solve_gauss_newton, solve_levenberg_marquardt)
+
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.normal(0, 1, (10, 4)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 1, (10,)), jnp.float32)
+
+    def residual(x):
+        return A @ x - b
+
+    def energy(x):
+        r = residual(x)
+        return jnp.sum(r * r)
+
+    x0 = jnp.zeros(4)
+    for solver in (solve_gauss_newton, solve_levenberg_marquardt):
+        res_c = solver(residual, energy, x0,
+                       options=SolverOptions(max_iterations=8))
+        res_q = solver(residual, energy, x0,
+                       options=SolverOptions(max_iterations=8,
+                                             linear_solver="qr"))
+        np.testing.assert_allclose(np.asarray(res_c.params),
+                                   np.asarray(res_q.params), atol=2e-4)
+    # least-squares optimum reached
+    xstar = np.linalg.lstsq(np.asarray(A), np.asarray(b), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(res_q.params), xstar, atol=1e-3)
+
+
+def test_qr_solver_classes_use_qr():
+    from momentum_tpu.solver.solvers import GaussNewtonSolverQR, TrustRegionQR
+    from momentum_tpu.testing.fixtures import create_test_character
+    from momentum_tpu.errors import PositionErrorFunction
+    from momentum_tpu.solver import SkeletonSolverFunction
+
+    char = create_test_character(4)
+    ef = PositionErrorFunction.create(
+        np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+        np.zeros((char.locators.num_locators, 3)))
+    fn = SkeletonSolverFunction(char, (ef,))
+    for cls in (GaussNewtonSolverQR, TrustRegionQR):
+        sol = cls(fn)
+        assert sol.options.linear_solver == "qr"
+        out = sol.solve(jnp.zeros(char.num_model_parameters))
+        assert np.all(np.isfinite(np.asarray(out)))
