@@ -1,0 +1,140 @@
+"""Offline motion viewer: render posed characters to image sequences.
+
+Reference surface: momentum/gui/ (rerun log helpers: logCharacter, logMesh,
+logMarkers, glb_viewer app). Without a live-viewer runtime the equivalent is
+batch rendering: FK + skinning + z-buffer rasterizer per frame, with optional
+skeleton/marker overlays, exported as frames or an animated GIF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "auto_camera",
+    "render_motion",
+    "draw_skeleton",
+    "draw_markers",
+    "save_motion_gif",
+]
+
+
+def auto_camera(points, width: int, height: int, fov_scale: float = 1.2):
+    """Frame a point cloud: camera on +z looking at the bbox center."""
+    from momentum_tpu.camera import Camera, PinholeIntrinsics
+    from momentum_tpu.math import skel_state as ss
+
+    pts = np.asarray(points).reshape(-1, 3)
+    lo, hi = pts.min(0), pts.max(0)
+    center = (lo + hi) / 2
+    radius = max(float(np.linalg.norm(hi - lo)) / 2, 1e-3)
+    f = 0.5 * min(width, height)
+    dist = fov_scale * radius * 2.0
+    # world→camera with identity rotation: the bbox center lands at
+    # camera-space (0, 0, dist), in front of the camera (+z forward)
+    t = np.asarray([0.0, 0.0, dist]) - center
+    intr = PinholeIntrinsics.create(f, f, width / 2.0, height / 2.0)
+    pose = ss.join(jnp.asarray(t, jnp.float32),
+                   jnp.asarray([0.0, 0.0, 0.0, 1.0]), jnp.ones(1))
+    return Camera.create(intr, pose)
+
+
+def _posed_vertices(character, model_params):
+    ctx_states = character.skeleton_states(model_params)
+    if character.mesh is None or character.skin_weights is None:
+        return None, ctx_states
+    from momentum_tpu.character.skinning import skin_points
+
+    verts = skin_points(character.skin_weights, ctx_states,
+                        character.inverse_bind_pose, character.mesh.vertices)
+    return verts, ctx_states
+
+
+def render_motion(character, motion, width: int = 256, height: int = 256,
+                  camera=None, light_dir=(0.3, -0.7, 0.6),
+                  skeleton_overlay: bool = False):
+    """Render a (F, P) model-parameter motion → (F, H, W, 3) float colors.
+
+    Frames render sequentially on the host loop (each frame is one jitted
+    rasterizer call); the camera is auto-framed from the first frame unless
+    given."""
+    from momentum_tpu.rasterizer import render_mesh
+
+    motion = jnp.asarray(motion)
+    if motion.ndim == 1:
+        motion = motion[None]
+    frames = []
+    cam = camera
+    for i in range(motion.shape[0]):
+        verts, states = _posed_vertices(character, motion[i])
+        joints = np.asarray(states[..., :3])
+        if cam is None:
+            ref = np.asarray(verts) if verts is not None else joints
+            cam = auto_camera(ref, width, height)
+        if verts is not None:
+            out = render_mesh(cam, verts, character.mesh.faces, width, height,
+                              light_dir=light_dir)
+            img = np.asarray(out["color"])
+        else:
+            img = np.zeros((height, width, 3), np.float32)
+        if skeleton_overlay or verts is None:
+            img = draw_skeleton(img, cam, character.skeleton, states)
+        frames.append(img)
+    return np.stack(frames)
+
+
+def _draw_line(img, x0, y0, x1, y1, color):
+    """Host-side Bresenham segment."""
+    h, w = img.shape[:2]
+    n = int(max(abs(x1 - x0), abs(y1 - y0), 1))
+    xs = np.round(np.linspace(x0, x1, n + 1)).astype(int)
+    ys = np.round(np.linspace(y0, y1, n + 1)).astype(int)
+    ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    img[ys[ok], xs[ok]] = color
+    return img
+
+
+def draw_skeleton(img, camera, skeleton, states, color=(1.0, 0.3, 0.1)):
+    """Overlay bone segments (parent→child) on a rendered frame."""
+    img = np.array(img, copy=True)
+    pts = jnp.asarray(states[..., :3])
+    uvz, valid = camera.project(pts)
+    uvz = np.asarray(uvz)
+    valid = np.asarray(valid)
+    parents = np.asarray(skeleton.joint_parent)
+    for j, p in enumerate(parents):
+        if p < 0 or not (valid[j] and valid[p]):
+            continue
+        img = _draw_line(img, uvz[p, 0], uvz[p, 1], uvz[j, 0], uvz[j, 1],
+                         np.asarray(color, img.dtype))
+    return img
+
+
+def draw_markers(img, camera, positions, color=(0.2, 1.0, 0.2), size: int = 1):
+    """Overlay marker points (logMarkers equivalent)."""
+    img = np.array(img, copy=True)
+    uvz, valid = camera.project(jnp.asarray(positions, jnp.float32))
+    uvz = np.asarray(uvz)
+    valid = np.asarray(valid)
+    h, w = img.shape[:2]
+    for i in range(uvz.shape[0]):
+        if not valid[i]:
+            continue
+        x, y = int(round(uvz[i, 0])), int(round(uvz[i, 1]))
+        x0, x1 = max(x - size, 0), min(x + size + 1, w)
+        y0, y1 = max(y - size, 0), min(y + size + 1, h)
+        if x0 < x1 and y0 < y1:
+            img[y0:y1, x0:x1] = np.asarray(color, img.dtype)
+    return img
+
+
+def save_motion_gif(path, character, motion, width: int = 256,
+                    height: int = 256, fps: float = 15.0, **kw) -> None:
+    """Render + export a motion as an animated GIF (glb_viewer equivalent)."""
+    from momentum_tpu.gui.gif import save_gif
+
+    frames = render_motion(character, motion, width, height, **kw)
+    save_gif(path, frames, fps=fps)
