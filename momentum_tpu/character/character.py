@@ -34,6 +34,9 @@ class Mesh:
     faces: jnp.ndarray  # (F, 3) int32
     normals: jnp.ndarray | None = None
     texcoords: jnp.ndarray | None = None
+    # per-face texcoord indices (math/mesh.h texcoord_faces); None ⇒ texcoords
+    # are per-vertex and `faces` indexes them directly
+    texcoord_faces: jnp.ndarray | None = None
     colors: jnp.ndarray | None = None
     confidence: jnp.ndarray | None = None
 

@@ -1,4 +1,8 @@
-from momentum_tpu.errors.base import ErrorFunction, EvalContext  # noqa: F401
+from momentum_tpu.errors.base import (  # noqa: F401
+    ErrorFunction,
+    EvalContext,
+    UnionErrorFunction,
+)
 from momentum_tpu.errors.position import (  # noqa: F401
     ModelParametersErrorFunction,
     OrientationErrorFunction,

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from momentum_tpu.math.generalized_loss import GeneralizedLoss
 
-__all__ = ["EvalContext", "ErrorFunction", "VectorErrorFunction", "pad_rows"]
+__all__ = ["EvalContext", "ErrorFunction", "VectorErrorFunction",
+           "UnionErrorFunction", "pad_rows"]
 
 
 def pad_rows(arr, capacity: int):
@@ -141,3 +142,35 @@ class VectorErrorFunction(ErrorFunction):
 
     def constraint_count(self) -> int:
         raise NotImplementedError
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class UnionErrorFunction(ErrorFunction):
+    """Compose several error functions into one (diff_ik
+    union_error_function.h UnionErrorFunctionT): residual rows are the
+    children's rows concatenated, energy is the sum. Useful wherever a single
+    error-function slot is expected (e.g. IFT inputs)."""
+
+    children: tuple = ()
+    weight: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.ones(()))
+
+    def error(self, character, ctx: EvalContext) -> jnp.ndarray:
+        total = 0.0
+        for c in self.children:
+            total = total + c.error(character, ctx)
+        return self.weight * total
+
+    def residual(self, character, ctx: EvalContext) -> jnp.ndarray:
+        rows = [c.residual(character, ctx) for c in self.children]
+        if not rows:
+            return jnp.zeros(ctx.skel_states.shape[:-2] + (0,))
+        w = jnp.sqrt(self.weight)
+        return jnp.concatenate([w * r for r in rows], axis=-1)
+
+    def num_rows(self) -> int:
+        return sum(c.num_rows() for c in self.children)
+
+    @property
+    def needs_mesh(self) -> bool:
+        return any(getattr(c, "needs_mesh", False) for c in self.children)

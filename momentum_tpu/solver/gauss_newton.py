@@ -38,7 +38,8 @@ import jax.numpy as jnp
 
 from momentum_tpu.math.linalg import psd_solve
 
-__all__ = ["SolverOptions", "SolveResult", "solve_gauss_newton", "solve_levenberg_marquardt"]
+__all__ = ["SolverOptions", "SolveResult", "solve_gauss_newton",
+           "solve_levenberg_marquardt", "solve_gradient_descent"]
 
 _FLT_EPS = float(jnp.finfo(jnp.float32).eps)
 _FLT_MIN = float(jnp.finfo(jnp.float32).tiny)
@@ -180,6 +181,46 @@ def solve_gauss_newton(
             alpha = _line_search(error_fn, x, delta, err, opts.line_search_steps)
             delta = alpha * delta
         x_new = x - delta
+        conv = _converged(last_err, err, opts.threshold)
+        newly_done = (it + 1 >= opts.min_iterations) & conv
+        x = jnp.where(done[..., None], x, x_new) if batched else jnp.where(done, x, x_new)
+        err_out = jnp.where(done, last_err, err)
+        return x, err_out, it + 1, done | newly_done
+
+    def cond(state):
+        _, _, it, done = state
+        return (it < opts.max_iterations) & (~jnp.all(done))
+
+    err_shape = x0.shape[:-1]
+    init = (x0, jnp.broadcast_to(big, err_shape), jnp.asarray(0, jnp.int32),
+            jnp.zeros(err_shape, bool))
+    x, err, it, done = jax.lax.while_loop(cond, body, init)
+    return SolveResult(params=x, error=err, iterations=it, converged=done)
+
+
+def solve_gradient_descent(
+    residual_fn: Callable,
+    error_fn: Callable,
+    x0: jnp.ndarray,
+    enabled_mask: Optional[jnp.ndarray] = None,
+    options: SolverOptions = SolverOptions(),
+    learning_rate: float = 0.01,
+    jacobian_fn: Optional[Callable] = None,
+) -> SolveResult:
+    """Plain first-order descent (gradient_descent_solver.h): per iteration
+    x -= lr·∇E with ∇E = 2·Jᵀr, same convergence test as the GN solvers."""
+    p = x0.shape[-1]
+    mask = jnp.ones(p, x0.dtype) if enabled_mask is None else enabled_mask.astype(x0.dtype)
+    opts = options
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, x0.dtype)
+    batched = x0.ndim > 1
+
+    def body(state):
+        x, last_err, it, done = state
+        rows, jt = _jacobian(residual_fn, x, jacobian_fn)
+        grad = 2.0 * jnp.einsum("...pr,...r->...p", jt * mask[:, None], rows)
+        err = jnp.sum(rows * rows, axis=-1) if opts.energy_from_residual else error_fn(x)
+        x_new = x - learning_rate * grad
         conv = _converged(last_err, err, opts.threshold)
         newly_done = (it + 1 >= opts.min_iterations) & conv
         x = jnp.where(done[..., None], x, x_new) if batched else jnp.where(done, x, x_new)

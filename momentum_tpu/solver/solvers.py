@@ -22,11 +22,13 @@ from momentum_tpu.solver.gauss_newton import (
 from momentum_tpu.solver.skeleton_solver_function import SkeletonSolverFunction
 
 __all__ = [
+    "GradientDescentSolver",
     "GaussNewtonSolver",
     "GaussNewtonSolverQR",
     "SubsetGaussNewtonSolver",
     "TrustRegionQR",
     "SequenceSolver",
+    "SequenceCholeskySolver",
     "MultiposeSolver",
     "solve_multipose",
 ]
@@ -94,6 +96,30 @@ class TrustRegionQR(_SolverBase):
                          dataclasses.replace(options, linear_solver="qr"))
 
 
+class GradientDescentSolver(_SolverBase):
+    """gradient_descent_solver.h equivalent (first-order)."""
+
+    method = "gradient_descent"
+
+    def __init__(self, solver_function, options: SolverOptions = SolverOptions(),
+                 learning_rate: float = 0.01):
+        super().__init__(solver_function, options)
+        self.learning_rate = learning_rate
+
+    def solve(self, params):
+        import jax.numpy as jnp
+
+        from momentum_tpu.solver.gauss_newton import solve_gradient_descent
+
+        fn = self.solver_function
+        res = solve_gradient_descent(
+            fn.residual, fn.error, jnp.asarray(params),
+            self.enabled_parameters, self.options,
+            learning_rate=self.learning_rate)
+        self.last_result = res
+        return res.params
+
+
 class SequenceSolver:
     """sequence_solver.h equivalent."""
 
@@ -109,6 +135,13 @@ class SequenceSolver:
         res = solve_sequence(self.solver_function, per_frame, universal, self.options)
         self.last_result = res
         return res
+
+
+class SequenceCholeskySolver(SequenceSolver):
+    """sequence_cholesky_solver.h equivalent. The TPU implementation already
+    IS the compact banded-normal-equations Cholesky (sequence/solver.py +
+    block_tridiag.py), so this shares SequenceSolver's path; the name exists
+    for ported code."""
 
 
 def solve_multipose(fn, pf0, u0, options: SolverOptions = SolverOptions()):
