@@ -38,12 +38,12 @@ __all__ = ["EvalContext", "ErrorFunction", "VectorErrorFunction",
            "UnionErrorFunction", "pad_rows"]
 
 
-def pad_rows(arr, capacity: int):
-    """Zero-pad a leading-axis table to a static capacity."""
+def pad_rows(arr, capacity: int, fill=0):
+    """Pad a leading-axis table to a static capacity (default zero-fill)."""
     import numpy as np
 
     arr = np.asarray(arr)
-    out = np.zeros((capacity,) + arr.shape[1:], arr.dtype)
+    out = np.full((capacity,) + arr.shape[1:], fill, arr.dtype)
     out[: arr.shape[0]] = arr
     return out
 

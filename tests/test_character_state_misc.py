@@ -136,3 +136,65 @@ def test_split_mesh_by_texture_region():
         a, b, c = verts[f]
         area += 0.5 * abs(np.cross(b[:2] - a[:2], c[:2] - a[:2]))
     assert 0.3 < area < 0.7
+
+
+def test_skinned_locator_triangle_error():
+    import jax
+    from momentum_tpu.errors.skinned_locator import (
+        SkinnedLocatorTriangleErrorFunction,
+    )
+    from momentum_tpu.solver import SkeletonSolverFunction
+
+    char = create_test_character(4).with_inverse_bind_pose()
+    mesh = char.mesh
+    f0 = np.asarray(mesh.faces)[0]
+    # locator skinned to joint 0, rest position = the face centroid
+    centroid = np.asarray(mesh.vertices)[f0].mean(0)
+    ef = SkinnedLocatorTriangleErrorFunction.create(
+        parents=np.asarray([[0, 0]], np.int32),
+        skin_weights=np.asarray([[1.0, 0.0]], np.float32),
+        rest_position=centroid[None],
+        tri_indices=f0[None],
+        bary=np.asarray([[1 / 3, 1 / 3, 1 / 3]], np.float32),
+    )
+    fn = SkeletonSolverFunction(char, (ef,))
+    theta = jnp.zeros(char.num_model_parameters)
+    # at rest, locator == barycentric target → zero error
+    assert float(fn.error(theta)) < 1e-8
+    # posed: still near zero because both sides move with the mesh/skeleton
+    theta2 = theta.at[0].set(0.3)
+    assert float(fn.error(theta2)) < 1e-6
+    # depth shifts the target off the surface → nonzero error
+    import dataclasses as dc
+    ef_d = dc.replace(ef, depth=jnp.asarray([0.5]))
+    fn_d = SkeletonSolverFunction(char, (ef_d,))
+    assert float(fn_d.error(theta)) > 1e-3
+    # gradient finite
+    g = jax.grad(fn_d.error)(theta)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_skinned_locator_triangle_sliding():
+    from momentum_tpu.errors.skinned_locator import (
+        SkinnedLocatorTriangleErrorFunction,
+    )
+    from momentum_tpu.solver import SkeletonSolverFunction
+
+    char = create_test_character(4).with_inverse_bind_pose()
+    mesh = char.mesh
+    faces = np.asarray(mesh.faces)
+    f0 = faces[0]
+    centroid = np.asarray(mesh.vertices)[f0].mean(0)
+    # candidates include the true triangle and a far one; sliding must pick
+    # the near one and give ~zero error
+    ef = SkinnedLocatorTriangleErrorFunction.create(
+        parents=np.asarray([[0, 0]], np.int32),
+        skin_weights=np.asarray([[1.0, 0.0]], np.float32),
+        rest_position=centroid[None],
+        tri_indices=f0[None],
+        bary=np.asarray([[1 / 3, 1 / 3, 1 / 3]], np.float32),
+        candidates=np.asarray([[0, len(faces) - 1]], np.int32),
+        faces=faces,
+    )
+    fn = SkeletonSolverFunction(char, (ef,))
+    assert float(fn.error(jnp.zeros(char.num_model_parameters))) < 1e-6
