@@ -66,6 +66,9 @@ class SolverOptions:
     # FK+residual evaluation per iteration. The reference always evaluates
     # the true robust energy; enable only when losses are L2.
     energy_from_residual: bool = False
+    # Capture per-iteration (error, params) into SolveResult.history
+    # (solver.h:72-77 setStoreHistory). Costs a (maxIter, P) buffer.
+    store_history: bool = False
     # "cholesky": normal equations + blocked Cholesky (fastest on TPU).
     # "qr": damped least-squares via QR of [J; sqrt(λ)·I] — the reference's
     # GaussNewtonSolverQRT/TrustRegionQRT factorization (gauss_newton_solver_
@@ -79,6 +82,10 @@ class SolveResult(NamedTuple):
     error: jnp.ndarray  # final energy (at the pre-step params of the last iteration)
     iterations: jnp.ndarray
     converged: jnp.ndarray
+    # (maxIter,[...]) error / (maxIter, ..., P) parameter trajectories when
+    # SolverOptions.store_history (solver.h:90-92); None otherwise
+    error_history: Optional[jnp.ndarray] = None
+    param_history: Optional[jnp.ndarray] = None
 
 
 def _jacobian(residual_fn: Callable, x: jnp.ndarray, jacobian_fn=None):
@@ -164,7 +171,7 @@ def solve_gauss_newton(
             "vmapped path or disable do_line_search for batch-native solves")
 
     def body(state):
-        x, last_err, it, done = state
+        x, last_err, it, done, hist = state
         rows, jt = _jacobian(residual_fn, x, jacobian_fn)
         jt = jt * mask[:, None]
         if opts.linear_solver == "qr":
@@ -185,17 +192,23 @@ def solve_gauss_newton(
         newly_done = (it + 1 >= opts.min_iterations) & conv
         x = jnp.where(done[..., None], x, x_new) if batched else jnp.where(done, x, x_new)
         err_out = jnp.where(done, last_err, err)
-        return x, err_out, it + 1, done | newly_done
+        if opts.store_history:
+            hist = (hist[0].at[it].set(err), hist[1].at[it].set(x))
+        return x, err_out, it + 1, done | newly_done, hist
 
     def cond(state):
-        _, _, it, done = state
-        return (it < opts.max_iterations) & (~jnp.all(done))
+        return (state[2] < opts.max_iterations) & (~jnp.all(state[3]))
 
     err_shape = x0.shape[:-1]
+    hist0 = (jnp.zeros((opts.max_iterations,) + err_shape, x0.dtype),
+             jnp.zeros((opts.max_iterations,) + x0.shape, x0.dtype)) \
+        if opts.store_history else ()
     init = (x0, jnp.broadcast_to(big, err_shape), jnp.asarray(0, jnp.int32),
-            jnp.zeros(err_shape, bool))
-    x, err, it, done = jax.lax.while_loop(cond, body, init)
-    return SolveResult(params=x, error=err, iterations=it, converged=done)
+            jnp.zeros(err_shape, bool), hist0)
+    x, err, it, done, hist = jax.lax.while_loop(cond, body, init)
+    return SolveResult(params=x, error=err, iterations=it, converged=done,
+                       error_history=hist[0] if opts.store_history else None,
+                       param_history=hist[1] if opts.store_history else None)
 
 
 def solve_gradient_descent(
@@ -256,7 +269,7 @@ def solve_levenberg_marquardt(
     batched = x0.ndim > 1
 
     def body(state):
-        x, err, lam, it, done = state
+        x, err, lam, it, done, hist = state
         rows, jt = _jacobian(residual_fn, x, jacobian_fn)
         jt = jt * mask[:, None]
         diag = jnp.sum(jt * jt, axis=-1)
@@ -289,11 +302,12 @@ def solve_levenberg_marquardt(
         x = jnp.where(done[..., None], x, x_new) if batched else jnp.where(done, x, x_new)
         err_out = jnp.where(done, err, err_new)
         lam_out = jnp.where(done, lam, lam_new)
-        return x, err_out, lam_out, it + 1, done | newly_done
+        if opts.store_history:
+            hist = (hist[0].at[it].set(err_out), hist[1].at[it].set(x))
+        return x, err_out, lam_out, it + 1, done | newly_done, hist
 
     def cond(state):
-        _, _, _, it, done = state
-        return (it < opts.max_iterations) & (~jnp.all(done))
+        return (state[3] < opts.max_iterations) & (~jnp.all(state[4]))
 
     if opts.energy_from_residual:
         r0 = residual_fn(x0)
@@ -301,8 +315,13 @@ def solve_levenberg_marquardt(
     else:
         err0 = error_fn(x0)
     err_shape = x0.shape[:-1]
+    hist0 = (jnp.zeros((opts.max_iterations,) + err_shape, x0.dtype),
+             jnp.zeros((opts.max_iterations,) + x0.shape, x0.dtype)) \
+        if opts.store_history else ()
     init = (x0, jnp.broadcast_to(err0, err_shape),
             jnp.broadcast_to(jnp.asarray(opts.lambda_init, x0.dtype), err_shape),
-            jnp.asarray(0, jnp.int32), jnp.zeros(err_shape, bool))
-    x, err, _, it, done = jax.lax.while_loop(cond, body, init)
-    return SolveResult(params=x, error=err, iterations=it, converged=done)
+            jnp.asarray(0, jnp.int32), jnp.zeros(err_shape, bool), hist0)
+    x, err, _, it, done, hist = jax.lax.while_loop(cond, body, init)
+    return SolveResult(params=x, error=err, iterations=it, converged=done,
+                       error_history=hist[0] if opts.store_history else None,
+                       param_history=hist[1] if opts.store_history else None)

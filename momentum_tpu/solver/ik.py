@@ -20,7 +20,22 @@ from momentum_tpu.solver.gauss_newton import (
 )
 from momentum_tpu.solver.skeleton_solver_function import SkeletonSolverFunction
 
-__all__ = ["solve_ik"]
+__all__ = ["solve_ik", "get_solve_counters", "reset_solve_counters"]
+
+# Global solve counters (tensor_ik.cpp:178-180 nTotalSolveIK /
+# nTotalSolveIKIter). Host-side: incremented when solve_ik is CALLED —
+# inside jit that is once per trace, so treat these as observability hints,
+# not exact execution counts (XLA replays traces without Python).
+_counters = {"n_total_solve_ik": 0, "n_total_solve_ik_iter": 0}
+
+
+def get_solve_counters() -> dict:
+    return dict(_counters)
+
+
+def reset_solve_counters() -> None:
+    _counters["n_total_solve_ik"] = 0
+    _counters["n_total_solve_ik_iter"] = 0
 
 
 def solve_ik(
@@ -36,7 +51,16 @@ def solve_ik(
     (constraint targets batched, character arrays broadcast). NaN results are
     reverted to x0, mirroring tensor_ik.cpp:168-175.
     """
-    if method == "gauss_newton":
+    import numpy as _np
+
+    batch = int(_np.prod(x0.shape[:-1])) if x0.ndim > 1 else 1
+    _counters["n_total_solve_ik"] += batch
+    _counters["n_total_solve_ik_iter"] += batch * options.max_iterations
+    if method == "gradient_descent":
+        from momentum_tpu.solver.gauss_newton import solve_gradient_descent
+
+        solve = solve_gradient_descent
+    elif method == "gauss_newton":
         solve = solve_gauss_newton
     elif method in ("levenberg_marquardt", "trust_region"):
         solve = solve_levenberg_marquardt
@@ -47,4 +71,4 @@ def solve_ik(
                    jacobian_fn=jac_fn)
     bad = ~jnp.all(jnp.isfinite(result.params), axis=-1, keepdims=True)
     params = jnp.where(bad, x0, result.params)
-    return SolveResult(params, result.error, result.iterations, result.converged)
+    return result._replace(params=params)

@@ -56,9 +56,22 @@ class _SolverBase:
         self.last_result = res
         return res.params
 
+    def set_store_history(self, store: bool = True) -> None:
+        """solver.h:72-77 setStoreHistory."""
+        self.options = dataclasses.replace(self.options, store_history=store)
+
     @property
     def error_history(self):
-        return None  # per-iteration history is a debug feature; use SolveResult
+        """Per-iteration energies of the last solve (solver.h:90-92), or None."""
+        if self.last_result is None:
+            return None
+        return self.last_result.error_history
+
+    @property
+    def parameter_history(self):
+        if self.last_result is None:
+            return None
+        return self.last_result.param_history
 
     def get_error(self, params) -> float:
         return float(self.solver_function.error(jnp.asarray(params)))
