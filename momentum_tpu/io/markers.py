@@ -63,15 +63,15 @@ def load_c3d(path) -> RawMarkerData:
     if magic != 0x50:
         raise ValueError(f"not a C3D file (magic byte {magic:#x})")
 
-    # processor type lives in the parameter section header:
-    # 83 = Intel (LE IEEE), 84 = DEC (VAX F_floating, LE ints),
-    # 85 = MIPS/SGI (BE IEEE)
+    # processor type lives in the parameter section header (byte 4 = 83 + x):
+    # 84 = Intel (LE IEEE), 85 = DEC (VAX F_floating, LE ints),
+    # 86 = MIPS/SGI (BE IEEE)
     pstart = (param_block - 1) * 512
     proc = data[pstart + 3]
-    if proc not in (0, 83, 84, 85):
+    if proc not in (0, 83, 84, 85, 86):
         raise ValueError(f"unknown C3D processor type {proc}")
-    end = ">" if proc == 85 else "<"
-    is_dec = proc == 84
+    end = ">" if proc == 86 else "<"
+    is_dec = proc == 85
 
     def _dec_to_f32(raw4: bytes) -> float:
         # VAX F: swap 16-bit words, read LE IEEE, divide by 4

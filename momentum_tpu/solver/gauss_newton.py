@@ -268,9 +268,8 @@ def solve_levenberg_marquardt(
 
     batched = x0.ndim > 1
 
-    def body(state):
-        x, err, lam, it, done, hist = state
-        rows, jt = _jacobian(residual_fn, x, jacobian_fn)
+    def _step(x, rows, jt, lam):
+        """One damped step from the factorization at x."""
         jt = jt * mask[:, None]
         diag = jnp.sum(jt * jt, axis=-1)
         damp = lam[..., None] if batched else lam
@@ -283,12 +282,46 @@ def solve_levenberg_marquardt(
             jtr = jnp.einsum("...pr,...r->...p", jt, rows)
             a = jtj + damp_diag[..., None] * jnp.eye(p, dtype=x.dtype)
             delta = psd_solve(a, jtr) * mask
-        x_trial = x - delta
-        if opts.energy_from_residual:
-            r_trial = residual_fn(x_trial)
-            err_trial = jnp.sum(r_trial * r_trial, axis=-1)
-        else:
-            err_trial = error_fn(x_trial)
+        return x - delta
+
+    # When the energy is the residual norm, carry (rows, Jᵀ) in the loop so
+    # each iteration costs ONE residual+Jacobian evaluation: the trial
+    # evaluation doubles as the next iteration's factorization (the extra
+    # residual-only FK the textbook loop spends on acceptance is gone).
+    def body_fused(state):
+        x, rows, jt, err, lam, it, done, hist = state
+        x_trial = _step(x, rows, jt, lam)
+        rows_t, jt_t = _jacobian(residual_fn, x_trial, jacobian_fn)
+        err_trial = jnp.sum(rows_t * rows_t, axis=-1)
+        accept = err_trial < err
+        acc = accept[..., None] if batched else accept
+        x_new = jnp.where(acc, x_trial, x)
+        rows_new = jnp.where(accept[..., None], rows_t, rows)
+        jt_new = jnp.where(accept[..., None, None], jt_t, jt)
+        err_new = jnp.where(accept, err_trial, err)
+        lam_new = jnp.clip(
+            jnp.where(accept, lam * opts.lambda_down, lam * opts.lambda_up),
+            opts.lambda_min, opts.lambda_max,
+        )
+        conv = accept & _converged(err, err_trial, opts.threshold)
+        newly_done = (it + 1 >= opts.min_iterations) & conv
+        keep = done[..., None] if batched else done
+        x_out = jnp.where(keep, x, x_new)
+        err_out = jnp.where(done, err, err_new)
+        lam_out = jnp.where(done, lam, lam_new)
+        if opts.store_history:
+            hist = (hist[0].at[it].set(err_out), hist[1].at[it].set(x_out))
+        return (x_out, rows_new, jt_new, err_out, lam_out, it + 1,
+                done | newly_done, hist)
+
+    def cond_fused(state):
+        return (state[5] < opts.max_iterations) & (~jnp.all(state[6]))
+
+    def body(state):
+        x, err, lam, it, done, hist = state
+        rows, jt = _jacobian(residual_fn, x, jacobian_fn)
+        x_trial = _step(x, rows, jt, lam)
+        err_trial = error_fn(x_trial)
         accept = err_trial < err
         acc = accept[..., None] if batched else accept
         x_new = jnp.where(acc, x_trial, x)
@@ -309,19 +342,23 @@ def solve_levenberg_marquardt(
     def cond(state):
         return (state[3] < opts.max_iterations) & (~jnp.all(state[4]))
 
-    if opts.energy_from_residual:
-        r0 = residual_fn(x0)
-        err0 = jnp.sum(r0 * r0, axis=-1)
-    else:
-        err0 = error_fn(x0)
     err_shape = x0.shape[:-1]
     hist0 = (jnp.zeros((opts.max_iterations,) + err_shape, x0.dtype),
              jnp.zeros((opts.max_iterations,) + x0.shape, x0.dtype)) \
         if opts.store_history else ()
-    init = (x0, jnp.broadcast_to(err0, err_shape),
-            jnp.broadcast_to(jnp.asarray(opts.lambda_init, x0.dtype), err_shape),
-            jnp.asarray(0, jnp.int32), jnp.zeros(err_shape, bool), hist0)
-    x, err, _, it, done, hist = jax.lax.while_loop(cond, body, init)
+    lam0 = jnp.broadcast_to(jnp.asarray(opts.lambda_init, x0.dtype), err_shape)
+    if opts.energy_from_residual:
+        rows0, jt0 = _jacobian(residual_fn, x0, jacobian_fn)
+        err0 = jnp.sum(rows0 * rows0, axis=-1)
+        init = (x0, rows0, jt0, jnp.broadcast_to(err0, err_shape), lam0,
+                jnp.asarray(0, jnp.int32), jnp.zeros(err_shape, bool), hist0)
+        x, _, _, err, _, it, done, hist = jax.lax.while_loop(
+            cond_fused, body_fused, init)
+    else:
+        err0 = error_fn(x0)
+        init = (x0, jnp.broadcast_to(err0, err_shape), lam0,
+                jnp.asarray(0, jnp.int32), jnp.zeros(err_shape, bool), hist0)
+        x, err, _, it, done, hist = jax.lax.while_loop(cond, body, init)
     return SolveResult(params=x, error=err, iterations=it, converged=done,
                        error_history=hist[0] if opts.store_history else None,
                        param_history=hist[1] if opts.store_history else None)

@@ -147,8 +147,8 @@ class TestMarkers:
         assert np.abs(vis).max() < 1e5
 
     def test_reference_c3d_int_vs_real(self):
-        pi = f"{REF}/data_format_variant/int/pc_int.c3d"
-        pr = f"{REF}/data_format_variant/real/pc_real.c3d"
+        pi = f"{REF}/data_format_variant/int/dec_int.c3d"
+        pr = f"{REF}/data_format_variant/real/dec_real.c3d"
         if not (os.path.exists(pi) and os.path.exists(pr)):
             pytest.skip("reference asset unavailable")
         di = mio.load_c3d(pi)
@@ -343,3 +343,60 @@ class TestFbxMotion:
         assert bool(jnp.all(jnp.isfinite(st)))
         disp = np.abs(np.asarray(st[0][:, :3] - st[-1][:, :3])).max()
         assert disp > 1.0
+
+
+class TestC3dCompatibilitySuite:
+    """The reference's compatibility_test assets: the classic PI-series C3D
+    files in Intel/DEC/MIPS variants (test/io resources readme)."""
+
+    def test_all_variants_load_consistently(self):
+        import os
+        import numpy as np
+        from momentum_tpu.io.markers import load_c3d
+
+        base = "/root/reference/momentum/test/resources"
+        files = [
+            f"{base}/compatibility_test/EB015PI.c3d",
+            f"{base}/compatibility_test/TESTAPI.c3d",  # Intel
+            f"{base}/compatibility_test/TESTBPI.c3d",  # DEC
+            f"{base}/compatibility_test/TESTCPI.c3d",  # MIPS
+            f"{base}/compatibility_test/TESTDPI.c3d",
+            f"{base}/data_format_variant/int/dec_int.c3d",
+            f"{base}/data_format_variant/real/dec_real.c3d",
+            f"{base}/file_format_variant/int/Eb015pi.c3d",
+            f"{base}/file_format_variant/real/Eb015pr.c3d",
+        ]
+        files = [f for f in files if f and os.path.exists(f)]
+        if len(files) < 4:
+            import pytest
+            pytest.skip("reference assets unavailable")
+        seqs = {}
+        for f in files:
+            seq = load_c3d(f)
+            assert seq.positions.shape[0] > 0, f
+            assert seq.positions.shape[1] == len(seq.names), f
+            vis = np.asarray(seq.occluded)
+            assert vis.shape == seq.positions.shape[:2], f
+            # finite where visible
+            pos = np.asarray(seq.positions)
+            assert np.isfinite(pos[~vis]).all(), f
+            seqs[f.rsplit("/", 1)[-1]] = seq
+        # TESTA (Intel) / TESTB (DEC) / TESTC (MIPS) encode the SAME capture:
+        # all three must decode to identical marker trajectories
+        a = seqs.get("TESTAPI.c3d")
+        for other in ("TESTBPI.c3d", "TESTCPI.c3d"):
+            b = seqs.get(other)
+            if a is None or b is None:
+                continue
+            assert a.positions.shape == b.positions.shape, other
+            np.testing.assert_allclose(
+                np.asarray(a.positions), np.asarray(b.positions),
+                atol=1e-3, err_msg=other)
+        # file_format_variant: the same capture in INT vs REAL encoding
+        fi = seqs.get("Eb015pi.c3d")
+        fr = seqs.get("Eb015pr.c3d")
+        if fi is not None and fr is not None:
+            both = ~(np.asarray(fi.occluded) | np.asarray(fr.occluded))
+            np.testing.assert_allclose(
+                np.asarray(fi.positions)[both],
+                np.asarray(fr.positions)[both], atol=2e-1)
