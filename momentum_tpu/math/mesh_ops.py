@@ -116,7 +116,8 @@ def support_polygon(points, up_axis: int = 1, height_tolerance: float = 0.05):
     def half(points_iter):
         out = []
         for p in points_iter:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+            while len(out) >= 2 and ((out[-1] - out[-2])[0] * (p - out[-2])[1]
+                                     - (out[-1] - out[-2])[1] * (p - out[-2])[0]) <= 0:
                 out.pop()
             out.append(p)
         return out

@@ -110,10 +110,14 @@ def convex_hull_2d(points) -> np.ndarray:
     if len(pts) <= 2:
         return pts.astype(np.float32)
 
+    def cross(a, b):
+        # np.cross on 2-D vectors is deprecated in numpy 2.x
+        return a[0] * b[1] - a[1] * b[0]
+
     def half(seq):
         hull = []
         for p in seq:
-            while len(hull) >= 2 and np.cross(
+            while len(hull) >= 2 and cross(
                     hull[-1] - hull[-2], p - hull[-2]) <= 1e-12:
                 hull.pop()
             hull.append(p)
