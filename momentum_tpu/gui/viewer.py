@@ -43,14 +43,13 @@ def auto_camera(points, width: int, height: int, fov_scale: float = 1.2):
 
 
 def _posed_vertices(character, model_params):
-    ctx_states = character.skeleton_states(model_params)
     if character.mesh is None or character.skin_weights is None:
-        return None, ctx_states
-    from momentum_tpu.character.skinning import skin_points
+        return None, character.skeleton_states(model_params)
+    from momentum_tpu.character.character_state import character_state
 
-    verts = skin_points(character.skin_weights, ctx_states,
-                        character.inverse_bind_pose, character.mesh.vertices)
-    return verts, ctx_states
+    st = character_state(character.with_inverse_bind_pose(), model_params,
+                         update_collision=False)
+    return st.mesh_vertices, st.skeleton_state
 
 
 def render_motion(character, motion, width: int = 256, height: int = 256,

@@ -69,6 +69,10 @@ class SolverOptions:
     # Capture per-iteration (error, params) into SolveResult.history
     # (solver.h:72-77 setStoreHistory). Costs a (maxIter, P) buffer.
     store_history: bool = False
+    # LM only: carry (rows, J) across iterations so each iteration does one
+    # fused residual+Jacobian eval instead of jac + residual. Only pays off
+    # when J is small; measured slower for the full-body rig (see LM note).
+    carry_jacobian: bool = False
     # "cholesky": normal equations + blocked Cholesky (fastest on TPU).
     # "qr": damped least-squares via QR of [J; sqrt(λ)·I] — the reference's
     # GaussNewtonSolverQRT/TrustRegionQRT factorization (gauss_newton_solver_
@@ -284,10 +288,12 @@ def solve_levenberg_marquardt(
             delta = psd_solve(a, jtr) * mask
         return x - delta
 
-    # When the energy is the residual norm, carry (rows, Jᵀ) in the loop so
-    # each iteration costs ONE residual+Jacobian evaluation: the trial
-    # evaluation doubles as the next iteration's factorization (the extra
-    # residual-only FK the textbook loop spends on acceptance is gone).
+    # Note: a variant that carries (rows, Jᵀ) in the loop so the trial
+    # evaluation doubles as the next factorization was measured SLOWER on
+    # v5e at full-body scale (12.4k vs 13.4k solves/s): hauling the (B, R, P)
+    # Jacobian through the while_loop carry (where-select + copy ≈ 0.9 GB/it)
+    # costs more than the residual-only FK it saves. Kept for problems where
+    # the Jacobian is small relative to the residual evaluation.
     def body_fused(state):
         x, rows, jt, err, lam, it, done, hist = state
         x_trial = _step(x, rows, jt, lam)
@@ -321,7 +327,11 @@ def solve_levenberg_marquardt(
         x, err, lam, it, done, hist = state
         rows, jt = _jacobian(residual_fn, x, jacobian_fn)
         x_trial = _step(x, rows, jt, lam)
-        err_trial = error_fn(x_trial)
+        if opts.energy_from_residual:
+            r_trial = residual_fn(x_trial)
+            err_trial = jnp.sum(r_trial * r_trial, axis=-1)
+        else:
+            err_trial = error_fn(x_trial)
         accept = err_trial < err
         acc = accept[..., None] if batched else accept
         x_new = jnp.where(acc, x_trial, x)
@@ -347,7 +357,7 @@ def solve_levenberg_marquardt(
              jnp.zeros((opts.max_iterations,) + x0.shape, x0.dtype)) \
         if opts.store_history else ()
     lam0 = jnp.broadcast_to(jnp.asarray(opts.lambda_init, x0.dtype), err_shape)
-    if opts.energy_from_residual:
+    if opts.energy_from_residual and opts.carry_jacobian:
         rows0, jt0 = _jacobian(residual_fn, x0, jacobian_fn)
         err0 = jnp.sum(rows0 * rows0, axis=-1)
         init = (x0, rows0, jt0, jnp.broadcast_to(err0, err_shape), lam0,
@@ -355,7 +365,11 @@ def solve_levenberg_marquardt(
         x, _, _, err, _, it, done, hist = jax.lax.while_loop(
             cond_fused, body_fused, init)
     else:
-        err0 = error_fn(x0)
+        if opts.energy_from_residual:
+            r0 = residual_fn(x0)
+            err0 = jnp.sum(r0 * r0, axis=-1)
+        else:
+            err0 = error_fn(x0)
         init = (x0, jnp.broadcast_to(err0, err_shape), lam0,
                 jnp.asarray(0, jnp.int32), jnp.zeros(err_shape, bool), hist0)
         x, err, _, it, done, hist = jax.lax.while_loop(cond, body, init)
