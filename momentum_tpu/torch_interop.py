@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["Skeleton", "LinearBlendSkinning", "ParameterTransformModule"]
+__all__ = ["Skeleton", "LinearBlendSkinning", "ParameterTransformModule",
+           "InverseParameterTransformModule", "solve_ik_torch"]
 
 
 def _to_jax(t):
@@ -109,5 +110,69 @@ class ParameterTransformModule:
 
     def forward(self, model_parameters):
         return self._fn(model_parameters)
+
+    __call__ = forward
+
+
+def solve_ik_torch(build_solver_fn, x0, inputs, options=None,
+                   method: str = "gauss_newton"):
+    """Torch-autograd IK (tensor_ik parity, tensor_ik.h:20-100 /
+    solver_pybind.cpp solve_ik): forward runs the batched IFT solve; backward
+    routes dLoss/dθ* into the error-function inputs (targets, weights,
+    offsets, ...) via the implicit function theorem.
+
+    build_solver_fn: callable(dict name → jax array) → SkeletonSolverFunction.
+    x0: (..., P) torch tensor initial parameters.
+    inputs: dict name → torch tensor (the differentiable inputs).
+    Returns θ* as a torch tensor; gradients flow to `inputs` and x0.
+    """
+    import jax
+    import torch
+
+    from momentum_tpu.solver.diff_ik import solve_ik_ift
+    from momentum_tpu.solver.gauss_newton import SolverOptions
+
+    opts = options or SolverOptions()
+    keys = sorted(inputs.keys())
+
+    def jax_solve(x0_j, *vals):
+        fn = build_solver_fn(dict(zip(keys, vals)))
+        return solve_ik_ift(fn, x0_j, None, opts, method)
+
+    class _SolveIK(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, x0_t, *vals_t):
+            args = (_to_jax(x0_t),) + tuple(_to_jax(v) for v in vals_t)
+            theta, vjp = jax.vjp(jax_solve, *args)
+            ctx.vjp = vjp
+            ctx.like = (x0_t,) + tuple(vals_t)
+            return _to_torch(theta, like=x0_t)
+
+        @staticmethod
+        def backward(ctx, g):
+            grads = ctx.vjp(_to_jax(g))
+            return tuple(_to_torch(gx, like=t)
+                         for gx, t in zip(grads, ctx.like))
+
+    return _SolveIK.apply(x0, *(inputs[k] for k in keys))
+
+
+class InverseParameterTransformModule:
+    """joint parameters → model parameters via the pseudo-inverse
+    (pymomentum.torch InverseParameterTransform, character.py:759-828;
+    inverse_parameter_transform.h)."""
+
+    def __init__(self, character):
+        import jax
+
+        pt = character.parameter_transform
+        pinv = pt.pinv()
+        offsets = pt.offsets
+
+        self._fn = _autograd_wrap(jax.jit(
+            lambda jp: (jp - offsets) @ pinv.T))
+
+    def forward(self, joint_parameters):
+        return self._fn(joint_parameters)
 
     __call__ = forward
