@@ -400,3 +400,63 @@ class TestC3dCompatibilitySuite:
             np.testing.assert_allclose(
                 np.asarray(fi.positions)[both],
                 np.asarray(fr.positions)[both], atol=2e-1)
+
+
+class TestShapeIO:
+    def test_blend_shape_round_trip(self, tmp_path):
+        import jax.numpy as jnp
+        from momentum_tpu.character.blend_shape import BlendShape
+        from momentum_tpu.io.shape import (
+            load_blend_shape, load_blend_shape_base, save_blend_shape,
+        )
+
+        rng = np.random.default_rng(0)
+        bs = BlendShape(
+            base_shape=jnp.asarray(rng.normal(0, 1, (12, 3)), jnp.float32),
+            shape_vectors=jnp.asarray(rng.normal(0, 1, (4, 12, 3)),
+                                      jnp.float32))
+        p = str(tmp_path / "shapes.bin")
+        save_blend_shape(p, bs)
+        back = load_blend_shape(p)
+        np.testing.assert_allclose(np.asarray(back.base_shape),
+                                   np.asarray(bs.base_shape), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(back.shape_vectors),
+                                   np.asarray(bs.shape_vectors), atol=1e-6)
+        # truncation options
+        t = load_blend_shape(p, expected_shapes=2, expected_vertices=5)
+        assert t.shape_vectors.shape == (2, 5, 3)
+        assert t.base_shape.shape == (5, 3)
+
+    def test_pose_shape_round_trip(self, tmp_path):
+        import jax.numpy as jnp
+        from momentum_tpu.character.pose_shape import PoseShape
+        from momentum_tpu.io.shape import load_pose_shape, save_pose_shape
+        from momentum_tpu.testing.fixtures import create_test_character
+
+        char = create_test_character(4)
+        v = char.mesh.num_vertices
+        rng = np.random.default_rng(1)
+        ps = PoseShape(
+            base_rot=char.skeleton.pre_rotation[0],
+            base_shape=jnp.asarray(
+                np.asarray(char.mesh.vertices)
+                + rng.normal(0, 0.01, (v, 3)).astype(np.float32)),
+            shape_vectors=jnp.asarray(
+                rng.normal(0, 0.1, (v, 3, 8)).astype(np.float32)),
+            base_joint=0,
+            joint_map=(1, 2),
+        )
+        p = str(tmp_path / "pose.bin")
+        save_pose_shape(p, ps, char)
+        back = load_pose_shape(p, char)
+        assert back.base_joint == 0
+        assert back.joint_map == (1, 2)
+        np.testing.assert_allclose(np.asarray(back.base_shape),
+                                   np.asarray(ps.base_shape), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(back.shape_vectors),
+                                   np.asarray(ps.shape_vectors), atol=1e-6)
+        # the loaded pose shape evaluates identically
+        states = char.skeleton_states(
+            jnp.zeros(char.num_model_parameters).at[1].set(0.4))
+        np.testing.assert_allclose(np.asarray(back.compute(states)),
+                                   np.asarray(ps.compute(states)), atol=1e-5)
