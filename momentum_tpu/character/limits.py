@@ -183,3 +183,39 @@ def make_limits(
 
 def make_empty_limits() -> ParameterLimits:
     return make_limits()
+
+
+def remap_limits_model_parameters(limits: ParameterLimits, keep) -> ParameterLimits:
+    """Remap model-parameter-indexed limit records after a parameter subset
+    (parameter_transform.cpp subsetParameterTransform's limit remap): records
+    whose parameters were dropped get weight 0; kept indices are renumbered."""
+    import dataclasses as _dc
+
+    import numpy as np
+
+    keep = np.asarray(keep, bool)
+    old_to_new = np.full(keep.shape[0], 0, np.int64)
+    old_to_new[keep] = np.arange(int(keep.sum()))
+
+    def remap(idx, *weights):
+        idx = np.asarray(idx)
+        ok = keep[np.clip(idx, 0, keep.shape[0] - 1)]
+        new_idx = old_to_new[np.clip(idx, 0, keep.shape[0] - 1)]
+        outs = [np.where(ok, new_idx, 0).astype(np.int32)]
+        for w in weights:
+            outs.append(np.where(ok, np.asarray(w), 0.0).astype(np.float32))
+        return outs
+
+    mm_idx, mm_w = remap(limits.minmax_index, limits.minmax_weight)
+    lr, lw = remap(limits.linear_ref, limits.linear_weight)
+    lt, lw2 = remap(limits.linear_tgt, lw)
+    h1, hw = remap(limits.halfplane_idx1, limits.halfplane_weight)
+    h2, hw2 = remap(limits.halfplane_idx2, hw)
+    return _dc.replace(
+        limits,
+        minmax_index=jnp.asarray(mm_idx), minmax_weight=jnp.asarray(mm_w),
+        linear_ref=jnp.asarray(lr), linear_tgt=jnp.asarray(lt),
+        linear_weight=jnp.asarray(lw2),
+        halfplane_idx1=jnp.asarray(h1), halfplane_idx2=jnp.asarray(h2),
+        halfplane_weight=jnp.asarray(hw2),
+    )

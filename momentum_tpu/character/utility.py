@@ -19,6 +19,9 @@ from momentum_tpu.character.skeleton import INVALID_INDEX, PARAMS_PER_JOINT, Ske
 from momentum_tpu.character.skinning import SkinWeights
 
 __all__ = [
+    "simplify",
+    "simplify_skeleton",
+    "simplify_parameter_transform",
     "scale_character",
     "transform_character",
     "remove_joints",
@@ -120,7 +123,9 @@ def remove_joints(character: Character, joints_to_remove) -> Character:
     parents = np.asarray(skel.joint_parent)
     n = len(parents)
     remove = np.zeros(n, bool)
-    remove[list(joints_to_remove)] = True
+    idx = [skel.joint_names.index(j) if isinstance(j, str) else int(j)
+           for j in joints_to_remove]
+    remove[idx] = True
     for j in range(n):
         if parents[j] != INVALID_INDEX and remove[parents[j]]:
             remove[j] = True
@@ -237,3 +242,44 @@ def add_blend_shape_parameters(character: Character, blend_shape, num_shapes=Non
     return dataclasses.replace(
         character, parameter_transform=pt2, blend_shape=blend_shape,
         blend_shape_param_index=tuple(range(old_p, old_p + k)))
+
+
+def simplify_parameter_transform(character: Character, keep: np.ndarray) -> Character:
+    """Keep only the given model parameters (character.h:149
+    simplifyParameterTransform). `keep` is a (P,) bool mask."""
+    keep = np.asarray(keep, bool)
+    if not keep.any():
+        raise ValueError("no active parameters to keep")
+    pt = subset_parameter_transform(character.parameter_transform, keep)
+    from momentum_tpu.character.limits import remap_limits_model_parameters
+
+    limits = remap_limits_model_parameters(character.limits, keep)
+    return dataclasses.replace(character, parameter_transform=pt, limits=limits)
+
+
+def simplify_skeleton(character: Character, active_joints: np.ndarray) -> Character:
+    """Drop inactive joints, remapping everything attached (character.h:143
+    simplifySkeleton). Inactive joints with active descendants are kept (a
+    joint cannot outlive its ancestors)."""
+    active = np.asarray(active_joints, bool).copy()
+    parents = np.asarray(character.skeleton.joint_parent)
+    # close over ancestors: every ancestor of an active joint stays
+    for j in range(len(parents) - 1, -1, -1):
+        if active[j] and parents[j] >= 0:
+            active[parents[j]] = True
+    remove = [character.skeleton.joint_names[j]
+              for j in range(len(parents)) if not active[j]]
+    if not remove:
+        return character
+    return remove_joints(character, remove)
+
+
+def simplify(character: Character, enabled_params: np.ndarray | None = None) -> Character:
+    """parametersToActiveJoints → simplifySkeleton, always keeping the root
+    (character.cpp:553-563 Character::simplify)."""
+    p = character.num_model_parameters
+    enabled = np.ones(p, bool) if enabled_params is None \
+        else np.asarray(enabled_params, bool)
+    active = parameters_to_active_joints(character.parameter_transform, enabled)
+    active[0] = True  # always keep the root (character.cpp:555-561)
+    return simplify_skeleton(character, active)

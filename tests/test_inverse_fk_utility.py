@@ -132,3 +132,73 @@ class TestTransformPose:
         dots = np.abs(np.sum(np.asarray(s2[..., 3:7]) * np.asarray(expected[..., 3:7]),
                              axis=-1))
         np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+
+
+def test_simplify_family():
+    import numpy as np
+    from momentum_tpu.character.utility import (
+        simplify, simplify_parameter_transform, simplify_skeleton,
+    )
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(6)
+    p = char.num_model_parameters
+
+    # simplify with all params enabled keeps everything
+    full = simplify(char)
+    assert full.skeleton.num_joints == 6
+
+    # enable only the root translation params: distal joints drop
+    enabled = np.zeros(p, bool)
+    enabled[:3] = True
+    small = simplify(char, enabled)
+    assert small.skeleton.num_joints < 6
+    assert small.skeleton.num_joints >= 1
+    # parents remain topological
+    par = np.asarray(small.skeleton.joint_parent)
+    assert all(par[i] < i for i in range(1, len(par)))
+
+    # simplify_skeleton keeps ancestors of active joints
+    active = np.zeros(6, bool)
+    active[5] = True
+    anc = simplify_skeleton(char, active)
+    assert anc.skeleton.num_joints == 6  # chain: all are ancestors
+
+    # parameter-transform subset drops columns and remaps limits
+    keep = np.zeros(p, bool)
+    keep[: p // 2] = True
+    sub = simplify_parameter_transform(char, keep)
+    assert sub.parameter_transform.num_model_parameters == int(keep.sum())
+    import jax.numpy as jnp
+    e = sub.skeleton_states(jnp.zeros(int(keep.sum())))
+    assert np.isfinite(np.asarray(e)).all()
+
+
+def test_coordinate_system_conversions():
+    import numpy as np
+    import jax.numpy as jnp
+    from momentum_tpu.math.coordinate_system import (
+        CoordinateSystem, MOMENTUM_COORDINATE_SYSTEM, UP_Z, UNIT_METER,
+        change_matrix, change_quaternion, change_vector, scale_factor,
+    )
+
+    blender = CoordinateSystem(up=UP_Z, unit=UNIT_METER)
+    mom = MOMENTUM_COORDINATE_SYSTEM
+    assert scale_factor(blender, mom) == 100.0
+    # Blender +Z-up forward=+Y; Momentum Y-up forward=-Z. A point 1m up in
+    # Blender is 100cm up in Momentum:
+    v = change_vector(jnp.asarray([0.0, 0.0, 1.0]), blender, mom)
+    np.testing.assert_allclose(np.asarray(v), [0.0, 100.0, 0.0], atol=1e-5)
+    # round trip is identity
+    back = change_vector(v, mom, blender)
+    np.testing.assert_allclose(np.asarray(back), [0, 0, 1.0], atol=1e-6)
+    # rotations stay proper rotations
+    from momentum_tpu.math import quaternion as quat
+    q = quat.from_axis_angle(jnp.asarray([0.0, 0, 0.7]))
+    q2 = change_quaternion(q, blender, mom)
+    m2 = np.asarray(quat.to_rotation_matrix(q2))
+    np.testing.assert_allclose(m2 @ m2.T, np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(m2), 1.0, atol=1e-5)
+    # same-system conversion is identity
+    m = change_matrix(jnp.eye(3), mom, mom)
+    np.testing.assert_allclose(np.asarray(m), np.eye(3), atol=1e-6)
