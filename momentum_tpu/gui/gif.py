@@ -90,6 +90,11 @@ def save_gif(path: str, frames, fps: float = 15.0, loop: int = 0) -> None:
         frames = frames[None]
     f, h, w, _ = frames.shape
     delay = max(int(round(100.0 / fps)), 2)  # hundredths of a second
+
+    from momentum_tpu import native
+
+    if native.gif_encode(path, frames, delay, loop):
+        return  # C++ fast path (identical palette/quantization)
     pal = _palette()
 
     with open(path, "wb") as fh:

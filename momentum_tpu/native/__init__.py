@@ -14,7 +14,7 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "c3d_read_points", "mmo_read"]
+__all__ = ["available", "c3d_read_points", "mmo_read", "gif_encode"]
 
 _LIB = None
 _TRIED = False
@@ -53,6 +53,11 @@ def _build_and_load():
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p, ctypes.c_longlong,
+    ]
+    lib.gif_encode.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
     ]
     _LIB = lib
     return _LIB
@@ -103,3 +108,14 @@ def mmo_read(path):
     param_names = pn.value.decode().split("\n") if pn.value else []
     joint_names = jn.value.decode().split("\n") if jn.value else []
     return poses, scale, param_names, joint_names
+
+
+def gif_encode(path, frames, delay_cs: int, loop: int = 0):
+    """Native GIF89a encode of (F, H, W, 3) uint8 frames. True on success."""
+    lib = _build_and_load()
+    if lib is None:
+        return False
+    frames = np.ascontiguousarray(frames, np.uint8)
+    f, h, w, _ = frames.shape
+    return lib.gif_encode(frames.reshape(-1), f, h, w, int(delay_cs),
+                          int(loop), path.encode()) == 0

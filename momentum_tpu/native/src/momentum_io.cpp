@@ -84,9 +84,10 @@ C3dHeader parse_header(const Buffer& b) {
   int param_block = d[0];
   size_t pstart = static_cast<size_t>(param_block - 1) * 512;
   if (pstart + 4 > b.data.size()) return h;
+  // processor type = 83 + x: 84 Intel (LE IEEE), 85 DEC (VAX), 86 MIPS (BE)
   int proc = d[pstart + 3];
-  h.be = (proc == 85);
-  h.dec = (proc == 84);
+  h.be = (proc == 86);
+  h.dec = (proc == 85);
   h.n_points = rd_u16(d + 2, h.be);
   h.analog_per_frame = rd_u16(d + 4, h.be);
   int first = rd_u16(d + 6, h.be);
@@ -94,7 +95,7 @@ C3dHeader parse_header(const Buffer& b) {
   h.n_frames = last - first + 1;
   h.scale = rd_f32(d + 12, h.be, h.dec);
   h.rate = rd_f32(d + 20, h.be, h.dec);
-  // DEC-flagged files written with IEEE floats: sanity-check and fall back
+  // Mislabeled files: sanity-check and fall back to IEEE decode
   if (h.dec && !(h.rate >= 1.f && h.rate <= 1e4f && std::fabs(h.scale) < 1e6f)) {
     float ieee_rate = rd_f32(d + 20, h.be, false);
     float ieee_scale = rd_f32(d + 12, h.be, false);
@@ -218,3 +219,158 @@ int mmo_read(const char* path, float* poses, float* scale, char* param_names,
 }
 
 }  // extern "C"
+
+#include <algorithm>
+
+// ---------------------------------------------------------------------------
+// GIF89a animation encoder (offline viewer export; LZW per the GIF spec).
+// Quantizes RGB to a uniform 6x7x6 cube — identical palette to the Python
+// fallback in momentum_tpu/gui/gif.py.
+
+namespace {
+
+class BitWriter {
+ public:
+  explicit BitWriter(std::vector<uint8_t>& out) : out_(out) {}
+  void emit(uint32_t code, int bits) {
+    buf_ |= static_cast<uint64_t>(code) << cnt_;
+    cnt_ += bits;
+    while (cnt_ >= 8) {
+      out_.push_back(static_cast<uint8_t>(buf_ & 0xFF));
+      buf_ >>= 8;
+      cnt_ -= 8;
+    }
+  }
+  void flush() {
+    if (cnt_ > 0) out_.push_back(static_cast<uint8_t>(buf_ & 0xFF));
+    buf_ = 0;
+    cnt_ = 0;
+  }
+
+ private:
+  std::vector<uint8_t>& out_;
+  uint64_t buf_ = 0;
+  int cnt_ = 0;
+};
+
+void lzw_encode(const uint8_t* idx, size_t n, std::vector<uint8_t>& out) {
+  constexpr int kMinCode = 8;
+  constexpr int kClear = 1 << kMinCode;           // 256
+  constexpr int kEoi = kClear + 1;                // 257
+  constexpr int kMaxCode = 4096;
+  // prefix-tree table: node = prev_code * 256 + next_pixel
+  std::vector<int32_t> table(kMaxCode * 256);
+  auto reset = [&]() { std::fill(table.begin(), table.end(), -1); };
+  reset();
+  BitWriter bw(out);
+  int code_size = kMinCode + 1;
+  int next_code = kEoi + 1;
+  bw.emit(kClear, code_size);
+  if (n == 0) {
+    bw.emit(kEoi, code_size);
+    bw.flush();
+    return;
+  }
+  int prefix = idx[0];
+  for (size_t i = 1; i < n; ++i) {
+    const uint8_t px = idx[i];
+    const int32_t slot = prefix * 256 + px;
+    if (table[slot] >= 0) {
+      prefix = table[slot];
+      continue;
+    }
+    bw.emit(static_cast<uint32_t>(prefix), code_size);
+    table[slot] = next_code++;
+    if (next_code > (1 << code_size) && code_size < 12) {
+      ++code_size;
+    } else if (next_code >= kMaxCode) {
+      bw.emit(kClear, code_size);
+      reset();
+      next_code = kEoi + 1;
+      code_size = kMinCode + 1;
+    }
+    prefix = px;
+  }
+  bw.emit(static_cast<uint32_t>(prefix), code_size);
+  bw.emit(kEoi, code_size);
+  bw.flush();
+}
+
+inline void put_u16(std::vector<uint8_t>& v, uint16_t x) {
+  v.push_back(static_cast<uint8_t>(x & 0xFF));
+  v.push_back(static_cast<uint8_t>(x >> 8));
+}
+
+}  // namespace
+
+extern "C" int gif_encode(const uint8_t* frames, long long f, long long h,
+                          long long w, int delay_cs, int loop,
+                          const char* out_path) {
+  if (f <= 0 || h <= 0 || w <= 0) return 1;
+  std::vector<uint8_t> out;
+  out.reserve(static_cast<size_t>(f * h * w / 2 + 4096));
+  const char* hdr = "GIF89a";
+  out.insert(out.end(), hdr, hdr + 6);
+  put_u16(out, static_cast<uint16_t>(w));
+  put_u16(out, static_cast<uint16_t>(h));
+  out.push_back(0xF7);  // GCT, 256 entries, 8 bpp
+  out.push_back(0);
+  out.push_back(0);
+  // palette: 6x7x6 levels + zero padding
+  const int lr = 6, lg = 7, lb = 6;
+  for (int r = 0; r < lr; ++r)
+    for (int g = 0; g < lg; ++g)
+      for (int bb = 0; bb < lb; ++bb) {
+        out.push_back(static_cast<uint8_t>(r * 255 / (lr - 1)));
+        out.push_back(static_cast<uint8_t>(g * 255 / (lg - 1)));
+        out.push_back(static_cast<uint8_t>(bb * 255 / (lb - 1)));
+      }
+  for (int i = lr * lg * lb; i < 256; ++i) {
+    out.push_back(0); out.push_back(0); out.push_back(0);
+  }
+  // netscape loop
+  const uint8_t ns[] = {0x21, 0xFF, 0x0B, 'N', 'E', 'T', 'S', 'C', 'A', 'P',
+                        'E', '2', '.', '0', 0x03, 0x01};
+  out.insert(out.end(), ns, ns + sizeof(ns));
+  put_u16(out, static_cast<uint16_t>(loop));
+  out.push_back(0);
+
+  const size_t npx = static_cast<size_t>(h * w);
+  std::vector<uint8_t> indices(npx);
+  for (long long fr = 0; fr < f; ++fr) {
+    const uint8_t* img = frames + fr * npx * 3;
+    for (size_t p = 0; p < npx; ++p) {
+      const int r = (img[3 * p + 0] * (lr - 1) + 127) / 255;
+      const int g = (img[3 * p + 1] * (lg - 1) + 127) / 255;
+      const int bb = (img[3 * p + 2] * (lb - 1) + 127) / 255;
+      indices[p] = static_cast<uint8_t>((r * lg + g) * lb + bb);
+    }
+    // graphic control
+    const uint8_t gc[] = {0x21, 0xF9, 0x04, 0x04};
+    out.insert(out.end(), gc, gc + 4);
+    put_u16(out, static_cast<uint16_t>(delay_cs));
+    out.push_back(0);
+    out.push_back(0);
+    // image descriptor
+    out.push_back(0x2C);
+    put_u16(out, 0); put_u16(out, 0);
+    put_u16(out, static_cast<uint16_t>(w));
+    put_u16(out, static_cast<uint16_t>(h));
+    out.push_back(0);
+    out.push_back(8);  // LZW min code size
+    std::vector<uint8_t> data;
+    lzw_encode(indices.data(), npx, data);
+    for (size_t off = 0; off < data.size(); off += 255) {
+      const size_t len = std::min<size_t>(255, data.size() - off);
+      out.push_back(static_cast<uint8_t>(len));
+      out.insert(out.end(), data.begin() + off, data.begin() + off + len);
+    }
+    out.push_back(0);
+  }
+  out.push_back(0x3B);
+  FILE* fp = std::fopen(out_path, "wb");
+  if (!fp) return 2;
+  const bool ok = std::fwrite(out.data(), 1, out.size(), fp) == out.size();
+  std::fclose(fp);
+  return ok ? 0 : 3;
+}

@@ -63,3 +63,28 @@ def test_save_motion_gif(tmp_path):
                     np.zeros((2, char.num_model_parameters), np.float32),
                     width=48, height=48, fps=5)
     assert os.path.getsize(path) > 100
+
+
+def test_native_gif_matches_python():
+    """C++ encoder output must be byte-identical to the Python fallback."""
+    import momentum_tpu.native as nat
+    if not nat.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    frames = rng.uniform(0, 255, (3, 40, 56, 3)).astype(np.uint8)
+    import tempfile, os as _os
+    d = tempfile.mkdtemp()
+    pa, pb = _os.path.join(d, "a.gif"), _os.path.join(d, "b.gif")
+    save_gif(pa, frames, fps=12)
+    # force the python path
+    _os.environ["MOMENTUM_TPU_NO_NATIVE"] = "1"
+    nat._TRIED = False
+    nat._LIB = None
+    try:
+        save_gif(pb, frames, fps=12)
+    finally:
+        del _os.environ["MOMENTUM_TPU_NO_NATIVE"]
+        nat._TRIED = False
+        nat._LIB = None
+    assert open(pa, "rb").read() == open(pb, "rb").read()
