@@ -1,0 +1,225 @@
+"""Staged benchmark suite — the five BASELINE.json configs.
+
+Each stage prints one JSON line {"config", "metric", "value", "unit", ...}.
+`python benchmarks/bench_suite.py [1 2 3 4 5]` (default: all).
+
+Stages (BASELINE.json "configs"):
+  1 single-character position-GN IK, one frame (CPU-runnable reference)
+  2 full-body LM with position+orientation+limit+pose-prior residuals
+  3 batched marker tracking (the driver metric — same workload as bench.py)
+  4 skinned-mesh shape+pose fitting (LBS + blendshapes, vertex residuals)
+  5 sequence calibration: shared scale + per-frame pose over long sequences
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, reps: int = 5):
+    import jax
+
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jax.block_until_ready(fn(*args))
+    return (time.perf_counter() - t0) / reps, out
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def config1():
+    """Single-frame position GN IK on the bundled test character."""
+    import jax
+    import jax.numpy as jnp
+
+    from momentum_tpu.errors import PositionErrorFunction
+    from momentum_tpu.solver import SkeletonSolverFunction, SolverOptions
+    from momentum_tpu.solver.ik import solve_ik
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(16)
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(-0.3, 0.3, char.num_model_parameters),
+                     jnp.float32)
+    targets = char.locators.world_positions(char.skeleton_states(gt))
+    ef = PositionErrorFunction.create(
+        np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+        np.asarray(targets))
+    fn = SkeletonSolverFunction(char, (ef,))
+    opts = SolverOptions(max_iterations=30)
+
+    solve = jax.jit(lambda x0: solve_ik(fn, x0, None, opts))
+    dt, res = _timeit(solve, jnp.zeros(char.num_model_parameters))
+    _emit(config=1, metric="single_frame_gn_ik_latency", value=dt * 1e3,
+          unit="ms", residual=float(jnp.sqrt(res.error)),
+          converged=bool(res.converged))
+
+
+def config2():
+    """Full-body LM with position+orientation+limit+pose-prior residuals."""
+    import jax
+    import jax.numpy as jnp
+
+    from momentum_tpu.errors import (
+        LimitErrorFunction, OrientationErrorFunction, PosePriorErrorFunction,
+        PositionErrorFunction,
+    )
+    from momentum_tpu.math import skel_state as ss
+    from momentum_tpu.errors.pose_prior import Mppca
+    from momentum_tpu.solver import SkeletonSolverFunction, SolverOptions
+    from momentum_tpu.solver.ik import solve_ik
+    from momentum_tpu.testing.fixtures import create_fullbody_character
+
+    char = create_fullbody_character()
+    p = char.num_model_parameters
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(-0.3, 0.3, p), jnp.float32)
+    states = char.skeleton_states(gt)
+    targets = char.locators.world_positions(states)
+    _, q, _ = ss.split(states)
+    pos = PositionErrorFunction.create(
+        np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+        np.asarray(targets))
+    ori = OrientationErrorFunction.create(
+        np.arange(char.num_joints, dtype=np.int32), np.asarray(q))
+    lim = LimitErrorFunction.create()
+    # simple 2-mode pose prior around the rest pose
+    mu = np.zeros((2, p), np.float32)
+    w = [np.full((p, 4), 0.01, np.float32)] * 2
+    prior = Mppca.from_components(
+        pi=np.asarray([0.6, 0.4]), mu=mu, w_list=w,
+        sigma2=np.asarray([1.0, 2.0]),
+        names=char.parameter_transform.names)
+    pp = PosePriorErrorFunction.create(
+        prior, char.parameter_transform.names)
+    fn = SkeletonSolverFunction(char, (pos, ori, lim, pp))
+    opts = SolverOptions(max_iterations=20)
+    solve = jax.jit(lambda x0: solve_ik(fn, x0, None, opts,
+                                        method="levenberg_marquardt"))
+    x0 = gt + 0.05 * jnp.asarray(rng.normal(0, 1, p), jnp.float32)
+    dt, res = _timeit(solve, x0)
+    _emit(config=2, metric="fullbody_lm_full_residual_latency", value=dt * 1e3,
+          unit="ms", error=float(res.error))
+
+
+def config3():
+    """The driver metric — delegate to bench.py's workload."""
+    import subprocess
+
+    out = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                         text=True, cwd=__import__("os").path.dirname(
+                             __import__("os").path.dirname(
+                                 __import__("os").path.abspath(__file__))))
+    line = out.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    rec["config"] = 3
+    print(json.dumps(rec), flush=True)
+
+
+def config4():
+    """Skinned-mesh shape+pose fitting: vertex residuals over LBS+blendshapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from momentum_tpu.character.utility import add_blend_shape_parameters
+    from momentum_tpu.character.blend_shape import BlendShape
+    from momentum_tpu.errors.vertex import VertexPositionErrorFunction
+    from momentum_tpu.solver import SkeletonSolverFunction, SolverOptions
+    from momentum_tpu.solver.ik import solve_ik
+    from momentum_tpu.testing.fixtures import create_fullbody_character
+
+    char = create_fullbody_character()
+    rng = np.random.default_rng(0)
+    v = char.mesh.num_vertices
+    k = 8
+    bs = BlendShape(
+        base_shape=char.mesh.vertices,
+        shape_vectors=jnp.asarray(
+            rng.normal(0, 0.01, (k, v, 3)).astype(np.float32)))
+    char = add_blend_shape_parameters(char, bs)
+    p = char.num_model_parameters
+    gt = jnp.asarray(np.concatenate([
+        rng.uniform(-0.2, 0.2, p - k), rng.uniform(-1, 1, k)]), jnp.float32)
+    # posed ground-truth vertices as targets
+    from momentum_tpu.solver.skeleton_solver_function import (
+        SkeletonSolverFunction as SSF,
+    )
+    vid = np.arange(0, v, max(v // 256, 1), dtype=np.int32)
+    ef0 = VertexPositionErrorFunction.create(vid, np.zeros((len(vid), 3)))
+    fn0 = SSF(char, (ef0,))
+    ctx = fn0.context(gt)
+    targets = np.asarray(ctx.mesh_vertices)[vid]
+    ef = VertexPositionErrorFunction.create(vid, targets)
+    fn = SkeletonSolverFunction(char, (ef,))
+    opts = SolverOptions(max_iterations=20)
+    solve = jax.jit(lambda x0: solve_ik(fn, x0, None, opts,
+                                        method="levenberg_marquardt"))
+    dt, res = _timeit(solve, jnp.zeros(p))
+    _emit(config=4, metric="shape_pose_vertex_fit_latency", value=dt * 1e3,
+          unit="ms", error=float(res.error),
+          vertices=int(len(vid)), blend_shapes=k)
+
+
+def config5(frames: int = 1024):
+    """Sequence calibration: universal scale + per-frame pose, banded solve.
+
+    Frames/sec on the block-tridiagonal sequence solver (single device; the
+    sharded SPIKE variant covers the multi-chip case in dryrun_multichip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from momentum_tpu.errors import PositionErrorFunction
+    from momentum_tpu.sequence.errors import (
+        ModelParametersSequenceErrorFunction,
+    )
+    from momentum_tpu.sequence.solver import solve_sequence
+    from momentum_tpu.sequence.solver_function import (
+        SequenceSolverFunction, stack_frames,
+    )
+    from momentum_tpu.solver import SolverOptions
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(16)
+    p = char.num_model_parameters
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(-0.2, 0.2, (frames, p)), jnp.float32)
+    states = jax.vmap(char.skeleton_states)(gt)
+    targets = jax.vmap(char.locators.world_positions)(states)
+    ef0 = PositionErrorFunction.create(
+        np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+        np.zeros((char.locators.num_locators, 3)))
+    stacked = jax.vmap(
+        lambda t: dataclasses.replace(ef0, target=t))(targets)
+    smooth = ModelParametersSequenceErrorFunction.create(p, weight=0.1)
+    universal = np.zeros(p, bool)
+    if "scaling" in char.parameter_transform.parameter_sets:
+        universal[list(char.parameter_transform.parameter_sets["scaling"])] = True
+    fn = SequenceSolverFunction.create(
+        char, frames, universal=universal, per_frame_errors=(stacked,),
+        sequence_errors=(smooth,))
+    pf0, u0 = fn.split(jnp.zeros((frames, p)))
+    opts = SolverOptions(max_iterations=8)
+
+    solve = jax.jit(lambda pf, u: solve_sequence(fn, pf, u, opts))
+    dt, res = _timeit(solve, pf0, u0, reps=3)
+    _emit(config=5, metric="sequence_calibration_frames_per_sec",
+          value=frames / dt, unit="frames/s", frames=frames,
+          error=float(res.error))
+
+
+def main():
+    stages = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    for s in stages:
+        globals()[f"config{s}"]()
+
+
+if __name__ == "__main__":
+    main()

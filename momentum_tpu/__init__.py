@@ -26,9 +26,14 @@ _jax.config.update(
     _os.environ.get("MOMENTUM_TPU_MATMUL_PRECISION", "highest"),
 )
 
-# Persistent compilation cache: TPU solver programs take minutes to compile
-# (fused while_loop solves); caching makes repeat runs near-instant.
-if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+# Persistent compilation cache (opt-in): TPU solver programs take minutes to
+# compile, and a cache makes repeat runs near-instant — but XLA:CPU AOT
+# artifacts are machine-feature-specific (a cache written on one host can
+# SIGILL on another), and remote-compile TPU plugins bypass the cache anyway.
+# Enable explicitly with MOMENTUM_TPU_COMPILE_CACHE=1 or the standard
+# JAX_COMPILATION_CACHE_DIR.
+if _os.environ.get("MOMENTUM_TPU_COMPILE_CACHE") and \
+        not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     _cache = _os.path.expanduser("~/.cache/momentum_tpu_jax")
     _os.makedirs(_cache, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache)

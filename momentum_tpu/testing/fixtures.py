@@ -206,9 +206,47 @@ def create_fullbody_character(dtype=jnp.float32) -> Character:
         names=tuple(f"m{i}" for i in range(n_loc)),
     )
 
-    return Character(
+    # skinned tube mesh: a ring of 6 vertices at each end of every bone,
+    # blended between the bone and its parent — body-scale LBS workload
+    ring = 6
+    verts, sidx, swgt = [], [], []
+    joint_pos = _np.zeros((nj, 3))
+    for j in range(1, nj):
+        joint_pos[j] = joint_pos[parents[j]] + _np.asarray(offsets[j])
+    for j in range(nj):
+        p_idx = parents[j] if parents[j] >= 0 else j
+        for end, (anchor, other, w) in enumerate(
+                [(j, p_idx, 1.0), (j, p_idx, 0.6)]):
+            center = joint_pos[j] if end == 0 else                 0.5 * (joint_pos[j] + joint_pos[p_idx])
+            for r in range(ring):
+                a = 2 * _np.pi * r / ring
+                verts.append(center + 0.04 * _np.asarray(
+                    [_np.cos(a), 0.0, _np.sin(a)]))
+                row_i = _np.zeros(8, _np.int32)
+                row_w = _np.zeros(8, _np.float32)
+                row_i[0], row_i[1] = anchor, other
+                row_w[0], row_w[1] = w, 1.0 - w
+                sidx.append(row_i)
+                swgt.append(row_w)
+    faces = []
+    for j in range(nj):
+        base = j * 2 * ring
+        for r in range(ring):
+            a, b = base + r, base + (r + 1) % ring
+            c, d = a + ring, b + ring
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    mesh = Mesh(vertices=jnp.asarray(_np.asarray(verts), dtype),
+                faces=jnp.asarray(_np.asarray(faces), jnp.int32))
+    skin = SkinWeights(index=jnp.asarray(_np.stack(sidx)),
+                       weight=jnp.asarray(_np.stack(swgt), dtype))
+
+    char = Character(
         skeleton=skeleton,
         parameter_transform=pt,
         locators=locators,
+        mesh=mesh,
+        skin_weights=skin,
         name="fullbody_synthetic",
     )
+    return char.with_inverse_bind_pose()
