@@ -88,8 +88,8 @@ def main():
                 "metric": "full_body_ik_solves_per_sec_per_chip",
                 "value": round(solves_per_sec, 1),
                 "unit": (f"solves/s (51-joint/157-param char, 80 markers, "
-                         f"{iters} LM iters warm-started, median residual "
-                         f"{med_err:.2e}, {conv_frac:.2f} conv@1e-5, "
+                         f"{iters} LM iters warm-started, median energy "
+                         f"sum-r2 {med_err:.2e}, {conv_frac:.2f} conv@1e-5, "
                          f"divergent {nan_frac:.3f})"),
                 "vs_baseline": round(solves_per_sec / TARGET_SOLVES_PER_SEC_PER_CHIP, 4),
             }
