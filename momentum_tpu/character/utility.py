@@ -23,6 +23,8 @@ __all__ = [
     "simplify_skeleton",
     "simplify_parameter_transform",
     "scale_character",
+    "reduce_mesh_by_vertices",
+    "reduce_mesh_by_faces",
     "transform_character",
     "remove_joints",
     "parameters_to_active_joints",
@@ -283,3 +285,78 @@ def simplify(character: Character, enabled_params: np.ndarray | None = None) -> 
     active = parameters_to_active_joints(character.parameter_transform, enabled)
     active[0] = True  # always keep the root (character.cpp:555-561)
     return simplify_skeleton(character, active)
+
+
+def reduce_mesh_by_vertices(character: Character, active_vertices) -> Character:
+    """Keep only the selected vertices and faces fully inside the selection
+    (character_utility.h:104-125 reduceMeshByVertices): remaps faces, skin
+    weights, and per-vertex attributes."""
+    mesh = character.mesh
+    if mesh is None:
+        return character
+    active = np.asarray(active_vertices, bool)
+    v = mesh.num_vertices
+    if active.shape[0] != v:
+        raise ValueError(f"active_vertices has {active.shape[0]} entries "
+                         f"for a {v}-vertex mesh")
+    keep_idx = np.nonzero(active)[0]
+    old_to_new = np.full(v, -1, np.int64)
+    old_to_new[keep_idx] = np.arange(len(keep_idx))
+    faces = np.asarray(mesh.faces)
+    fkeep = active[faces].all(axis=1)
+    new_faces = old_to_new[faces[fkeep]]
+
+    def take(arr):
+        return None if arr is None else jnp.asarray(np.asarray(arr)[keep_idx])
+
+    new_mesh = dataclasses.replace(
+        mesh,
+        vertices=take(mesh.vertices),
+        faces=jnp.asarray(new_faces.astype(np.int32)),
+        normals=take(mesh.normals),
+        colors=take(mesh.colors),
+        confidence=take(mesh.confidence),
+        texcoords=take(mesh.texcoords) if mesh.texcoord_faces is None
+        else mesh.texcoords,
+        texcoord_faces=None if mesh.texcoord_faces is None
+        else jnp.asarray(np.asarray(mesh.texcoord_faces)[fkeep]),
+    )
+    out = dataclasses.replace(character, mesh=new_mesh)
+    if character.skin_weights is not None:
+        sw = character.skin_weights
+        out = dataclasses.replace(out, skin_weights=SkinWeights(
+            index=jnp.asarray(np.asarray(sw.index)[keep_idx]),
+            weight=jnp.asarray(np.asarray(sw.weight)[keep_idx])))
+    if character.blend_shape is not None:
+        bs = character.blend_shape
+        from momentum_tpu.character.blend_shape import BlendShape
+
+        out = dataclasses.replace(out, blend_shape=BlendShape(
+            base_shape=jnp.asarray(np.asarray(bs.base_shape)[keep_idx]),
+            shape_vectors=jnp.asarray(
+                np.asarray(bs.shape_vectors)[:, keep_idx])))
+    return out
+
+
+def reduce_mesh_by_faces(character: Character, active_faces) -> Character:
+    """Keep only the selected faces and the vertices they use
+    (character_utility.h:108-113 reduceMeshByFaces)."""
+    mesh = character.mesh
+    if mesh is None:
+        return character
+    active = np.asarray(active_faces, bool)
+    faces = np.asarray(mesh.faces)
+    if active.shape[0] != faces.shape[0]:
+        raise ValueError("active_faces size mismatch")
+    used = np.zeros(mesh.num_vertices, bool)
+    used[faces[active].ravel()] = True
+    # keep exactly the used vertices; the vertex-based reducer then keeps
+    # every face whose 3 vertices survive — a superset of active when faces
+    # share vertices, so mask the faces first
+    masked = dataclasses.replace(
+        character,
+        mesh=dataclasses.replace(mesh, faces=jnp.asarray(
+            faces[active].astype(np.int32)),
+            texcoord_faces=None if mesh.texcoord_faces is None
+            else jnp.asarray(np.asarray(mesh.texcoord_faces)[active])))
+    return reduce_mesh_by_vertices(masked, used)

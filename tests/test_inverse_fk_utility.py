@@ -202,3 +202,37 @@ def test_coordinate_system_conversions():
     # same-system conversion is identity
     m = change_matrix(jnp.eye(3), mom, mom)
     np.testing.assert_allclose(np.asarray(m), np.eye(3), atol=1e-6)
+
+
+def test_reduce_mesh():
+    import numpy as np
+    import jax.numpy as jnp
+    from momentum_tpu.character.utility import (
+        reduce_mesh_by_faces, reduce_mesh_by_vertices,
+    )
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(4)
+    v = char.mesh.num_vertices
+    active = np.zeros(v, bool)
+    active[: v // 2] = True
+    out = reduce_mesh_by_vertices(char, active)
+    assert out.mesh.num_vertices == v // 2
+    f = np.asarray(out.mesh.faces)
+    assert f.size == 0 or f.max() < v // 2
+    assert out.skin_weights.index.shape[0] == v // 2
+    # reduced character still skins
+    from momentum_tpu.character.skinning import skin_points
+    out = out.with_inverse_bind_pose()
+    states = out.skeleton_states(jnp.zeros(out.num_model_parameters))
+    pts = skin_points(out.skin_weights, states, out.inverse_bind_pose,
+                      out.mesh.vertices)
+    assert np.isfinite(np.asarray(pts)).all()
+
+    nf = np.asarray(char.mesh.faces).shape[0]
+    fa = np.zeros(nf, bool)
+    fa[:3] = True
+    out2 = reduce_mesh_by_faces(char, fa)
+    assert np.asarray(out2.mesh.faces).shape[0] == 3
+    used = np.unique(np.asarray(char.mesh.faces)[:3])
+    assert out2.mesh.num_vertices == len(used)
