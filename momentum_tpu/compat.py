@@ -26,6 +26,9 @@ __all__ = [
     "joint_parameters_to_positions",
     "skin_points_from_model_parameters",
     "uniform_random_to_model_parameters",
+    "reduce_to_selected_model_parameters",
+    "bones_to_vertices",
+    "reduce_mesh_to_bones",
     "compare_skeleton_states",
 ]
 
@@ -106,3 +109,35 @@ def compare_skeleton_states(state_a, state_b):
         max_rotation_error=jnp.max(ang_err),
         mean_rotation_error=jnp.mean(ang_err),
     )
+
+
+def reduce_to_selected_model_parameters(character, enabled):
+    """pymomentum geometry reduce_to_selected_model_parameters: subset the
+    parameter transform to the enabled mask."""
+    from momentum_tpu.character.utility import simplify_parameter_transform
+
+    return simplify_parameter_transform(character, enabled)
+
+
+def bones_to_vertices(character, joints_to_keep):
+    """Vertices whose dominant skinning influence is one of `joints_to_keep`
+    (momentum_geometry.cpp bonesToVertices)."""
+    import numpy as np
+
+    if character.skin_weights is None:
+        raise ValueError("character has no skin weights")
+    keep = np.zeros(character.num_joints, bool)
+    keep[np.asarray(joints_to_keep, np.int64)] = True
+    idx = np.asarray(character.skin_weights.index)
+    w = np.asarray(character.skin_weights.weight)
+    dominant = idx[np.arange(idx.shape[0]), w.argmax(axis=1)]
+    return keep[dominant]
+
+
+def reduce_mesh_to_bones(character, joints_to_keep):
+    """pymomentum geometry: reduce the mesh to vertices skinned to the given
+    joints (momentum_geometry.cpp:515-524)."""
+    from momentum_tpu.character.utility import reduce_mesh_by_vertices
+
+    return reduce_mesh_by_vertices(
+        character, bones_to_vertices(character, joints_to_keep))
