@@ -28,3 +28,8 @@ from momentum_tpu.rasterizer.primitives import (  # noqa: F401
     rasterize_wireframe,
     subdivide_mesh,
 )
+from momentum_tpu.rasterizer.text import (  # noqa: F401
+    measure_text,
+    rasterize_text,
+    rasterize_text_2d,
+)

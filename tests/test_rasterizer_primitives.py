@@ -106,3 +106,27 @@ def test_checkerboard_and_grid():
     assert len(np.unique(c[:, 0])) == 2
     segs = make_grid_lines(10.0, 5.0)
     assert segs.shape == (10, 2, 3)
+
+
+def test_text_2d_and_billboard():
+    from momentum_tpu.rasterizer import (
+        measure_text, rasterize_text, rasterize_text_2d,
+    )
+
+    img = np.zeros((32, 96, 3), np.float32)
+    out = rasterize_text_2d(img, "IK 42%", 2, 2, color=(0, 1, 0), scale=1)
+    assert (out[..., 1] > 0.5).sum() > 20  # pixels drawn
+    assert out[..., 0].max() == 0  # only the green channel
+    w, h = measure_text("IK 42%")
+    assert w == 6 * 6 and h == 7
+    # scale doubles coverage
+    out2 = rasterize_text_2d(img, "A", 2, 2, scale=2)
+    out1 = rasterize_text_2d(img, "A", 2, 2, scale=1)
+    assert (out2.sum() > 3 * out1.sum())
+    # billboard via camera projection
+    cam = _cam(4.0)
+    out3 = rasterize_text(np.zeros((64, 64, 3), np.float32), cam, "X",
+                          [0.0, 0.0, 0.0])
+    ys, xs = np.nonzero(out3[..., 0] > 0.5)
+    assert len(ys) > 0
+    assert abs(ys.mean() - 32) < 6 and abs(xs.mean() - 32) < 6
