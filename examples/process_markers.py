@@ -19,8 +19,27 @@ import sys
 import time
 
 
+def _select_backend():
+    """Prefer the accelerator; fall back to CPU when the plugin can't init
+    (busy tunnel, missing hardware) instead of dying."""
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.extend.backend.clear_backends()  # drop the cached failure
+        except Exception:
+            pass
+
+
 def main(argv=None):
+    _select_backend()
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-c", "--config", help="INI config file with option "
+                    "defaults (the reference CLI's set_config('-c'), "
+                    "process_markers_app.cpp:19-51)")
     ap.add_argument("--markers", required=True, help="C3D or TRC marker file")
     ap.add_argument("--character", required=True, help="GLB character file")
     ap.add_argument("--model", help="optional .model/.cfg parameter definition")
@@ -30,6 +49,20 @@ def main(argv=None):
     ap.add_argument("--max-iter", type=int, default=30)
     ap.add_argument("--smoothing", type=float, default=0.0)
     ap.add_argument("--no-calibrate", action="store_true")
+    import configparser
+
+    # INI config supplies defaults; explicit CLI flags win
+    # (the reference CLI's set_config("-c"), process_markers_app.cpp:19-51)
+    pre, _ = ap.parse_known_args(argv)
+    if getattr(pre, "config", None):
+        cp = configparser.ConfigParser()
+        cp.read(pre.config)
+        defaults = dict(cp.defaults())
+        for sec in cp.sections():
+            defaults.update(dict(cp[sec]))
+        known = {a.dest for a in ap._actions}
+        ap.set_defaults(**{k.replace("-", "_"): v for k, v in defaults.items()
+                           if k.replace("-", "_") in known})
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
