@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 __all__ = ["psd_solve", "blocked_cholesky", "blocked_cholesky_solve"]
 
-_BLOCK = 32
+_BLOCK = int(__import__("os").environ.get("MOMENTUM_TPU_CHOL_BLOCK", 32))
 # below this size XLA's native path wins (fewer dispatches)
 _BLOCKED_MIN_N = 64
 

@@ -139,3 +139,32 @@ class TestSurfaceExtraction:
         # extracted surface points are near the cube surface (|sdf| small)
         d = np.abs(np.asarray(sdf.sample(verts)))
         assert np.median(d) < 0.05
+
+
+def test_triangle_grid_matches_brute_force():
+    """Uniform-grid accelerator (TriBvh equivalent) vs brute force —
+    the reference's BVH-vs-brute-force test pattern."""
+    import numpy as np
+    from momentum_tpu.axel import (
+        build_triangle_grid, closest_point_on_mesh, closest_point_on_mesh_grid,
+    )
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(6)
+    v, f = char.mesh.vertices, char.mesh.faces
+    grid = build_triangle_grid(v, f, resolution=8)
+    rng = np.random.default_rng(3)
+    near = np.asarray(v)[rng.integers(0, v.shape[0], 40)] \
+        + rng.normal(0, 0.05, (40, 3)).astype(np.float32)
+    far = rng.uniform(-20, 20, (8, 3)).astype(np.float32)
+    q = jnp.asarray(np.concatenate([near, far]))
+    gp, gf, gd = closest_point_on_mesh_grid(grid, q, v, f)
+    bp, bf, _, bd = closest_point_on_mesh(q, v, f)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(bd), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(bp), atol=1e-3)
+    # fast mode still exact for certified (near-surface) queries
+    gp2, _, gd2 = closest_point_on_mesh_grid(grid, jnp.asarray(near), v, f,
+                                             exact=False)
+    cert = np.asarray(gd2) <= float(grid.cell_size) ** 2
+    np.testing.assert_allclose(np.asarray(gd2)[cert],
+                               np.asarray(bd)[:40][cert], atol=1e-4)
