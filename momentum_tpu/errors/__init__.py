@@ -46,4 +46,14 @@ from momentum_tpu.errors.body import (  # noqa: F401
     FloorErrorFunction,
     HeightErrorFunction,
 )
-from momentum_tpu.errors.skinned_locator import SkinnedLocatorErrorFunction  # noqa: F401
+from momentum_tpu.errors.skinned_locator import (  # noqa: F401
+    SkinnedLocatorErrorFunction,
+    SkinnedLocatorTriangleErrorFunction,
+)
+from momentum_tpu.errors.sdf import (  # noqa: F401
+    SdfCollisionErrorFunction,
+    VertexSdfErrorFunction,
+)
+from momentum_tpu.errors.camera_projection import (  # noqa: F401
+    CameraProjectionErrorFunction,
+)
