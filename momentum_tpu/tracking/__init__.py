@@ -16,3 +16,4 @@ from momentum_tpu.tracking.tracker import (  # noqa: F401
 )
 from momentum_tpu.tracking.gap_fill import fill_marker_gaps  # noqa: F401
 from momentum_tpu.tracking.app_utils import load_character, load_character_with_identity  # noqa: F401
+from momentum_tpu.tracking import glove_utils  # noqa: F401
