@@ -79,10 +79,28 @@ def _normal_equations(fn: SequenceSolverFunction, pf, u):
     rhs_u = jnp.zeros((nu,), dtype)
 
     # ---- per-frame errors (block-diagonal + arrowhead contributions) ----
+    pf_idx = np.asarray(fn.per_frame_index, np.int64) if fn.per_frame_index \
+        else np.zeros(0, np.int64)
+    u_idx = np.asarray(fn.universal_index, np.int64) if fn.universal_index \
+        else np.zeros(0, np.int64)
+
     def frame_res(pf_f, u_, ef_f):
         return fn.frame_residual(_single_frame_theta(fn, pf_f, u_), ef_f)
 
+    from momentum_tpu.solver.skeleton_solver_function import (
+        SkeletonSolverFunction as _SSF,
+    )
+
+    analytic = _SSF(fn.character, tuple(fn.per_frame_errors)).fully_analytic
+
     def frame_jac(pf_f, u_, ef_f):
+        if analytic:
+            # the full-θ analytic Jacobian; per-frame / universal columns are
+            # direct index selections since θ[pf_idx] = pf, θ[u_idx] = u
+            ssf = _SSF(fn.character, tuple(ef_f))
+            rows, jac = ssf.residual_and_jacobian(
+                _single_frame_theta(fn, pf_f, u_))
+            return rows, jac[:, pf_idx], jac[:, u_idx]
         jac, rows = jax.jacfwd(
             lambda a, b: (frame_res(a, b, ef_f),) * 2, argnums=(0, 1), has_aux=True
         )(pf_f, u_)
