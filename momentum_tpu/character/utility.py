@@ -30,6 +30,7 @@ __all__ = [
     "parameters_to_active_joints",
     "active_joints_to_parameters",
     "subset_parameter_transform",
+    "map_parameter_transform_joints",
     "split_parameters",
     "bake_blend_shape",
     "resample_motion",
@@ -360,3 +361,33 @@ def reduce_mesh_by_faces(character: Character, active_faces) -> Character:
             texcoord_faces=None if mesh.texcoord_faces is None
             else jnp.asarray(np.asarray(mesh.texcoord_faces)[active])))
     return reduce_mesh_by_vertices(masked, used)
+
+
+def map_parameter_transform_joints(pt: ParameterTransform, num_target_joints: int,
+                                   joint_mapping) -> ParameterTransform:
+    """Re-target a parameter transform onto a different skeleton's joint
+    ordering (parameter_transform.h:202-205 mapParameterTransformJoints):
+    joint_mapping[src_joint] = target joint index or -1 to drop. Rows of
+    dropped joints vanish; columns are kept (apply subset_parameter_transform
+    afterwards to drop now-unused parameters)."""
+    mapping = np.asarray(joint_mapping, np.int64)
+    src_joints = mapping.shape[0]
+    tf = np.asarray(pt.transform)
+    offs = np.asarray(pt.offsets)
+    if tf.shape[0] != src_joints * PARAMS_PER_JOINT:
+        raise ValueError("joint_mapping does not match the transform rows")
+    out_tf = np.zeros((num_target_joints * PARAMS_PER_JOINT, tf.shape[1]),
+                      tf.dtype)
+    out_off = np.zeros(num_target_joints * PARAMS_PER_JOINT, offs.dtype)
+    for sj in range(src_joints):
+        tj = mapping[sj]
+        if tj < 0:
+            continue
+        if tj >= num_target_joints:
+            raise ValueError(f"mapping[{sj}]={tj} out of range")
+        s0, t0 = sj * PARAMS_PER_JOINT, tj * PARAMS_PER_JOINT
+        out_tf[t0:t0 + PARAMS_PER_JOINT] = tf[s0:s0 + PARAMS_PER_JOINT]
+        out_off[t0:t0 + PARAMS_PER_JOINT] = offs[s0:s0 + PARAMS_PER_JOINT]
+    return ParameterTransform(
+        transform=jnp.asarray(out_tf), offsets=jnp.asarray(out_off),
+        names=pt.names, parameter_sets=pt.parameter_sets)
