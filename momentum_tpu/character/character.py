@@ -128,6 +128,12 @@ class Character:
     blend_shape_param_index: Optional[tuple] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # separate face-expression basis (character.h faceExpressionBlendShape;
+    # addFaceExpressionParameters, parameter_transform.h:212-215)
+    face_expression_blend_shape: Optional[BlendShape] = None
+    face_expression_param_index: Optional[tuple] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
     name: str = dataclasses.field(default="", metadata=dict(static=True))
 
     @property

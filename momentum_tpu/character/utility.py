@@ -33,6 +33,7 @@ __all__ = [
     "map_parameter_transform_joints",
     "split_parameters",
     "bake_blend_shape",
+    "add_face_expression_parameters",
     "resample_motion",
 ]
 
@@ -391,3 +392,24 @@ def map_parameter_transform_joints(pt: ParameterTransform, num_target_joints: in
     return ParameterTransform(
         transform=jnp.asarray(out_tf), offsets=jnp.asarray(out_off),
         names=pt.names, parameter_sets=pt.parameter_sets)
+
+
+def add_face_expression_parameters(character: Character, blend_shape,
+                                   num_shapes=None) -> Character:
+    """Extend the rig with face-expression coefficients
+    (parameter_transform.h:212-215 addFaceExpressionParameters): like
+    add_blend_shape_parameters but on the separate expression basis, which is
+    applied additively as deltas on the (possibly shape-blended) rest mesh."""
+    pt = character.parameter_transform
+    k = num_shapes if num_shapes is not None else blend_shape.num_shapes
+    old_p = pt.num_model_parameters
+    tf = np.asarray(pt.transform)
+    tf2 = np.concatenate([tf, np.zeros((tf.shape[0], k), tf.dtype)], axis=1)
+    names = pt.names + tuple(f"face_expre_{i}" for i in range(k))
+    pt2 = ParameterTransform(
+        transform=jnp.asarray(tf2), offsets=pt.offsets, names=names,
+        parameter_sets=pt.parameter_sets)
+    return dataclasses.replace(
+        character, parameter_transform=pt2,
+        face_expression_blend_shape=blend_shape,
+        face_expression_param_index=tuple(range(old_p, old_p + k)))

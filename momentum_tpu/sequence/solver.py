@@ -91,7 +91,12 @@ def _normal_equations(fn: SequenceSolverFunction, pf, u):
         SkeletonSolverFunction as _SSF,
     )
 
-    analytic = _SSF(fn.character, tuple(fn.per_frame_errors)).fully_analytic
+    # the analytic full-θ Jacobian pays for itself when the parameter count
+    # is large (it replaces P forward tangents with C-sized assembly); for
+    # small rigs the few-tangent jacfwd wins (measured: 16-joint rig 7.4k
+    # frames/s jacfwd vs 5.8k analytic; full-body is the reverse)
+    analytic = (fn.character.num_model_parameters >= 64
+                and _SSF(fn.character, tuple(fn.per_frame_errors)).fully_analytic)
 
     def frame_jac(pf_f, u_, ef_f):
         if analytic:

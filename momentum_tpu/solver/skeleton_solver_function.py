@@ -59,6 +59,13 @@ class SkeletonSolverFunction:
                     model_params, jnp.asarray(char.blend_shape_param_index), axis=-1
                 )
                 rest_vertices = char.blend_shape.apply(coeffs)
+            if char.face_expression_blend_shape is not None \
+                    and char.face_expression_param_index is not None:
+                fcoeffs = jnp.take(
+                    model_params,
+                    jnp.asarray(char.face_expression_param_index), axis=-1)
+                rest_vertices = rest_vertices \
+                    + char.face_expression_blend_shape.compute_deltas(fcoeffs)
             mesh_vertices = skin_points(
                 char.skin_weights, states, char.inverse_bind_pose, rest_vertices
             )

@@ -174,3 +174,50 @@ class TestTorchInterop:
         np.testing.assert_allclose(x.grad.numpy(), np.asarray(gj), atol=1e-4)
         v = LinearBlendSkinning(char)(torch.zeros(char.num_model_parameters))
         assert v.shape == (char.mesh.num_vertices, 3)
+
+
+def test_face_expression_parameters():
+    """Separate face-expression basis applied additively on the rest mesh
+    (parameter_transform.h:212-215 + character.h faceExpressionBlendShape)."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from momentum_tpu.character.blend_shape import BlendShape
+    from momentum_tpu.character.utility import (
+        add_blend_shape_parameters, add_face_expression_parameters,
+    )
+    from momentum_tpu.errors import VertexPositionErrorFunction
+    from momentum_tpu.solver import SkeletonSolverFunction
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(4)
+    v = char.mesh.num_vertices
+    rng = np.random.default_rng(0)
+    body = BlendShape(base_shape=char.mesh.vertices,
+                      shape_vectors=jnp.asarray(
+                          rng.normal(0, 0.1, (2, v, 3)).astype(np.float32)))
+    face = BlendShape(base_shape=jnp.zeros((v, 3)),
+                      shape_vectors=jnp.asarray(
+                          rng.normal(0, 0.1, (3, v, 3)).astype(np.float32)))
+    char = add_blend_shape_parameters(char, body)
+    char = add_face_expression_parameters(char, face)
+    p = char.num_model_parameters
+    assert len(char.face_expression_param_index) == 3
+    ef = VertexPositionErrorFunction.create(
+        np.arange(4), np.zeros((4, 3), np.float32))
+    fn = SkeletonSolverFunction(char, (ef,))
+    theta = jnp.zeros(p)
+    ctx0 = fn.context(theta)
+    # driving a face parameter deforms the rest vertices by its basis column
+    i = char.face_expression_param_index[1]
+    ctx1 = fn.context(theta.at[i].set(0.7))
+    delta = np.asarray(ctx1.rest_vertices - ctx0.rest_vertices)
+    np.testing.assert_allclose(delta, 0.7 * np.asarray(face.shape_vectors[1]),
+                               atol=1e-5)
+    # body blend and face expression compose additively
+    j = char.blend_shape_param_index[0]
+    ctx2 = fn.context(theta.at[i].set(0.7).at[j].set(0.5))
+    expect = (0.5 * np.asarray(body.shape_vectors[0])
+              + 0.7 * np.asarray(face.shape_vectors[1]))
+    np.testing.assert_allclose(
+        np.asarray(ctx2.rest_vertices - ctx0.rest_vertices), expect, atol=1e-5)
