@@ -16,5 +16,6 @@ from momentum_tpu.character.character import (  # noqa: F401
     Character,
     CollisionGeometry,
     Locators,
+    SkinnedLocators,
     Mesh,
 )

@@ -22,7 +22,7 @@ from momentum_tpu.character.skinning import SkinWeights
 from momentum_tpu.character import fk
 from momentum_tpu.math import skel_state as ss
 
-__all__ = ["Mesh", "Locators", "Character", "CollisionGeometry"]
+__all__ = ["Mesh", "Locators", "SkinnedLocators", "Character", "CollisionGeometry"]
 
 
 @jax.tree_util.register_dataclass
@@ -64,6 +64,37 @@ class Locators:
         """LocatorState: world positions of all locators (locator_state.h)."""
         states = jnp.take(global_states, self.parent, axis=-2)
         return ss.transform_points(states, self.offset)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SkinnedLocators:
+    """Locators skinned to multiple joints (character/skinned_locator.h:25-47):
+    rest-pose point transformed by the blended skinning matrices of up to K
+    parent joints."""
+
+    parents: jnp.ndarray  # (L, K) int32
+    skin_weights: jnp.ndarray  # (L, K)
+    rest_position: jnp.ndarray  # (L, 3)
+    names: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+
+    @property
+    def num_locators(self) -> int:
+        return self.parents.shape[0]
+
+    def world_positions(self, character, global_states: jnp.ndarray,
+                        rest_offset=None) -> jnp.ndarray:
+        from momentum_tpu.math import skel_state as _ss
+
+        char = character.with_inverse_bind_pose()
+        skin_t = _ss.multiply(
+            jnp.take(global_states, self.parents, axis=-2),
+            jnp.take(char.inverse_bind_pose, self.parents, axis=0))
+        rest = self.rest_position
+        if rest_offset is not None:
+            rest = rest + rest_offset
+        pts = _ss.transform_points(skin_t, rest[..., :, None, :])
+        return jnp.einsum("...ck,...cki->...ci", self.skin_weights, pts)
 
 
 # CollisionPrimitiveType (collision_geometry.h:22-26)
@@ -121,11 +152,18 @@ class Character:
     inverse_bind_pose: Optional[jnp.ndarray] = None  # (nJ, 8)
     blend_shape: Optional[BlendShape] = None
     locators: Optional[Locators] = None
+    skinned_locators: Optional["SkinnedLocators"] = None
     collision: Optional[CollisionGeometry] = None
     # model-parameter indices driving blendshape coefficients, in basis order
     # (reference: ParameterTransform::blendShapeParameters,
     # parameter_transform.h:189-227). Static so gathers stay trace-constant.
     blend_shape_param_index: Optional[tuple] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    # model-parameter indices driving skinned-locator rest offsets, flattened
+    # (L, 3) order; -1 = not parameterized (parameter_transform.h:94-95
+    # skinnedLocatorParameters)
+    skinned_locator_param_index: Optional[tuple] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
     # separate face-expression basis (character.h faceExpressionBlendShape;

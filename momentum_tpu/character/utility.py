@@ -34,6 +34,8 @@ __all__ = [
     "split_parameters",
     "bake_blend_shape",
     "add_face_expression_parameters",
+    "add_skinned_locator_parameters",
+    "skinned_locator_rest_offsets",
     "resample_motion",
 ]
 
@@ -413,3 +415,48 @@ def add_face_expression_parameters(character: Character, blend_shape,
         character, parameter_transform=pt2,
         face_expression_blend_shape=blend_shape,
         face_expression_param_index=tuple(range(old_p, old_p + k)))
+
+
+def add_skinned_locator_parameters(character: Character, active_locators=None) -> Character:
+    """Add 3 model parameters (x/y/z rest offset) per active skinned locator
+    (parameter_transform.h:222-226 addSkinnedLocatorParameters). Records the
+    flattened (L, 3) parameter map in skinned_locator_param_index (-1 where a
+    locator is inactive, matching skinnedLocatorParameters semantics)."""
+    sl = character.skinned_locators
+    if sl is None:
+        raise ValueError("character has no skinned locators")
+    n = sl.num_locators
+    active = np.ones(n, bool) if active_locators is None \
+        else np.asarray(active_locators, bool)
+    pt = character.parameter_transform
+    old_p = pt.num_model_parameters
+    k = int(active.sum()) * 3
+    tf = np.asarray(pt.transform)
+    tf2 = np.concatenate([tf, np.zeros((tf.shape[0], k), tf.dtype)], axis=1)
+    names = list(pt.names)
+    index = np.full(n * 3, -1, np.int64)
+    nxt = old_p
+    for i in range(n):
+        if not active[i]:
+            continue
+        nm = sl.names[i] if i < len(sl.names) else f"skinned_locator_{i}"
+        for a, ax in enumerate("xyz"):
+            names.append(f"{nm}_t{ax}")
+            index[i * 3 + a] = nxt
+            nxt += 1
+    pt2 = ParameterTransform(
+        transform=jnp.asarray(tf2), offsets=pt.offsets, names=tuple(names),
+        parameter_sets=pt.parameter_sets)
+    return dataclasses.replace(
+        character, parameter_transform=pt2,
+        skinned_locator_param_index=tuple(int(x) for x in index))
+
+
+def skinned_locator_rest_offsets(character: Character, model_params):
+    """(L, 3) rest offsets from the model parameters (zeros where
+    unparameterized)."""
+    sl = character.skinned_locators
+    idx = np.asarray(character.skinned_locator_param_index, np.int64)
+    gathered = jnp.take(model_params, jnp.asarray(np.maximum(idx, 0)), axis=-1)
+    mask = jnp.asarray((idx >= 0).astype(np.float32))
+    return (gathered * mask).reshape(model_params.shape[:-1] + (sl.num_locators, 3))
