@@ -95,8 +95,12 @@ def _normal_equations(fn: SequenceSolverFunction, pf, u):
     # is large (it replaces P forward tangents with C-sized assembly); for
     # small rigs the few-tangent jacfwd wins (measured: 16-joint rig 7.4k
     # frames/s jacfwd vs 5.8k analytic; full-body is the reverse)
-    analytic = (fn.character.num_model_parameters >= 64
-                and _SSF(fn.character, tuple(fn.per_frame_errors)).fully_analytic)
+    import os as _os
+
+    _force = _os.environ.get("MOMENTUM_TPU_SEQ_ANALYTIC")
+    analytic = (fn.character.num_model_parameters >= 64 if _force is None
+                else _force not in ("0", "false")) \
+        and _SSF(fn.character, tuple(fn.per_frame_errors)).fully_analytic
 
     def frame_jac(pf_f, u_, ef_f):
         if analytic:

@@ -166,3 +166,49 @@ class TestSequenceSolve:
         res = solve_sequence(fn, pf0, u0,
                              SolverOptions(max_iterations=25, regularization=1e-5))
         assert float(res.error) < 1e-2
+
+
+def test_analytic_sequence_jacobians_match_ad():
+    """The size-gated analytic per-frame Jacobian path must produce the same
+    normal equations as jacfwd."""
+    import os
+
+    import dataclasses as dc
+
+    from momentum_tpu.sequence.solver import _normal_equations
+    from momentum_tpu.sequence.solver_function import SequenceSolverFunction
+    from momentum_tpu.errors import PositionErrorFunction
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(5)
+    f, p = 3, char.num_model_parameters
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(-0.2, 0.2, (f, p)), jnp.float32)
+    states = jax.vmap(char.skeleton_states)(gt)
+    targets = jax.vmap(char.locators.world_positions)(states)
+    ef0 = PositionErrorFunction.create(
+        np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+        np.zeros((char.locators.num_locators, 3)))
+    stacked = jax.vmap(lambda t: dc.replace(ef0, target=t))(targets)
+    universal = np.zeros(p, bool)
+    universal[1] = True
+    fn = SequenceSolverFunction.create(char, f, universal=universal,
+                                       per_frame_errors=(stacked,))
+    pf = jnp.asarray(rng.normal(0, 0.1, (f, fn.num_per_frame)), jnp.float32)
+    u = jnp.asarray(rng.normal(0, 0.1, (fn.num_universal,)), jnp.float32)
+
+    outs = {}
+    for mode in ("1", "0"):
+        os.environ["MOMENTUM_TPU_SEQ_ANALYTIC"] = mode
+        try:
+            outs[mode] = _normal_equations(fn, pf, u)
+        finally:
+            del os.environ["MOMENTUM_TPU_SEQ_ANALYTIC"]
+    for a, b in zip(outs["1"][:6], outs["0"][:6]):
+        if isinstance(a, list):
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                           atol=2e-4)
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
