@@ -116,17 +116,25 @@ def fused_point_jacobian_model(jc: JacobianContext, points, parents, pt_mat,
     a_t = jnp.einsum("...nij,njp->...nip", jc.trans_axis, ptj[:, :3])
     term_t = jnp.einsum("...cn,...nip->...cip", mask, a_t)
 
-    # scale (log2 parameterization)
-    e = mask[..., None] * diff  # (..., C, nJ, 3)
-    term_s = _LN2 * jnp.einsum("...cnv,np->...cvp", e, ptj[:, 6])
+    # The rotation/scale terms depend on diff = p_c − t_j. Splitting them
+    # (diff separability) keeps every joint contraction a mask matmul and the
+    # constraint-point factor a per-constraint elementwise op — nothing of
+    # size (..., C, nJ, ...) or (..., C, 3, 3, P) is ever materialized.
 
-    # rotation: cross(axis_k, diff)·PT — contract joints first, then epsilon
+    # scale (log2 parameterization): ln2·Σ_j m·(p_c − t_j)·pt6_j
+    pt6 = ptj[:, 6]  # (nJ, P)
+    m_pt6 = mask @ pt6  # (..., C, P)
+    w_s = jnp.einsum("...nv,np->...nvp", jc.joint_pos, pt6)  # (.., nJ, 3, P)
+    term_s = _LN2 * (points[..., :, :, None] * m_pt6[..., :, None, :]
+                     - jnp.einsum("...cn,...nvp->...cvp", mask, w_s))
+
+    # rotation: Σ_j m·((axis_j × p_c) − (axis_j × t_j))·pt_rot
+    #         = (Σ_j m·axis·pt) × p_c  −  Σ_j m·(axis_j × t_j)·pt
     d_r = jnp.einsum("...nwk,nkp->...nwp", jc.rot_axis, ptj[:, 3:6])
-    g = jnp.einsum("...cnu,...nwp->...cuwp", e, d_r)  # (..., C, 3u, 3w, P)
-    # (axis × diff)_v = ε_{vwu} axis_w diff_u ; g is indexed [..., u, w, :]
-    term_r = jnp.stack([
-        g[..., 2, 1, :] - g[..., 1, 2, :],
-        g[..., 0, 2, :] - g[..., 2, 0, :],
-        g[..., 1, 0, :] - g[..., 0, 1, :],
-    ], axis=-2)
+    h1 = jnp.einsum("...cn,...nwp->...cwp", mask, d_r)  # (..., C, 3, P)
+    q = jnp.cross(d_r, jc.joint_pos[..., :, :, None], axisa=-2, axisb=-2,
+                  axisc=-2)  # (..., nJ, 3, P): axis_j × t_j per column
+    h2 = jnp.einsum("...cn,...nvp->...cvp", mask, q)
+    term_r = jnp.cross(h1, points[..., :, :, None], axisa=-2, axisb=-2,
+                       axisc=-2) - h2
     return term_t + term_s + term_r

@@ -156,3 +156,35 @@ def test_batched_native_solve_matches_vmapped(char):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(res.error), np.asarray(ref.error),
                                rtol=1e-3, atol=1e-9)
+
+
+def test_fused_model_jacobian_matches_blockwise():
+    """prefer_fused reassociates the chain rule into MXU matmuls; it must
+    produce the same (rows, J) as the blockwise path."""
+    import dataclasses as dc
+
+    from momentum_tpu.errors import PositionErrorFunction
+    from momentum_tpu.solver import SkeletonSolverFunction
+    from momentum_tpu.testing.fixtures import create_fullbody_character
+
+    char = create_fullbody_character()
+    rng = np.random.default_rng(0)
+    b, p = 3, char.num_model_parameters
+    gt = jnp.asarray(rng.uniform(-0.3, 0.3, (b, p)), jnp.float32)
+    targets = jax.vmap(char.locators.world_positions)(
+        jax.vmap(char.skeleton_states)(gt))
+    ef = dc.replace(
+        PositionErrorFunction.create(
+            np.asarray(char.locators.parent),
+            np.asarray(char.locators.offset),
+            np.zeros((char.locators.num_locators, 3))),
+        target=targets)
+    x = gt + 0.05 * jnp.asarray(rng.normal(0, 1, (b, p)), jnp.float32)
+    fn_b = SkeletonSolverFunction(char, (ef,), prefer_fused=False)
+    fn_f = SkeletonSolverFunction(char, (ef,), prefer_fused=True)
+    rb, jb = fn_b.residual_and_jacobian(x)
+    rf, jf = fn_f.residual_and_jacobian(x)
+    np.testing.assert_allclose(np.asarray(rb), np.asarray(rf), atol=1e-6)
+    scale = np.abs(np.asarray(jb)).max()
+    np.testing.assert_allclose(np.asarray(jf) / scale, np.asarray(jb) / scale,
+                               atol=2e-6)
