@@ -60,7 +60,10 @@ def main():
         # batch-native path: batched analytic Jacobians + batched linalg +
         # the fused Pallas FK kernel — no vmap
         ef = dataclasses.replace(ef0, target=targets)
-        fn = SkeletonSolverFunction(char, (ef,))
+        fn = SkeletonSolverFunction(
+            char, (ef,),
+            prefer_fused=bool(int(os.environ.get(
+                "MOMENTUM_TPU_PREFER_FUSED", "1"))))
         return solve_levenberg_marquardt(
             fn.residual, fn.error, x0, options=opts,
             jacobian_fn=fn.residual_and_jacobian)
