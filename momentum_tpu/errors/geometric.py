@@ -405,8 +405,9 @@ def _aim_geom_jacobians(self, ctx, jc):
 def _finish(self, f, j, w):
     sq = jnp.sum(f * f, axis=-1)
     scale = self._row_scale(w, sq)
-    rows = (scale[..., None] * f).reshape(-1)
-    jrows = (scale[:, None, None] * j).reshape(rows.shape[0], -1)
+    rows = (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
+    jrows = (scale[..., None, None] * j).reshape(
+        j.shape[:-3] + (rows.shape[-1], j.shape[-1]))
     return rows, jrows, None
 
 
@@ -416,8 +417,8 @@ def _aim_dist_jacobian(self, character, ctx, jc):
     jt = -jp
     dt = jnp.sum(d * t, axis=-1)  # (C,)
     # f = (d·t)d − t ; df = d(d·t)·d + (d·t)·Jd − Jt
-    ddt = jnp.einsum("ci,cij->cj", t, jd) + jnp.einsum("ci,cij->cj", d, jt)  # (C, J)
-    j = d[..., None] * ddt[:, None, :] + dt[:, None, None] * jd - jt
+    ddt = jnp.einsum("...ci,...cij->...cj", t, jd) + jnp.einsum("...ci,...cij->...cj", d, jt)  # (C, J)
+    j = d[..., None] * ddt[..., None, :] + dt[..., None, None] * jd - jt
     f = dt[..., None] * d - t
     return _finish(self, f, j, self.cweight)
 
@@ -429,7 +430,7 @@ def _aim_dir_jacobian(self, character, ctx, jc):
     safe = jnp.maximum(norm, 1e-12)
     that = jnp.where(norm > _EPS, t / safe, 0.0)
     # d t̂ = (I − t̂ t̂ᵀ)/‖t‖ · dt ; dt = −Jp
-    proj = jp - jnp.einsum("ci,cj,cjk->cik", that, that, jp)
+    proj = jp - jnp.einsum("...ci,...cj,...cjk->...cik", that, that, jp)
     j = jd + proj / safe[..., None]
     f = d - that
     return _finish(self, f, j, self.cweight)
@@ -452,7 +453,7 @@ def _fixed_axis_diff_jacobian(self, character, ctx, jc):
 def _fixed_axis_cos_jacobian(self, character, ctx, jc):
     v, jv = _fixed_axis_geom(self, ctx, jc)
     f = 1.0 - jnp.sum(v * self.global_axis, axis=-1, keepdims=True)
-    j = -jnp.einsum("ci,cij->cj", self.global_axis, jv)[:, None, :]
+    j = -jnp.einsum("...ci,...cij->...cj", self.global_axis, jv)[..., None, :]
     return _finish(self, f, j, self.cweight)
 
 
@@ -461,7 +462,7 @@ def _fixed_axis_angle_jacobian(self, character, ctx, jc):
     c = jnp.clip(jnp.sum(v * self.global_axis, axis=-1), -1.0 + 1e-7, 1.0 - 1e-7)
     f = jnp.arccos(c)[..., None]
     dacos = -1.0 / jnp.sqrt(1.0 - c * c)
-    j = (dacos[:, None] * jnp.einsum("ci,cij->cj", self.global_axis, jv))[:, None, :]
+    j = (dacos[..., None] * jnp.einsum("...ci,...cij->...cj", self.global_axis, jv))[..., None, :]
     return _finish(self, f, j, self.cweight)
 
 
@@ -475,7 +476,7 @@ def _plane_jacobian(self, character, ctx, jc):
     gate = jnp.where(val < 0, 1.0, 0.0) if self.half_plane else jnp.ones_like(val)
     if self.half_plane:
         val = jnp.minimum(val, 0.0)
-    j = (gate[:, None] * jnp.einsum("ci,cij->cj", self.normal, jp))[:, None, :]
+    j = (gate[..., None] * jnp.einsum("...ci,...cij->...cj", self.normal, jp))[..., None, :]
     return _finish(self, val[..., None], j, self.cweight)
 
 
@@ -489,8 +490,8 @@ def _normal_jacobian(self, character, ctx, jc):
     jn = vector_jacobian(jc, nrm, self.parent)
     diff = p - self.global_point
     f = jnp.sum(nrm * diff, axis=-1, keepdims=True)
-    j = (jnp.einsum("ci,cij->cj", diff, jn)
-         + jnp.einsum("ci,cij->cj", nrm, jp))[:, None, :]
+    j = (jnp.einsum("...ci,...cij->...cj", diff, jn)
+         + jnp.einsum("...ci,...cij->...cj", nrm, jp))[..., None, :]
     return _finish(self, f, j, self.cweight)
 
 
@@ -504,7 +505,7 @@ def _distance_jacobian(self, character, ctx, jc):
     dist = jnp.linalg.norm(dvec + 1e-20, axis=-1)
     dhat = dvec / jnp.maximum(dist, 1e-12)[..., None]
     f = (dist - self.target)[..., None]
-    j = jnp.einsum("ci,cij->cj", dhat, jp)[:, None, :]
+    j = jnp.einsum("...ci,...cij->...cj", dhat, jp)[..., None, :]
     return _finish(self, f, j, self.cweight)
 
 
@@ -521,7 +522,7 @@ def _projection_jacobian(self, character, ctx, jc):
     f = (q[..., :2] / safe_z[..., None]
          - self.target) * valid[..., None]
     # d(q.xy/z) = [1/z, 0, -x/z²; 0, 1/z, -y/z²]·M[:, :3]·Jp
-    jq = jnp.einsum("cij,cjk->cik", self.projection[..., :3], jp)  # (C, 3, J)
+    jq = jnp.einsum("...cij,...cjk->...cik", self.projection[..., :3], jp)
     inv_z = 1.0 / safe_z
     j = jnp.stack([
         inv_z[:, None] * jq[:, 0] - (q[..., 0] * inv_z**2)[:, None] * jq[:, 2],

@@ -173,8 +173,9 @@ def _finish_pair(self, f, j, w):
 
     sq = jnp.sum(f * f, axis=-1)
     scale = self._row_scale(w, sq)
-    rows = (scale[..., None] * f).reshape(-1)
-    jrows = (scale[:, None, None] * j).reshape(rows.shape[0], -1)
+    rows = (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
+    jrows = (scale[..., None, None] * j).reshape(
+        j.shape[:-3] + (rows.shape[-1], j.shape[-1]))
     return rows, jrows, None
 
 
@@ -191,7 +192,7 @@ def _j2j_position_jacobian(self, character, ctx, jc):
     j_rot = vector_jacobian(jc, diff, self.reference)
     j_world = j_ps - j_pr - j_rot  # (C, 3, J)
     r_ref_t = jnp.swapaxes(quat.to_rotation_matrix(q_ref), -1, -2)
-    j = jnp.einsum("cij,cjk->cik", r_ref_t, j_world)
+    j = jnp.einsum("...cij,...cjk->...cik", r_ref_t, j_world)
     f = quat.rotate_vector(quat.conjugate(q_ref), diff) - self.target
     return _finish_pair(self, f, j, self.cweight)
 
@@ -205,7 +206,7 @@ def _j2j_distance_jacobian(self, character, ctx, jc):
     dhat = dvec / jnp.maximum(dist, 1e-12)[..., None]
     j_ps = point_jacobian(jc, p_src, self.source)
     j_pr = point_jacobian(jc, p_ref, self.reference)
-    j = jnp.einsum("ci,cij->cj", dhat, j_ps - j_pr)[:, None, :]
+    j = jnp.einsum("...ci,...cij->...cj", dhat, j_ps - j_pr)[..., None, :]
     f = (dist - self.target)[..., None]
     return _finish_pair(self, f, j, self.cweight * K_J2J_DISTANCE_WEIGHT)
 
@@ -221,16 +222,16 @@ def _j2j_orientation_jacobian(self, character, ctx, jc):
     _, q_ref, _ = ss.split(ref)
     r_src = quat.to_rotation_matrix(q_src)
     r_ref_t = jnp.swapaxes(quat.to_rotation_matrix(q_ref), -1, -2)
-    rel = jnp.einsum("cij,cjk->cik", r_ref_t, r_src)
+    rel = jnp.einsum("...cij,...cjk->...cik", r_ref_t, r_src)
     f = (rel - quat.to_rotation_matrix(self.target)).reshape(rel.shape[:-2] + (9,))
     cols = []
     for jcol in range(3):
         w = r_src[..., jcol]
         jw = vector_jacobian(jc, w, self.source) - vector_jacobian(jc, w, self.reference)
-        cols.append(jnp.einsum("cij,cjk->cik", r_ref_t, jw))  # (C, 3, J)
-    j_full = jnp.stack(cols, axis=2)  # (C, 3row, 3col, J)
+        cols.append(jnp.einsum("...cij,...cjk->...cik", r_ref_t, jw))
+    j_full = jnp.stack(cols, axis=-2)  # (..., C, 3row, 3col, J)
     c = self.source.shape[0]
-    j = j_full.reshape(c, 9, -1)
+    j = j_full.reshape(j_full.shape[:-4] + (c * 9, j_full.shape[-1]))
     return _finish_pair(self, f, j, self.cweight)
 
 

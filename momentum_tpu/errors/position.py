@@ -160,11 +160,36 @@ class OrientationErrorFunction(VectorErrorFunction):
         c = self.parent.shape[0]
         # d r[i, j] — column j is the direction; stack (C, 3out_i, 3col_j, nJ7)
         jcols = [vector_jacobian(jc, r_world[..., j], self.parent) for j in range(3)]
-        j_full = jnp.stack(jcols, axis=2)  # (C, 3out, 3col, nJ7)
-        j_rows = j_full.reshape(c, 9, -1)  # row-major (i*3 + j) matches raw()
-        rows = (scale[:, None] * f).reshape(-1)
-        j = (scale[:, None, None] * j_rows).reshape(rows.shape[0], -1)
+        # (..., C, 3out, 3col, nJ7); index [..., i, j, :] = d r[i, j] so the
+        # row-major flatten (i*3 + j) matches raw()
+        j_full = jnp.stack(jcols, axis=-2)
+        rows = (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
+        j = (scale[..., None, None, None] * j_full).reshape(
+            j_full.shape[:-4] + (rows.shape[-1], j_full.shape[-1]))
         return rows, j, None
+
+    def jacobian_model(self, character, ctx: EvalContext, jc, pt_mat):
+        """Fused model-space orientation Jacobian: each R column's derivative
+        axis × col reassociates to (Σ m·axis·PT) × col."""
+        from momentum_tpu.solver.analytic_jacobian import (
+            fused_vector_jacobian_model,
+        )
+
+        states = jnp.take(ctx.skel_states, self.parent, axis=-2)
+        _, q, _ = ss.split(states)
+        r_world = quat.to_rotation_matrix(quat.multiply(q, self.offset))
+        diff = r_world - quat.to_rotation_matrix(self.target)
+        f = diff.reshape(diff.shape[:-2] + (9,))
+        sq = jnp.sum(f * f, axis=-1)
+        scale = self._row_scale(self.cweight, sq)
+        jcols = [fused_vector_jacobian_model(
+            jc, r_world[..., j], self.parent, pt_mat, scale=scale)
+            for j in range(3)]
+        j_full = jnp.stack(jcols, axis=-2)  # (..., C, 3out, 3col, P)
+        c = self.parent.shape[0]
+        rows = (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
+        j = j_full.reshape(j_full.shape[:-4] + (c * 9, pt_mat.shape[1]))
+        return rows, j
 
     @classmethod
     def create(cls, parent, target, offset=None, cweight=None, weight=1.0, loss=None, capacity=None):

@@ -79,7 +79,7 @@ class StateErrorFunction(ErrorFunction):
         return rows
 
     def num_rows(self) -> int:
-        nj = self.target_state.shape[0]
+        nj = self.target_state.shape[-2]
         rot_d = 3 if self.rotation_error_type == "logmap" else 9
         return nj * (3 + rot_d)
 
@@ -108,29 +108,33 @@ def _state_jacobian(self, character, ctx, jc):
     points of their own joints; rotation-matrix columns are world directions."""
     from momentum_tpu.solver.analytic_jacobian import point_jacobian, vector_jacobian
 
-    nj = self.target_state.shape[0]
+    nj = self.target_state.shape[-2]
     idx = jnp.arange(nj, dtype=jnp.int32)
     t, q, _ = ss.split(ctx.skel_states)
     t_tgt, q_tgt, _ = ss.split(self.target_state)
     pos_diff = t - t_tgt
-    j_pos = point_jacobian(jc, t, idx)  # (nJ, 3, J)
+    j_pos = point_jacobian(jc, t, idx)  # (..., nJ, 3, J)
     r = quat.to_rotation_matrix(q)
-    rot_diff = (r - quat.to_rotation_matrix(q_tgt)).reshape(nj, 9)
+    rot_diff = (r - quat.to_rotation_matrix(q_tgt)).reshape(
+        r.shape[:-3] + (nj, 9))
     cols = [vector_jacobian(jc, r[..., k], idx) for k in range(3)]
-    j_rot = jnp.stack(cols, axis=2).reshape(nj, 9, -1)
+    j_rot = jnp.stack(cols, axis=-2)  # (..., nJ, 3out, 3col, J)
+    j_rot = j_rot.reshape(j_rot.shape[:-4] + (nj, 9, j_rot.shape[-1]))
 
     pos_s = jnp.sqrt(jnp.maximum(
         self.weight * K_STATE_POSITION_WEIGHT * self.pos_wgt * self.position_weight, 0.0))
     rot_s = jnp.sqrt(jnp.maximum(
         self.weight * K_STATE_ORIENTATION_WEIGHT * self.rot_wgt * self.rotation_weight, 0.0))
     rows = jnp.concatenate([
-        (pos_s[:, None] * pos_diff).reshape(-1),
-        (rot_s[:, None] * rot_diff).reshape(-1),
-    ])
+        (pos_s[:, None] * pos_diff).reshape(pos_diff.shape[:-2] + (-1,)),
+        (rot_s[:, None] * rot_diff).reshape(rot_diff.shape[:-2] + (-1,)),
+    ], axis=-1)
     j = jnp.concatenate([
-        (pos_s[:, None, None] * j_pos).reshape(nj * 3, -1),
-        (rot_s[:, None, None] * j_rot).reshape(nj * 9, -1),
-    ])
+        (pos_s[:, None, None] * j_pos).reshape(
+            j_pos.shape[:-3] + (nj * 3, j_pos.shape[-1])),
+        (rot_s[:, None, None] * j_rot).reshape(
+            j_rot.shape[:-3] + (nj * 9, j_rot.shape[-1])),
+    ], axis=-2)
     return rows, j, None
 
 

@@ -138,3 +138,23 @@ def fused_point_jacobian_model(jc: JacobianContext, points, parents, pt_mat,
     term_r = jnp.cross(h1, points[..., :, :, None], axisa=-2, axisb=-2,
                        axisc=-2) - h2
     return term_t + term_s + term_r
+
+
+def fused_vector_jacobian_model(jc: JacobianContext, vectors, parents, pt_mat,
+                                scale=None):
+    """d(world direction)/d(MODEL parameters), fused like
+    fused_point_jacobian_model: only rotation DOFs contribute and the
+    derivative axis_j × v is reassociated as (Σ_j m·axis·PT) × v — one mask
+    matmul plus a per-constraint cross product, no (C, nJ) temporaries.
+
+    vectors (..., C, 3); returns (..., C, 3, P)."""
+    nj = jc.anc_mask.shape[0]
+    p_dim = pt_mat.shape[1]
+    ptj = pt_mat.reshape(nj, 7, p_dim)
+    mask = jnp.take(jc.anc_mask, parents, axis=1).T
+    if scale is not None:
+        mask = mask * scale[..., :, None]
+    d_r = jnp.einsum("...nwk,nkp->...nwp", jc.rot_axis, ptj[:, 3:6])
+    h1 = jnp.einsum("...cn,...nwp->...cwp", mask, d_r)  # (..., C, 3, P)
+    return jnp.cross(h1, vectors[..., :, :, None], axisa=-2, axisb=-2,
+                     axisc=-2)

@@ -188,3 +188,63 @@ def test_fused_model_jacobian_matches_blockwise():
     scale = np.abs(np.asarray(jb)).max()
     np.testing.assert_allclose(np.asarray(jf) / scale, np.asarray(jb) / scale,
                                atol=2e-6)
+
+
+def test_batched_blockwise_jacobians_orientation_state_geometric():
+    """Batch-native residual_and_jacobian must match per-element AD for the
+    orientation/state/joint-pair/geometric blockwise jacobians (regression:
+    these collapsed the batch axis into rows)."""
+    import dataclasses as dc
+
+    from momentum_tpu.errors import (
+        AimDirErrorFunction, JointToJointPositionErrorFunction,
+        OrientationErrorFunction, StateErrorFunction,
+    )
+    from momentum_tpu.math import skel_state as ss
+    from momentum_tpu.solver import SkeletonSolverFunction
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(5)
+    rng = np.random.default_rng(0)
+    p = char.num_model_parameters
+    gt = jnp.asarray(rng.uniform(-0.3, 0.3, (3, p)), jnp.float32)
+    states = jax.vmap(char.skeleton_states)(gt)
+    _, q, _ = ss.split(states)
+
+    ori0 = OrientationErrorFunction.create(
+        np.arange(5, dtype=np.int32), np.asarray(q[0]))
+    st0 = StateErrorFunction.create(np.asarray(states[0]))
+    j2j0 = JointToJointPositionErrorFunction.create(
+        source=[4], reference=[1], source_offset=np.zeros((1, 3)),
+        reference_offset=np.zeros((1, 3)), target=np.zeros((1, 3)))
+    aim0 = AimDirErrorFunction.create(
+        parent=[3], local_point=np.zeros((1, 3)),
+        local_dir=np.asarray([[1.0, 0, 0]]),
+        target=np.asarray([[0.0, 1.0, 0.0]]))
+    def bcast(x):
+        return jnp.broadcast_to(x, (3,) + x.shape)
+
+    # only the float targets batch; constraint topology stays shared
+    batched = (
+        dc.replace(ori0, target=q),
+        dc.replace(st0, target_state=states),
+        dc.replace(j2j0, target=bcast(j2j0.target)),
+        dc.replace(aim0, target=bcast(aim0.target)),
+    )
+    single = (ori0, st0, j2j0, aim0)
+    fn = SkeletonSolverFunction(char, batched)
+    x = gt + 0.1 * jnp.asarray(rng.normal(0, 1, (3, p)), jnp.float32)
+    rb, jb = fn.residual_and_jacobian(x)
+    assert rb.shape[0] == 3 and jb.shape[0] == 3
+    for i in range(3):
+        efs_i = (dc.replace(ori0, target=q[i]),
+                 dc.replace(st0, target_state=states[i]), j2j0, aim0)
+        fi = SkeletonSolverFunction(char, efs_i)
+        ri = fi.residual(x[i])
+        _, jvp = jax.linearize(fi.residual, x[i])
+        ji = jax.vmap(jvp)(jnp.eye(p)).T
+        np.testing.assert_allclose(np.asarray(rb[i]), np.asarray(ri),
+                                   atol=1e-5)
+        m = max(np.abs(np.asarray(ji)).max(), 1e-9)
+        np.testing.assert_allclose(np.asarray(jb[i]) / m,
+                                   np.asarray(ji) / m, atol=1e-4)
