@@ -160,20 +160,25 @@ class LimitErrorFunction(ErrorFunction):
             return s * jax.lax.stop_gradient(
                 jnp.sqrt(jnp.maximum(self.loss.deriv(sq), 0.0)))
 
+        batch = mp.shape[:-1]
+
         def add(r, w, j_jp=None, j_model=None):
             sq = r * r
             s = scale_of(w, sq)
-            n = r.shape[0]
+            n = r.shape[-1]
             rows_l.append(s * r)
-            jjp_l.append(jnp.zeros((n, jp_dim), dtype) if j_jp is None else s[:, None] * j_jp)
-            jm_l.append(jnp.zeros((n, p_dim), dtype) if j_model is None else s[:, None] * j_model)
+            jjp_l.append(jnp.zeros(batch + (n, jp_dim), dtype)
+                         if j_jp is None else s[..., None] * j_jp)
+            jm_l.append(jnp.zeros(batch + (n, p_dim), dtype)
+                        if j_model is None else s[..., None] * j_model)
 
         if lim.minmax_index.shape[0]:
             vals = jnp.take(mp, lim.minmax_index, axis=-1)
             r = _minmax_residual(vals, lim.minmax_bounds)
             active = (r != 0).astype(dtype)
             m = lim.minmax_index.shape[0]
-            jm = jnp.zeros((m, p_dim), dtype).at[jnp.arange(m), lim.minmax_index].set(-active)
+            jm = jnp.zeros(batch + (m, p_dim), dtype).at[
+                ..., jnp.arange(m), lim.minmax_index].set(-active)
             add(r, lim.minmax_weight, j_model=jm)
         if lim.minmax_joint_index.shape[0]:
             vals = jnp.take(jp, lim.minmax_joint_index, axis=-1)
@@ -181,8 +186,8 @@ class LimitErrorFunction(ErrorFunction):
             w = lim.minmax_joint_weight * (1.0 - lim.minmax_joint_passive)
             active = (r != 0).astype(dtype)
             m = lim.minmax_joint_index.shape[0]
-            jj = jnp.zeros((m, jp_dim), dtype).at[
-                jnp.arange(m), lim.minmax_joint_index].set(-active)
+            jj = jnp.zeros(batch + (m, jp_dim), dtype).at[
+                ..., jnp.arange(m), lim.minmax_joint_index].set(-active)
             add(r, w, j_jp=jj)
         if lim.linear_ref.shape[0]:
             ref = jnp.take(mp, lim.linear_ref, axis=-1)
@@ -192,9 +197,9 @@ class LimitErrorFunction(ErrorFunction):
             in_r = ((tgt >= lim.linear_range[..., 0])
                     & (tgt < lim.linear_range[..., 1])).astype(dtype)
             m = lim.linear_ref.shape[0]
-            jm = jnp.zeros((m, p_dim), dtype)
-            jm = jm.at[jnp.arange(m), lim.linear_tgt].add(in_r * lim.linear_scale)
-            jm = jm.at[jnp.arange(m), lim.linear_ref].add(-in_r)
+            jm = jnp.zeros(batch + (m, p_dim), dtype)
+            jm = jm.at[..., jnp.arange(m), lim.linear_tgt].add(in_r * lim.linear_scale)
+            jm = jm.at[..., jnp.arange(m), lim.linear_ref].add(-in_r)
             add(r, lim.linear_weight, j_model=jm)
         if lim.linear_joint_ref.shape[0]:
             ref = jnp.take(jp, lim.linear_joint_ref, axis=-1)
@@ -204,9 +209,9 @@ class LimitErrorFunction(ErrorFunction):
             in_r = ((tgt >= lim.linear_joint_range[..., 0])
                     & (tgt < lim.linear_joint_range[..., 1])).astype(dtype)
             m = lim.linear_joint_ref.shape[0]
-            jj = jnp.zeros((m, jp_dim), dtype)
-            jj = jj.at[jnp.arange(m), lim.linear_joint_tgt].add(in_r * lim.linear_joint_scale)
-            jj = jj.at[jnp.arange(m), lim.linear_joint_ref].add(-in_r)
+            jj = jnp.zeros(batch + (m, jp_dim), dtype)
+            jj = jj.at[..., jnp.arange(m), lim.linear_joint_tgt].add(in_r * lim.linear_joint_scale)
+            jj = jj.at[..., jnp.arange(m), lim.linear_joint_ref].add(-in_r)
             add(r, lim.linear_joint_weight, j_jp=jj)
         if lim.halfplane_idx1.shape[0]:
             p1 = jnp.take(mp, lim.halfplane_idx1, axis=-1)
@@ -216,9 +221,9 @@ class LimitErrorFunction(ErrorFunction):
             r = jnp.minimum(d, 0.0)
             active = (d < 0).astype(dtype)
             m = lim.halfplane_idx1.shape[0]
-            jm = jnp.zeros((m, p_dim), dtype)
-            jm = jm.at[jnp.arange(m), lim.halfplane_idx1].add(active * lim.halfplane_normal[..., 0])
-            jm = jm.at[jnp.arange(m), lim.halfplane_idx2].add(active * lim.halfplane_normal[..., 1])
+            jm = jnp.zeros(batch + (m, p_dim), dtype)
+            jm = jm.at[..., jnp.arange(m), lim.halfplane_idx1].add(active * lim.halfplane_normal[..., 0])
+            jm = jm.at[..., jnp.arange(m), lim.halfplane_idx2].add(active * lim.halfplane_normal[..., 1])
             add(r, lim.halfplane_weight, j_model=jm)
         if lim.ellipsoid_parent.shape[0]:
             par = jnp.take(ctx.skel_states, lim.ellipsoid_parent, axis=-2)
@@ -240,15 +245,19 @@ class LimitErrorFunction(ErrorFunction):
                                     lim.ellipsoid_frame_parent)
             jdiff = j_pos - j_proj  # (E, 3, nJ7)
             e = lim.ellipsoid_parent.shape[0]
-            rows_l.append((s[:, None] * diff).reshape(-1))
-            jjp_l.append((s[:, None, None] * jdiff).reshape(3 * e, jp_dim))
-            jm_l.append(jnp.zeros((3 * e, p_dim), dtype))
+            rows_l.append((s[..., None] * diff).reshape(
+                diff.shape[:-2] + (-1,)))
+            jjp_l.append((s[..., None, None] * jdiff).reshape(
+                jdiff.shape[:-3] + (3 * e, jp_dim)))
+            jm_l.append(jnp.zeros(batch + (3 * e, p_dim), dtype))
 
         if not rows_l:
-            z = jnp.zeros((0,), dtype)
-            return z, jnp.zeros((0, jp_dim), dtype), jnp.zeros((0, p_dim), dtype)
-        return (jnp.concatenate(rows_l), jnp.concatenate(jjp_l),
-                jnp.concatenate(jm_l))
+            z = jnp.zeros(batch + (0,), dtype)
+            return (z, jnp.zeros(batch + (0, jp_dim), dtype),
+                    jnp.zeros(batch + (0, p_dim), dtype))
+        return (jnp.concatenate(rows_l, axis=-1),
+                jnp.concatenate(jjp_l, axis=-2),
+                jnp.concatenate(jm_l, axis=-2))
 
     def num_rows_for(self, character) -> int:
         c = character.limits.counts
