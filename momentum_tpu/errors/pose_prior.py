@@ -130,12 +130,12 @@ class PosePriorErrorFunction(ErrorFunction):
         best, d_best, _ = self._best(ctx.model_params)
         l_best = jnp.take(self.prior.l, best, axis=0)
         coef = jnp.sqrt(0.5 * K_POSE_PRIOR_WEIGHT * self.weight)
-        rows = coef * jnp.einsum("de,e->d", l_best, d_best)
+        rows = coef * jnp.einsum("...de,...e->...d", l_best, d_best)
         idx = np.asarray(self.param_index, np.int64)
         sel = np.zeros((self.prior.dim, ctx.model_params.shape[-1]), np.float32)
         valid = idx >= 0
         sel[np.arange(self.prior.dim)[valid], idx[valid]] = 1.0
-        j_model = coef * (l_best @ jnp.asarray(sel))
+        j_model = coef * jnp.einsum("...de,ep->...dp", l_best, jnp.asarray(sel))
         return rows, None, j_model
 
     @classmethod
