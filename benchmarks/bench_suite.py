@@ -109,6 +109,28 @@ def config2():
     _emit(config=2, metric="fullbody_lm_full_residual_latency", value=dt * 1e3,
           unit="ms", error=float(res.error))
 
+    # batched variant: the full residual stack solved batch-natively
+    b = 256
+    import dataclasses as dc
+
+    gt_b = jnp.asarray(rng.uniform(-0.3, 0.3, (b, p)), jnp.float32)
+    states_b = jax.vmap(char.skeleton_states)(gt_b)
+    tgt_b = jax.vmap(char.locators.world_positions)(states_b)
+    from momentum_tpu.math import skel_state as _ss
+
+    _, q_b, _ = _ss.split(states_b)
+    pos_b = dc.replace(pos, target=tgt_b)
+    ori_b = dc.replace(ori, target=q_b)
+    fn_b = SkeletonSolverFunction(char, (pos_b, ori_b, lim, pp))
+    opts_b = SolverOptions(max_iterations=10, energy_from_residual=True)
+    solve_b = jax.jit(lambda x0: solve_ik(fn_b, x0, None, opts_b,
+                                          method="levenberg_marquardt"))
+    x0_b = gt_b + 0.05 * jnp.asarray(rng.normal(0, 1, (b, p)), jnp.float32)
+    dt_b, res_b = _timeit(solve_b, x0_b)
+    _emit(config=2, metric="fullbody_lm_full_residual_batched",
+          value=b / dt_b, unit="solves/s",
+          median_error=float(jnp.median(res_b.error)), batch=b)
+
 
 def config3():
     """The driver metric — delegate to bench.py's workload."""
