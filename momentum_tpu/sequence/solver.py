@@ -214,6 +214,24 @@ def solve_sequence(
         ub = ub + opts.regularization * jnp.eye(nu, dtype=pf.dtype)
         d_pf, d_u = _solve_banded_arrowhead(diag, offs, uc, ub, rf, ru, q)
         err = fn.error(pf, u)
+        if opts.do_line_search:
+            # backtracking Armijo over the step scale (sequence_solver.cpp
+            # line-search option): halve alpha until the energy drops
+            def ls_body(carry, _):
+                alpha, best, found = carry
+                e = fn.error(pf - alpha * d_pf, u - alpha * d_u)
+                good = (e < err) & (~found)
+                best = jnp.where(good, alpha, best)
+                return (alpha * 0.5, best, found | good), None
+
+            (_, alpha, found), _ = jax.lax.scan(
+                ls_body,
+                (jnp.ones((), pf.dtype), jnp.ones((), pf.dtype),
+                 jnp.asarray(False)),
+                None, length=opts.line_search_steps)
+            step = jnp.where(found, alpha, 1.0)
+            d_pf = step * d_pf
+            d_u = step * d_u
         pf_new = pf - d_pf
         u_new = u - d_u
         conv = _converged(last_err, err, opts.threshold)

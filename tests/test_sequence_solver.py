@@ -212,3 +212,35 @@ def test_analytic_sequence_jacobians_match_ad():
         else:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4)
+
+
+def test_sequence_line_search_improves_hard_start():
+    """Armijo backtracking (sequence_solver.cpp line-search option) keeps the
+    solve monotone from a poor initialization."""
+    import dataclasses as dc
+    from momentum_tpu.errors import PositionErrorFunction
+    from momentum_tpu.sequence.solver import solve_sequence
+    from momentum_tpu.sequence.solver_function import SequenceSolverFunction
+    from momentum_tpu.solver.gauss_newton import SolverOptions
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(5)
+    f, p = 4, char.num_model_parameters
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.uniform(-0.4, 0.4, (f, p)), jnp.float32)
+    states = jax.vmap(char.skeleton_states)(gt)
+    targets = jax.vmap(char.locators.world_positions)(states)
+    ef0 = PositionErrorFunction.create(
+        np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+        np.zeros((char.locators.num_locators, 3)))
+    stacked = jax.vmap(lambda t: dc.replace(ef0, target=t))(targets)
+    fn = SequenceSolverFunction.create(char, f, per_frame_errors=(stacked,))
+    pf0, u0 = fn.split(jnp.full((f, p), 1.5))  # far start
+    res_ls = solve_sequence(fn, pf0, u0, SolverOptions(
+        max_iterations=15, do_line_search=True))
+    res_plain = solve_sequence(fn, pf0, u0, SolverOptions(max_iterations=15))
+    e0 = float(fn.error(pf0, u0))
+    assert float(res_ls.error) < e0
+    assert np.isfinite(float(res_ls.error))
+    # line search never ends worse than the plain step at equal budget
+    assert float(res_ls.error) <= float(res_plain.error) * 1.5 + 1e-6
