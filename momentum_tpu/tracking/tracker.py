@@ -112,6 +112,7 @@ def track_poses_per_frame(
     """Frame-by-frame tracking with warm starts (trackPosesPerframe,
     marker_tracker.cpp:754-930). One jitted scan over the clip."""
     p = character.num_model_parameters
+    markers = _mask_low_visibility(markers, config.min_vis_percent)
     ef0, per_frame = _marker_error_template(character, markers, config)
     limits = LimitErrorFunction.create()
     opts = SolverOptions(max_iterations=config.max_iter,
@@ -144,6 +145,7 @@ def track_poses_batched(
     high-throughput path when frames are dense enough to converge from rest;
     this is BASELINE config 3's shape."""
     p = character.num_model_parameters
+    markers = _mask_low_visibility(markers, config.min_vis_percent)
     ef0, per_frame = _marker_error_template(character, markers, config)
     limits = LimitErrorFunction.create()
     opts = SolverOptions(max_iterations=config.max_iter,
@@ -170,6 +172,7 @@ def track_sequence(
     """Whole-sequence solve with smoothness (trackSequence,
     marker_tracker.cpp:228-700). Returns (TrackingResult, universal values)."""
     f = markers.num_frames
+    markers = _mask_low_visibility(markers, config.min_vis_percent)
     ef0, per_frame = _marker_error_template(character, markers, config)
     stacked = jax.vmap(per_frame, in_axes=(None, 0, 0))(
         ef0, markers.positions, markers.occluded)
@@ -178,12 +181,23 @@ def track_sequence(
     limits = broadcast_frames(LimitErrorFunction.create(), f)
     seq_errors = ()
     if config.smoothing > 0:
+        pweight = (np.asarray(config.smoothing_weights, np.float32)
+                   if config.smoothing_weights else None)
         seq_errors = (ModelParametersSequenceErrorFunction.create(
-            character.num_model_parameters, weight=config.smoothing),)
+            character.num_model_parameters, pweight=pweight,
+            weight=config.smoothing),)
+
+    per_frame_errors = [stacked, limits]
+    if config.collision_error_weight > 0 and character.collision is not None:
+        from momentum_tpu.errors import CollisionErrorFunction
+
+        coll = CollisionErrorFunction.create(
+            character, weight=config.collision_error_weight)
+        per_frame_errors.append(broadcast_frames(coll, f))
 
     fn = SequenceSolverFunction.create(
         character, f, universal=universal,
-        per_frame_errors=(stacked, limits), sequence_errors=seq_errors)
+        per_frame_errors=tuple(per_frame_errors), sequence_errors=seq_errors)
     if initial is not None:
         pf0, u0 = fn.split(initial)
     else:
@@ -193,6 +207,18 @@ def track_sequence(
         max_iterations=config.max_iter, regularization=config.regularization))
     motion = fn.join(res.per_frame, res.universal)
     return TrackingResult(motion=motion, errors=jnp.broadcast_to(res.error, (f,))), res.universal
+
+
+def _mask_low_visibility(markers: MarkerSequence, min_vis_percent: float):
+    """Frames with fewer visible markers than the threshold are fully
+    occluded (skipped), marker_tracker.h minVisPercent semantics."""
+    if min_vis_percent <= 0:
+        return markers
+    vis = 1.0 - markers.occluded.astype(jnp.float32)
+    frac = jnp.mean(vis, axis=-1)
+    skip = frac * 100.0 < min_vis_percent
+    occ = jnp.where(skip[:, None], True, markers.occluded)
+    return dataclasses.replace(markers, occluded=occ)
 
 
 def calibrate_model(
@@ -207,12 +233,27 @@ def calibrate_model(
 
     `scaling_set` names the parameter set holding identity/scale params
     (falls back to any parameter whose name contains 'scale').
-    Returns (calibrated model params (P,) with identity filled in, motion).
+    Returns (calibrated model params (P,) with identity filled in, motion);
+    with config.locators_only the refined character is returned as a third
+    element (its locator offsets were re-estimated instead of the scales).
     """
     f_all = markers.num_frames
     n_sample = min(config.calib_frames, f_all)
-    stride = max(1, f_all // n_sample)
-    idx = np.arange(0, f_all, stride)[:n_sample]
+    if config.greedy_sampling > 0:
+        # greedy most-visible-first sampling with a minimum frame separation
+        # (marker_tracker.h greedySampling)
+        vis = np.asarray(1.0 - markers.occluded.astype(jnp.float32)).mean(-1)
+        order = np.argsort(-vis)
+        picked = []
+        for fidx in order:
+            if all(abs(int(fidx) - q) >= config.greedy_sampling for q in picked):
+                picked.append(int(fidx))
+            if len(picked) >= n_sample:
+                break
+        idx = np.sort(np.asarray(picked, np.int64))
+    else:
+        stride = max(1, f_all // n_sample)
+        idx = np.arange(0, f_all, stride)[:n_sample]
     sampled = MarkerSequence(
         positions=markers.positions[idx], occluded=markers.occluded[idx],
         names=markers.names)
@@ -232,6 +273,8 @@ def calibrate_model(
             if universal[i] and "global" in n.lower():
                 keep[i] = True
         universal = keep if keep.any() else universal
+    if config.calib_shape and character.blend_shape_param_index:
+        universal[list(character.blend_shape_param_index)] = True
 
     track_cfg = TrackingConfig(
         loss_alpha=config.loss_alpha, loss_c=config.loss_c,
@@ -242,12 +285,22 @@ def calibrate_model(
     for _ in range(config.major_iter):
         init = identity  # warm start with current identity estimate
         tracked = track_poses_per_frame(character, sampled, track_cfg, initial=init)
+        if config.locators_only:
+            # refine only the locator offsets against the tracked poses
+            # (calibrateLocators alternation, locatorsOnly)
+            character = calibrate_locators(
+                character, sampled, tracked.motion, config)
+            motion = tracked.motion
+            continue
         seq_res, u = track_sequence(
             character, sampled, track_cfg, universal=universal,
             initial=tracked.motion)
         u_idx = np.nonzero(universal)[0]
         identity = identity.at[u_idx].set(u)
         motion = seq_res.motion
+    if config.locators_only:
+        # locator offsets live on the character: return the updated one too
+        return identity, motion, character
     return identity, motion
 
 
@@ -316,6 +369,7 @@ def refine_motion(
     config = config or RefineConfig()
     f = markers.num_frames
     p = character.num_model_parameters
+    markers = _mask_low_visibility(markers, config.min_vis_percent)
     ef0, per_frame = _marker_error_template(character, markers, config)
     stacked = jax.vmap(per_frame, in_axes=(None, 0, 0))(
         ef0, markers.positions, markers.occluded)

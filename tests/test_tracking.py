@@ -150,3 +150,48 @@ class TestGapFill:
             t = (f - 2) / (6 - 2)
             expect = (1 - t) * p[2, 0] + t * p[6, 0]
             np.testing.assert_allclose(p[f, 0], expect, atol=1e-5)
+
+
+def test_tracking_config_options():
+    """min_vis_percent / greedy_sampling / smoothing_weights / calib_shape /
+    locators_only wire through (marker_tracker.h:42-135 options)."""
+    import dataclasses as dc
+    from momentum_tpu.tracking import (
+        CalibrationConfig, MarkerSequence, TrackingConfig, calibrate_model,
+        track_poses_batched, track_sequence,
+    )
+    from momentum_tpu.tracking.tracker import _mask_low_visibility
+
+    from momentum_tpu.testing.fixtures import create_test_character as _ctc
+    char = _ctc(4)
+    gt, markers = _synthetic_markers(char, 6, _rng())
+
+    # a frame with < 50% visibility is skipped entirely
+    occ = np.asarray(markers.occluded).copy()
+    occ[2, :] = True
+    occ[2, 0] = False  # one visible marker
+    m2 = dc.replace(markers, occluded=jnp.asarray(occ))
+    masked = _mask_low_visibility(m2, 50.0)
+    assert bool(np.asarray(masked.occluded)[2].all())
+    assert not np.asarray(masked.occluded)[3].any()
+
+    # smoothing_weights accepted by the sequence tracker
+    cfg = TrackingConfig(max_iter=5, smoothing=0.5,
+                         smoothing_weights=tuple(
+                             1.0 for _ in range(char.num_model_parameters)))
+    res, _ = track_sequence(char, markers, cfg)
+    assert np.isfinite(np.asarray(res.motion)).all()
+
+    # greedy sampling picks distinct, separated frames
+    cal = CalibrationConfig(calib_frames=3, major_iter=1, max_iter=5,
+                            greedy_sampling=2)
+    ident, motion = calibrate_model(char, markers, cal)
+    assert np.isfinite(np.asarray(ident)).all()
+
+    # locators_only returns the refined character
+    cal2 = CalibrationConfig(calib_frames=3, major_iter=1, max_iter=5,
+                             locators_only=True)
+    out = calibrate_model(char, markers, cal2)
+    assert len(out) == 3
+    ident2, motion2, char2 = out
+    assert char2.locators.offset.shape == char.locators.offset.shape
