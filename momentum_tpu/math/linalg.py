@@ -96,29 +96,49 @@ def blocked_cholesky(a: jnp.ndarray, block: int = _BLOCK):
         top = jnp.zeros(batch + (k * block, block), a.dtype)
         full.append(jnp.concatenate([top, c], axis=-2))
     l = jnp.concatenate(full, axis=-1)
-    return l, linvs
+    return l, (linvs, cols)
 
 
-def blocked_cholesky_solve(l, linvs, b: jnp.ndarray, block: int = _BLOCK):
-    """Solve L Lᵀ x = b given blocked_cholesky output. b (..., n, k)."""
-    n = l.shape[-1]
-    nb = n // block
+def blocked_cholesky_solve(l_or_factors, linvs, b: jnp.ndarray,
+                           block: int = _BLOCK):
+    """Solve L Lᵀ x = b given blocked_cholesky output. b (..., n, k).
+
+    Accepts either the assembled lower factor or (preferably) the raw column
+    panels from `blocked_cholesky` — the panel form skips materializing the
+    (…, n, n) factor entirely."""
+    if isinstance(linvs, tuple):
+        linvs, cols = linvs
+    else:
+        cols = None
     mm = jnp.matmul
+
+    if cols is not None:
+        nb = len(cols)
+
+        def lblk(r, c):
+            # rows [r] of column panel c (cols[c] holds rows c*block..n)
+            off = (r - c) * block
+            return cols[c][..., off:off + block, :]
+    else:
+        nb = l_or_factors.shape[-1] // block
+
+        def lblk(r, c):
+            return l_or_factors[..., r * block:(r + 1) * block,
+                                c * block:(c + 1) * block]
+
     # forward: y_k = Lkk^{-1} (b_k − Σ_{j<k} L[k,j] y_j)
     ys = []
     for k in range(nb):
         rhs = b[..., k * block:(k + 1) * block, :]
         for j in range(k):
-            lkj = l[..., k * block:(k + 1) * block, j * block:(j + 1) * block]
-            rhs = rhs - mm(lkj, ys[j])
+            rhs = rhs - mm(lblk(k, j), ys[j])
         ys.append(mm(linvs[k], rhs))
     # backward: x_k = Lkk^{-T} (y_k − Σ_{j>k} L[j,k]ᵀ x_j)
     xs = [None] * nb
     for k in reversed(range(nb)):
         rhs = ys[k]
         for j in range(k + 1, nb):
-            ljk = l[..., j * block:(j + 1) * block, k * block:(k + 1) * block]
-            rhs = rhs - mm(jnp.swapaxes(ljk, -1, -2), xs[j])
+            rhs = rhs - mm(jnp.swapaxes(lblk(j, k), -1, -2), xs[j])
         xs[k] = mm(jnp.swapaxes(linvs[k], -1, -2), rhs)
     return jnp.concatenate(xs, axis=-2)
 
@@ -142,8 +162,8 @@ def psd_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             rhs = jnp.concatenate(
                 [rhs, jnp.zeros(rhs.shape[:-2] + (pad,) + rhs.shape[-1:],
                                 rhs.dtype)], -2)
-        l, linvs = blocked_cholesky(a)
-        x = blocked_cholesky_solve(l, linvs, rhs)
+        _, factors = blocked_cholesky(a)
+        x = blocked_cholesky_solve(None, factors, rhs)
         x = x[..., :n, :]
     else:
         l = jax.lax.linalg.cholesky(a)
