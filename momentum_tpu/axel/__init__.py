@@ -8,4 +8,5 @@ from momentum_tpu.axel.grid import (  # noqa: F401
     TriangleGrid,
     build_triangle_grid,
     closest_point_on_mesh_grid,
+    ray_mesh_intersect_grid,
 )

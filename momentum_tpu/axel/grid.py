@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TriangleGrid", "build_triangle_grid", "closest_point_on_mesh_grid"]
+__all__ = ["TriangleGrid", "build_triangle_grid", "closest_point_on_mesh_grid",
+           "ray_mesh_intersect_grid"]
 
 
 @jax.tree_util.register_dataclass
@@ -41,8 +42,13 @@ def build_triangle_grid(vertices, faces, resolution: int = 16) -> TriangleGrid:
     """Bin triangles into an R³ grid by AABB overlap (host-side, once)."""
     verts = np.asarray(vertices, np.float64)
     tris = np.asarray(faces, np.int64)
-    lo = verts.min(0) - 1e-6
-    hi = verts.max(0) + 1e-6
+    lo = verts.min(0)
+    hi = verts.max(0)
+    # pad so no geometry lies exactly on a bounding face (rays hitting the
+    # boundary would otherwise race the DDA exit test)
+    margin = max(1e-6, 1e-3 * float((hi - lo).max()))
+    lo = lo - margin
+    hi = hi + margin
     cell = float((hi - lo).max()) / resolution
     cell = max(cell, 1e-9)
 
@@ -123,3 +129,87 @@ def closest_point_on_mesh_grid(grid: TriangleGrid, points, vertices, faces,
         jnp.where(ok, best_face, bf_face).astype(jnp.int32),
         jnp.where(ok, best_d2, bf_d2),
     )
+
+
+def ray_mesh_intersect_grid(grid: TriangleGrid, origins, directions,
+                            vertices, faces, max_t=jnp.inf):
+    """Grid-marched ray casting (TriBvh.rayHit equivalent): a fixed-length
+    `lax.scan` DDA walks up to 2R cells along each ray; every visited cell's
+    padded candidate list is tested with Möller-Trumbore and the first hit
+    wins. Static shapes throughout; rays that leave the grid report no hit.
+
+    Returns (t, face index, hit mask) per ray, matching
+    queries.ray_mesh_intersect."""
+    origins = jnp.asarray(origins, jnp.float32)
+    directions = jnp.asarray(directions, jnp.float32)
+    r = grid.resolution
+    cell = grid.cell_size
+    k = grid.max_per_cell
+
+    a = jnp.take(vertices, faces[:, 0], axis=0)
+    b = jnp.take(vertices, faces[:, 1], axis=0)
+    c = jnp.take(vertices, faces[:, 2], axis=0)
+    e1 = b - a
+    e2 = c - a
+
+    def cast_one(o, d):
+        dn = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
+        # enter the grid: advance to the bounding box if outside
+        lo = grid.origin
+        hi = grid.origin + cell * r
+        t_lo = (lo - o) / jnp.where(jnp.abs(dn) > 1e-12, dn, 1e-12)
+        t_hi = (hi - o) / jnp.where(jnp.abs(dn) > 1e-12, dn, 1e-12)
+        t_near = jnp.max(jnp.minimum(t_lo, t_hi))
+        t_far = jnp.min(jnp.maximum(t_lo, t_hi))
+        t0 = jnp.maximum(t_near, 0.0) + 1e-6
+        alive0 = t_far >= t0
+
+        def test_cell(idx3, t_best, f_best):
+            cand = grid.cells[idx3[0], idx3[1], idx3[2]]  # (K,)
+            valid = cand >= 0
+            ca = jnp.take(a, jnp.maximum(cand, 0), axis=0)
+            ce1 = jnp.take(e1, jnp.maximum(cand, 0), axis=0)
+            ce2 = jnp.take(e2, jnp.maximum(cand, 0), axis=0)
+            pvec = jnp.cross(dn[None], ce2)
+            det = jnp.sum(ce1 * pvec, axis=-1)
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tvec = o[None] - ca
+            u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+            qvec = jnp.cross(tvec, ce1)
+            v = jnp.sum(dn[None] * qvec, axis=-1) * inv_det
+            t = jnp.sum(ce2 * qvec, axis=-1) * inv_det
+            hit = valid & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) \
+                & (u + v <= 1) & (t > 1e-8) & (t < max_t)
+            t = jnp.where(hit, t, jnp.inf)
+            i = jnp.argmin(t)
+            better = t[i] < t_best
+            return (jnp.where(better, t[i], t_best),
+                    jnp.where(better, cand[i], f_best))
+
+        def step(carry, _):
+            t_cur, t_best, f_best, alive = carry
+            p = o + t_cur * dn
+            idx3 = jnp.clip(jnp.floor((p - lo) / cell).astype(jnp.int32),
+                            0, r - 1)
+            t_new, f_new = test_cell(idx3, t_best, f_best)
+            t_best = jnp.where(alive, t_new, t_best)
+            f_best = jnp.where(alive, f_new, f_best)
+            # advance to the next cell boundary along the ray
+            cell_lo = lo + idx3.astype(jnp.float32) * cell
+            bounds = jnp.where(dn >= 0, cell_lo + cell, cell_lo)
+            t_exit = jnp.min(jnp.where(
+                jnp.abs(dn) > 1e-12, (bounds - o) / dn, jnp.inf))
+            t_next = jnp.maximum(t_exit, t_cur) + 1e-3 * cell
+            # stop when past the far plane or a hit earlier than the current
+            # cell's entry was found (first-hit semantics)
+            alive = alive & (t_next <= t_far + 1e-2 * cell) & ~(t_best < t_cur)
+            return (t_next, t_best, f_best, alive), None
+
+        init = (t0, jnp.asarray(jnp.inf, jnp.float32),
+                jnp.asarray(-1, jnp.int32), alive0)
+        (t_cur, t_best, f_best, _), _ = jax.lax.scan(
+            step, init, None, length=3 * r)
+        hit = jnp.isfinite(t_best)
+        return t_best, jnp.where(hit, f_best, 0).astype(jnp.int32), hit
+
+    return jax.vmap(cast_one)(origins, directions)

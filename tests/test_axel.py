@@ -168,3 +168,38 @@ def test_triangle_grid_matches_brute_force():
     cert = np.asarray(gd2) <= float(grid.cell_size) ** 2
     np.testing.assert_allclose(np.asarray(gd2)[cert],
                                np.asarray(bd)[:40][cert], atol=1e-4)
+
+
+def test_grid_raycast_matches_brute_force():
+    """Grid DDA ray casting vs brute-force Möller-Trumbore on rays aimed at
+    triangle-interior points (vertex-exact rays are degenerate in f32 and
+    flip arbitrarily in BOTH implementations)."""
+    import numpy as np
+    from momentum_tpu.axel import (
+        build_triangle_grid, ray_mesh_intersect, ray_mesh_intersect_grid,
+    )
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(6)
+    v, f = char.mesh.vertices, char.mesh.faces
+    grid = build_triangle_grid(v, f, resolution=8)
+    rng = np.random.default_rng(0)
+    n = 60
+    fv = np.asarray(v)[np.asarray(f)]
+    fi = rng.integers(0, fv.shape[0], n)
+    bary = rng.dirichlet([2.0, 2.0, 2.0], n)
+    targets = np.einsum("nc,ncd->nd", bary, fv[fi]).astype(np.float32)
+    origins = jnp.asarray(
+        rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+        + np.asarray([0, 2.5, 4.0], np.float32))
+    dirs = jnp.asarray(targets) - origins
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # plus some guaranteed misses (pointing away)
+    origins = jnp.concatenate([origins, origins[:8]])
+    dirs = jnp.concatenate([dirs, -dirs[:8]])
+    tg, fg, hg = ray_mesh_intersect_grid(grid, origins, dirs, v, f)
+    tb, fb, hb = ray_mesh_intersect(origins, dirs, v, f)
+    np.testing.assert_array_equal(np.asarray(hg), np.asarray(hb))
+    both = np.asarray(hg) & np.asarray(hb)
+    np.testing.assert_allclose(np.asarray(tg)[both], np.asarray(tb)[both],
+                               atol=1e-4)
