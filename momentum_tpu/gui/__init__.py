@@ -10,6 +10,8 @@ image sequences that serve the same inspection workflows
 from momentum_tpu.gui.gif import save_gif  # noqa: F401
 from momentum_tpu.gui.viewer import (  # noqa: F401
     auto_camera,
+    create_camera_for_body,
+    create_camera_for_hand,
     draw_markers,
     draw_skeleton,
     render_motion,

@@ -137,3 +137,35 @@ def save_motion_gif(path, character, motion, width: int = 256,
 
     frames = render_motion(character, motion, width, height, **kw)
     save_gif(path, frames, fps=fps)
+
+
+def create_camera_for_body(character, model_params, width: int, height: int,
+                           fov_scale: float = 1.2):
+    """Auto-framed camera for a posed character (pymomentum renderer
+    create_camera_for_body)."""
+    import jax.numpy as jnp
+
+    verts, states = _posed_vertices(character, jnp.asarray(model_params))
+    ref = np.asarray(verts) if verts is not None else np.asarray(states[..., :3])
+    return auto_camera(ref, width, height, fov_scale)
+
+
+def create_camera_for_hand(character, model_params, width: int, height: int,
+                           wrist_joint: str = "l_wrist",
+                           fov_scale: float = 0.8):
+    """Auto-framed close-up on the subtree under a wrist joint
+    (create_camera_for_hand)."""
+    import jax.numpy as jnp
+
+    names = character.skeleton.joint_names
+    if wrist_joint not in names:
+        return create_camera_for_body(character, model_params, width, height)
+    wi = names.index(wrist_joint)
+    parents = np.asarray(character.skeleton.joint_parent)
+    sub = [wi]
+    for j in range(wi + 1, len(parents)):
+        if parents[j] in sub:
+            sub.append(j)
+    states = character.skeleton_states(jnp.asarray(model_params))
+    pts = np.asarray(states[..., :3])[sub]
+    return auto_camera(pts, width, height, fov_scale)
