@@ -67,6 +67,49 @@ class VertexPositionErrorFunction(VectorErrorFunction):
         v = jnp.take(ctx.mesh_vertices, self.vertex_index, axis=-2)
         return v - self.target, self.cweight
 
+    has_analytic_jacobian = True
+
+    def jacobian(self, character, ctx: EvalContext, jc):
+        """LBS skinning-walk rows (skeleton_derivative vertex position path):
+        joint columns from the per-influence rigid point Jacobians, blendshape
+        columns from the skinning linear map applied to the basis."""
+        from momentum_tpu.solver.analytic_jacobian import (
+            skinned_blend_jacobian, skinned_point_jacobian,
+        )
+
+        f, wrow = self.raw(character, ctx)
+        sq = jnp.sum(f * f, axis=-1)
+        scale = self._row_scale(wrow, sq)
+        j_jp = skinned_point_jacobian(jc, character, ctx, self.vertex_index)
+        rows = (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
+        j_jp = (scale[..., None, None] * j_jp).reshape(
+            j_jp.shape[:-3] + (rows.shape[-1], j_jp.shape[-1]))
+        j_model = None
+        p = ctx.model_params.shape[-1]
+
+        def shape_columns(basis, param_index):
+            jb = skinned_blend_jacobian(character, ctx, self.vertex_index,
+                                        basis)
+            if jb is None:
+                return None
+            jb = (scale[..., None, None] * jb).reshape(
+                jb.shape[:-3] + (rows.shape[-1], jb.shape[-1]))
+            cols = np.asarray(param_index, np.int64)
+            sel = np.zeros((len(cols), p), np.float32)
+            sel[np.arange(len(cols)), cols] = 1.0
+            return jnp.einsum("...rb,bp->...rp", jb, jnp.asarray(sel))
+
+        if character.blend_shape is not None \
+                and character.blend_shape_param_index:
+            j_model = shape_columns(character.blend_shape,
+                                    character.blend_shape_param_index)
+        if character.face_expression_blend_shape is not None \
+                and character.face_expression_param_index:
+            jf = shape_columns(character.face_expression_blend_shape,
+                               character.face_expression_param_index)
+            j_model = jf if j_model is None else j_model + jf
+        return rows, j_jp, j_model
+
     @classmethod
     def create(cls, vertex_index, target, cweight=None, weight=1.0, loss=None, capacity=None):
         vertex_index = np.asarray(vertex_index, np.int32)

@@ -158,3 +158,62 @@ def fused_vector_jacobian_model(jc: JacobianContext, vectors, parents, pt_mat,
     h1 = jnp.einsum("...cn,...nwp->...cwp", mask, d_r)  # (..., C, 3, P)
     return jnp.cross(h1, vectors[..., :, :, None], axisa=-2, axisb=-2,
                      axisc=-2)
+
+
+def skinned_point_jacobian(jc: JacobianContext, character, ctx, vertex_index):
+    """d(posed LBS vertex)/d(joint parameters) — the vertex variant of the
+    derivative walk (skeleton_derivative.cpp vertex paths): the posed vertex
+    is Σ_k w_k·M_k(θ)·x_rest, so its Jacobian is the skin-weighted sum of the
+    rigid point Jacobians of each influence's own transformed point M_k·x
+    (NOT the blended point). ≤8 influences ⇒ 8 masked dense products.
+
+    Returns (..., C, 3, nJ·7)."""
+    from momentum_tpu.math import skel_state as ss
+
+    char = character.with_inverse_bind_pose()
+    skin = char.skin_weights
+    idx = jnp.take(skin.index, vertex_index, axis=0)  # (C, K)
+    w = jnp.take(skin.weight, vertex_index, axis=0)  # (C, K)
+    rest = jnp.take(ctx.rest_vertices, vertex_index, axis=-2)  # (..., C, 3)
+    j = None
+    for k in range(idx.shape[1]):
+        pk = idx[:, k]
+        st = jnp.take(ctx.skel_states, pk, axis=-2)
+        mk = ss.multiply(st, jnp.take(char.inverse_bind_pose, pk, axis=0))
+        ptk = ss.transform_points(mk, rest)
+        jk = point_jacobian(jc, ptk, pk)
+        contrib = w[:, k][..., None, None] * jk
+        j = contrib if j is None else j + contrib
+    return j
+
+
+def skinned_blend_jacobian(character, ctx, vertex_index, basis=None):
+    """d(posed vertex)/d(shape coefficients): the skinning linear map applied
+    to each basis delta — the blend-shape columns of the vertex derivative
+    walk. `basis` defaults to the body blendshape; pass
+    character.face_expression_blend_shape for the expression columns.
+    Returns (..., C, 3, nB) or None when the rig has no such basis."""
+    if basis is None:
+        basis = character.blend_shape
+        if basis is None or not character.blend_shape_param_index:
+            return None
+    from momentum_tpu.math import skel_state as ss
+
+    char = character.with_inverse_bind_pose()
+    skin = char.skin_weights
+    idx = jnp.take(skin.index, vertex_index, axis=0)
+    w = jnp.take(skin.weight, vertex_index, axis=0)
+    deltas = jnp.take(basis.shape_vectors, vertex_index, axis=1)  # (nB, C, 3)
+    out = None
+    for k in range(idx.shape[1]):
+        pk = idx[:, k]
+        st = jnp.take(ctx.skel_states, pk, axis=-2)
+        mk = ss.multiply(st, jnp.take(char.inverse_bind_pose, pk, axis=0))
+        _, q, s = ss.split(mk)
+        from momentum_tpu.math import quaternion as quat
+
+        rot = quat.to_rotation_matrix(q) * s[..., None]  # (..., C, 3, 3)
+        term = w[:, k][..., None, None] * jnp.einsum(
+            "...cij,bcj->...cib", rot, deltas)
+        out = term if out is None else out + term
+    return out

@@ -248,3 +248,48 @@ def test_batched_blockwise_jacobians_orientation_state_geometric():
         m = max(np.abs(np.asarray(ji)).max(), 1e-9)
         np.testing.assert_allclose(np.asarray(jb[i]) / m,
                                    np.asarray(ji) / m, atol=1e-4)
+
+
+def test_vertex_position_analytic_jacobian():
+    """LBS skinning-walk vertex Jacobian == AD, including blendshape and
+    face-expression columns (skeleton_derivative vertex paths)."""
+    import dataclasses as dc
+
+    from momentum_tpu.character.blend_shape import BlendShape
+    from momentum_tpu.character.utility import (
+        add_blend_shape_parameters, add_face_expression_parameters,
+    )
+    from momentum_tpu.errors import VertexPositionErrorFunction
+    from momentum_tpu.solver import SkeletonSolverFunction
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(5)
+    v = char.mesh.num_vertices
+    rng = np.random.default_rng(0)
+    body = BlendShape(base_shape=char.mesh.vertices,
+                      shape_vectors=jnp.asarray(
+                          rng.normal(0, 0.05, (3, v, 3)).astype(np.float32)))
+    face = BlendShape(base_shape=jnp.zeros((v, 3)),
+                      shape_vectors=jnp.asarray(
+                          rng.normal(0, 0.05, (2, v, 3)).astype(np.float32)))
+    char = add_face_expression_parameters(
+        add_blend_shape_parameters(char, body), face)
+    p = char.num_model_parameters
+    vid = np.arange(0, v, 3, dtype=np.int32)
+    ef = VertexPositionErrorFunction.create(
+        vid, rng.normal(0, 1, (len(vid), 3)).astype(np.float32))
+    fn = SkeletonSolverFunction(char, (ef,))
+    assert fn.fully_analytic
+    x = jnp.asarray(rng.normal(0, 0.2, p), jnp.float32)
+    rows, J = fn.residual_and_jacobian(x)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(fn.residual(x)),
+                               atol=1e-6)
+    _, jvp = jax.linearize(fn.residual, x)
+    J_ad = jax.vmap(jvp)(jnp.eye(p)).T
+    m = np.abs(np.asarray(J_ad)).max()
+    np.testing.assert_allclose(np.asarray(J) / m, np.asarray(J_ad) / m,
+                               atol=2e-5)
+    # batch-native shape
+    xb = jnp.asarray(rng.normal(0, 0.2, (2, p)), jnp.float32)
+    rb, jb = fn.residual_and_jacobian(xb)
+    assert rb.shape[0] == 2 and jb.shape[0] == 2
