@@ -150,6 +150,49 @@ class VertexPlaneErrorFunction(VectorErrorFunction):
             dist = jnp.minimum(dist, 0.0)
         return dist[..., None], self.cweight
 
+    has_analytic_jacobian = True
+
+    def jacobian(self, character, ctx: EvalContext, jc):
+        """Point-to-plane rows: nᵀ · (LBS vertex Jacobian). The mesh normal
+        only orients the sign (treated constant, as upstream does for the
+        flip) and the `above` gate zeroes inactive rows."""
+        from momentum_tpu.solver.analytic_jacobian import (
+            skinned_blend_jacobian, skinned_point_jacobian,
+        )
+
+        v = jnp.take(ctx.mesh_vertices, self.vertex_index, axis=-2)
+        mesh_n = jnp.take(ctx.mesh_normals, self.vertex_index, axis=-2)
+        flip = jnp.sum(mesh_n * self.normal, axis=-1, keepdims=True) < 0
+        n = jnp.where(flip, -self.normal, self.normal)
+        dist = jnp.sum((v - self.point) * n, axis=-1)
+        gate = jnp.ones_like(dist)
+        if self.above:
+            gate = (dist < 0).astype(dist.dtype)
+            dist = jnp.minimum(dist, 0.0)
+        sq = dist * dist
+        scale = self._row_scale(self.cweight, sq)
+        jv = skinned_point_jacobian(jc, character, ctx, self.vertex_index)
+        rows = scale * dist
+        coef = (scale * gate)[..., None]
+        j_jp = coef * jnp.einsum("...ci,...cij->...cj", n, jv)
+        j_model = None
+        p = ctx.model_params.shape[-1]
+        for basis, pidx in (
+                (character.blend_shape, character.blend_shape_param_index),
+                (character.face_expression_blend_shape,
+                 character.face_expression_param_index)):
+            if basis is None or not pidx:
+                continue
+            jb = skinned_blend_jacobian(character, ctx, self.vertex_index,
+                                        basis)
+            cols = np.asarray(pidx, np.int64)
+            sel = np.zeros((len(cols), p), np.float32)
+            sel[np.arange(len(cols)), cols] = 1.0
+            jm = coef * jnp.einsum(
+                "...ci,...cib,bp->...cp", n, jb, jnp.asarray(sel))
+            j_model = jm if j_model is None else j_model + jm
+        return rows, j_jp, j_model
+
     @classmethod
     def create(cls, vertex_index, point, normal, cweight=None, weight=1.0, above=False,
                loss=None, capacity=None):

@@ -293,3 +293,32 @@ def test_vertex_position_analytic_jacobian():
     xb = jnp.asarray(rng.normal(0, 0.2, (2, p)), jnp.float32)
     rb, jb = fn.residual_and_jacobian(xb)
     assert rb.shape[0] == 2 and jb.shape[0] == 2
+
+
+def test_vertex_plane_analytic_jacobian():
+    from momentum_tpu.errors import VertexPlaneErrorFunction
+    from momentum_tpu.solver import SkeletonSolverFunction
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(5)
+    v = char.mesh.num_vertices
+    rng = np.random.default_rng(1)
+    vid = np.arange(0, v, 4, dtype=np.int32)
+    nrm = rng.normal(0, 1, (len(vid), 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    for above in (False, True):
+        ef = VertexPlaneErrorFunction.create(
+            vid, rng.normal(0, 0.5, (len(vid), 3)).astype(np.float32),
+            nrm.astype(np.float32), above=above)
+        fn = SkeletonSolverFunction(char, (ef,))
+        assert fn.fully_analytic
+        x = jnp.asarray(rng.normal(0, 0.2, char.num_model_parameters),
+                        jnp.float32)
+        rows, J = fn.residual_and_jacobian(x)
+        np.testing.assert_allclose(np.asarray(rows),
+                                   np.asarray(fn.residual(x)), atol=1e-6)
+        _, jvp = jax.linearize(fn.residual, x)
+        J_ad = jax.vmap(jvp)(jnp.eye(char.num_model_parameters)).T
+        m = max(np.abs(np.asarray(J_ad)).max(), 1e-9)
+        np.testing.assert_allclose(np.asarray(J) / m, np.asarray(J_ad) / m,
+                                   atol=3e-5)
