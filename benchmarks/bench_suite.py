@@ -109,8 +109,16 @@ def config2():
     _emit(config=2, metric="fullbody_lm_full_residual_latency", value=dt * 1e3,
           unit="ms", error=float(res.error))
 
-    # batched variant: the full residual stack solved batch-natively
-    b = 256
+    # batched variant (2b): the full residual stack at the driver metric's
+    # workload shape — batch 2048, warm-started LM (tracking scenario,
+    # marker_tracker.cpp:754), pose prior + limits contributing through the
+    # normal-equation fast path. Convergence is measured against each
+    # element's own 40-iteration optimum (the full-stack energy has a nonzero
+    # floor from the prior, so an absolute 1e-5 energy bar is meaningless).
+    import os
+
+    b = int(os.environ.get("MOMENTUM_TPU_BENCH_BATCH", 2048))
+    iters = int(os.environ.get("MOMENTUM_TPU_BENCH_FULLSTACK_ITERS", 8))
     import dataclasses as dc
 
     gt_b = jnp.asarray(rng.uniform(-0.3, 0.3, (b, p)), jnp.float32)
@@ -121,15 +129,24 @@ def config2():
     _, q_b, _ = _ss.split(states_b)
     pos_b = dc.replace(pos, target=tgt_b)
     ori_b = dc.replace(ori, target=q_b)
-    fn_b = SkeletonSolverFunction(char, (pos_b, ori_b, lim, pp))
-    opts_b = SolverOptions(max_iterations=10, energy_from_residual=True)
+    fn_b = SkeletonSolverFunction(char, (pos_b, ori_b, lim, pp),
+                                  prefer_fused=True)
+    opts_b = SolverOptions(max_iterations=iters, regularization=1e-5,
+                           energy_from_residual=True)
     solve_b = jax.jit(lambda x0: solve_ik(fn_b, x0, None, opts_b,
                                           method="levenberg_marquardt"))
     x0_b = gt_b + 0.05 * jnp.asarray(rng.normal(0, 1, (b, p)), jnp.float32)
     dt_b, res_b = _timeit(solve_b, x0_b)
+    # per-element converged optimum (40 LM iterations)
+    opts_ref = dc.replace(opts_b, max_iterations=40)
+    res_ref = jax.jit(lambda x0: solve_ik(fn_b, x0, None, opts_ref,
+                                          method="levenberg_marquardt"))(x0_b)
+    excess = res_b.error - res_ref.error
     _emit(config=2, metric="fullbody_lm_full_residual_batched",
-          value=b / dt_b, unit="solves/s",
-          median_error=float(jnp.median(res_b.error)), batch=b)
+          value=b / dt_b, unit="solves/s", batch=b, iterations=iters,
+          median_error=float(jnp.median(res_b.error)),
+          conv_at_1e5=float(jnp.mean(excess < 1e-5)),
+          median_excess_vs_40it=float(jnp.median(excess)))
 
 
 def config3():

@@ -87,10 +87,12 @@ class ErrorFunction:
         return getattr(self, "loss", GeneralizedLoss())
 
     def error(self, character, ctx: EvalContext) -> jnp.ndarray:
-        """weight · Σ w_c · ρ(‖f_c‖²) (joint_error_function-inl.h:35-54)."""
+        """weight · Σ w_c · ρ(‖f_c‖²) (joint_error_function-inl.h:35-54).
+        Batch-preserving: leading dims of the raw residual survive, so the
+        batch-native solvers get a per-element energy."""
         f, w = self.raw(character, ctx)
         sq = jnp.sum(f * f, axis=-1)
-        return self.weight * jnp.sum(w * self._loss().value(sq))
+        return self.weight * jnp.sum(w * self._loss().value(sq), axis=-1)
 
     def residual(self, character, ctx: EvalContext) -> jnp.ndarray:
         """Flattened GN rows: sqrt(weight · w · ρ'(‖f‖²)) · f, robust scale
@@ -121,6 +123,23 @@ class ErrorFunction:
     # tangent-batched AD Jacobian entirely (the reference's analytic
     # SkeletonDerivative path, skeleton_derivative.cpp).
     has_analytic_jacobian: bool = False
+
+    # -- optional normal-equation fast path ----------------------------------
+    # Modules with *structured* Jacobians (diagonal limit rows, the pose
+    # prior's constant-per-mode whitening) may implement
+    #     accumulate_normal(character, ctx, jc, pt_mat, acc) -> acc
+    # with acc = (jtj (..., P, P), jtr (..., P), sq (...,)), adding their
+    # JᵀJ / Jᵀr / Σrows² contributions directly instead of materializing rows
+    # in the dense Jacobian — the TPU equivalent of the reference's per-error-
+    # function getSolverDerivatives rank-update specialization
+    # (skeleton_error_function.h:19-150, gauss_newton_solver.cpp:113-221).
+    # Convention: the GN step solves (JᵀJ + λD)δ = Jᵀr with x_new = x − δ.
+    has_normal_contrib: bool = False
+
+    def supports_normal_contrib(self, character) -> bool:
+        """Whether accumulate_normal covers this module's records for this
+        character (some modules only special-case a subset of record types)."""
+        return self.has_normal_contrib
 
     def _row_scale(self, w, sq):
         """Common sqrt(weight·w·ρ') row scaling with IRLS freeze."""

@@ -111,10 +111,10 @@ class LimitErrorFunction(ErrorFunction):
         raise NotImplementedError("LimitErrorFunction evaluates per record type")
 
     def error(self, character, ctx: EvalContext) -> jnp.ndarray:
-        total = jnp.zeros((), ctx.model_params.dtype)
+        total = jnp.zeros(ctx.model_params.shape[:-1], ctx.model_params.dtype)
         for f, w in self._pieces(character, ctx):
             sq = jnp.sum(f * f, axis=-1)
-            total = total + jnp.sum(w * self.loss.value(sq))
+            total = total + jnp.sum(w * self.loss.value(sq), axis=-1)
         return K_LIMIT_WEIGHT * self.weight * total
 
     def residual(self, character, ctx: EvalContext) -> jnp.ndarray:
@@ -258,6 +258,88 @@ class LimitErrorFunction(ErrorFunction):
         return (jnp.concatenate(rows_l, axis=-1),
                 jnp.concatenate(jjp_l, axis=-2),
                 jnp.concatenate(jm_l, axis=-2))
+
+    has_normal_contrib = True
+
+    def supports_normal_contrib(self, character) -> bool:
+        """The direct path covers the model-parameter-space record types
+        (minmax / linear / halfplane), whose rows have ≤ 2 nonzero Jacobian
+        entries. Joint-space and ellipsoid records fall back to dense rows."""
+        c = character.limits.counts
+        return (c["minmax_joint"] + c["linear_joint"] + c["ellipsoid"]) == 0
+
+    def accumulate_normal(self, character, ctx: EvalContext, jc, pt_mat, acc):
+        """Scatter-add JᵀJ/Jᵀr directly: every model-space limit row has at
+        most two nonzero entries (column idx1/idx2 with values v1/v2), so its
+        rank-1 update touches ≤ 4 JᵀJ cells — the reference's sparse
+        getSolverDerivatives rank update (limit_error_function.cpp gradient
+        paths) instead of L dense rows through the Jacobian."""
+        jtj, jtr, sq = acc
+        lim = character.limits
+        mp = ctx.model_params
+        dtype = mp.dtype
+        kw = K_LIMIT_WEIGHT * self.weight
+
+        def scale_of(w, sqv):
+            s = jnp.sqrt(jnp.maximum(kw * w, 0.0))
+            if self.loss.alpha == 2.0:
+                return s * (1.0 / self.loss.c)
+            return s * jax.lax.stop_gradient(
+                jnp.sqrt(jnp.maximum(self.loss.deriv(sqv), 0.0)))
+
+        i1_l, v1_l, i2_l, v2_l, r_l = [], [], [], [], []
+
+        if lim.minmax_index.shape[0]:
+            vals = jnp.take(mp, lim.minmax_index, axis=-1)
+            r = _minmax_residual(vals, lim.minmax_bounds)
+            s = scale_of(lim.minmax_weight, r * r)
+            i1_l.append(lim.minmax_index)
+            v1_l.append(-s * (r != 0).astype(dtype))
+            i2_l.append(jnp.zeros_like(lim.minmax_index))
+            v2_l.append(jnp.zeros_like(s * r))
+            r_l.append(s * r)
+        if lim.linear_ref.shape[0]:
+            ref = jnp.take(mp, lim.linear_ref, axis=-1)
+            tgt = jnp.take(mp, lim.linear_tgt, axis=-1)
+            r = _linear_residual(ref, tgt, lim.linear_scale, lim.linear_offset,
+                                 lim.linear_range)
+            in_r = ((tgt >= lim.linear_range[..., 0])
+                    & (tgt < lim.linear_range[..., 1])).astype(dtype)
+            s = scale_of(lim.linear_weight, r * r)
+            i1_l.append(lim.linear_tgt)
+            v1_l.append(s * in_r * lim.linear_scale)
+            i2_l.append(lim.linear_ref)
+            v2_l.append(-s * in_r)
+            r_l.append(s * r)
+        if lim.halfplane_idx1.shape[0]:
+            p1 = jnp.take(mp, lim.halfplane_idx1, axis=-1)
+            p2 = jnp.take(mp, lim.halfplane_idx2, axis=-1)
+            d = p1 * lim.halfplane_normal[..., 0] \
+                + p2 * lim.halfplane_normal[..., 1] - lim.halfplane_offset
+            r = jnp.minimum(d, 0.0)
+            act = (d < 0).astype(dtype)
+            s = scale_of(lim.halfplane_weight, r * r)
+            i1_l.append(lim.halfplane_idx1)
+            v1_l.append(s * act * lim.halfplane_normal[..., 0])
+            i2_l.append(lim.halfplane_idx2)
+            v2_l.append(s * act * lim.halfplane_normal[..., 1])
+            r_l.append(s * r)
+
+        if not r_l:
+            return acc
+        i1 = jnp.concatenate(i1_l)
+        i2 = jnp.concatenate(i2_l)
+        v1 = jnp.concatenate(v1_l, axis=-1)
+        v2 = jnp.concatenate(v2_l, axis=-1)
+        r = jnp.concatenate(r_l, axis=-1)
+        jtr = jtr.at[..., i1].add(v1 * r)
+        jtr = jtr.at[..., i2].add(v2 * r)
+        jtj = jtj.at[..., i1, i1].add(v1 * v1)
+        jtj = jtj.at[..., i2, i2].add(v2 * v2)
+        jtj = jtj.at[..., i1, i2].add(v1 * v2)
+        jtj = jtj.at[..., i2, i1].add(v1 * v2)
+        sq = sq + jnp.sum(r * r, axis=-1)
+        return jtj, jtr, sq
 
     def num_rows_for(self, character) -> int:
         c = character.limits.counts

@@ -94,6 +94,11 @@ class PosePriorErrorFunction(ErrorFunction):
     # pose-prior dim -> model parameter index (−1 = unmapped, reads 0.0);
     # mirrors ppMap_ built by name matching (pose_prior_error_function.cpp:41-54)
     param_index: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    # Precomputed Sᵀ·Cinv_k·S (K, P, P) for the normal-equation fast path:
+    # the Jacobian J = coef·L_k·S is CONSTANT per selected mode, so JᵀJ is a
+    # gather instead of a (rows × P) contraction. Built by create(); None when
+    # constructed directly (falls back to dense rows).
+    sub_jtj: jnp.ndarray | None = None
 
     def _sub_params(self, model_params: jnp.ndarray) -> jnp.ndarray:
         idx = np.asarray(self.param_index, np.int64)
@@ -138,6 +143,30 @@ class PosePriorErrorFunction(ErrorFunction):
         j_model = coef * jnp.einsum("...de,ep->...dp", l_best, jnp.asarray(sel))
         return rows, None, j_model
 
+    @property
+    def has_normal_contrib(self) -> bool:
+        return self.sub_jtj is not None
+
+    def accumulate_normal(self, character, ctx: EvalContext, jc, pt_mat, acc):
+        """Direct JᵀJ/Jᵀr/Σr² contribution: with J = coef·L*·S constant per
+        selected mode, JᵀJ = coef²·SᵀCinv*S is one gather from the precomputed
+        per-mode table and Jᵀr = coef²·Sᵀ(Cinv*·d*) a (d→P) scatter — no
+        prior rows ever enter the dense Jacobian."""
+        jtj, jtr, sq = acc
+        best, d_best, sq_best = self._best(ctx.model_params)
+        coef2 = 0.5 * K_POSE_PRIOR_WEIGHT * self.weight
+        jtj = jtj + coef2 * jnp.take(self.sub_jtj, best, axis=0)
+        cinv_best = jnp.take(self.prior.cinv, best, axis=0)
+        cinvd = jnp.einsum("...de,...e->...d", cinv_best, d_best)
+        idx = np.asarray(self.param_index, np.int64)
+        sel = np.zeros((self.prior.dim, ctx.model_params.shape[-1]), np.float32)
+        valid = idx >= 0
+        sel[np.arange(self.prior.dim)[valid], idx[valid]] = 1.0
+        jtr = jtr + coef2 * jnp.einsum("...d,dp->...p", cinvd, jnp.asarray(sel))
+        # Σ rows² = coef²·d*ᵀCinv*d* = 2·coef²·sq_best (== the exact energy)
+        sq = sq + 2.0 * coef2 * sq_best
+        return jtj, jtr, sq
+
     @classmethod
     def create(cls, prior: Mppca, parameter_names, weight=1.0):
         """Map prior dims onto model parameters by name (loadInternal,
@@ -145,4 +174,13 @@ class PosePriorErrorFunction(ErrorFunction):
         name_to_idx = {n: i for i, n in enumerate(parameter_names)}
         idx = tuple(name_to_idx.get(n, -1) for n in prior.names) if prior.names else \
             tuple(range(prior.dim))
-        return cls(prior=prior, weight=jnp.asarray(weight, jnp.float32), param_index=idx)
+        p = len(parameter_names)
+        idx_np = np.asarray(idx, np.int64)
+        sel = np.zeros((prior.dim, p), np.float32)
+        valid = idx_np >= 0
+        sel[np.arange(prior.dim)[valid], idx_np[valid]] = 1.0
+        cinv = np.asarray(prior.cinv, np.float64)
+        sub_jtj = np.einsum("dp,kde,eq->kpq", sel, cinv, sel)
+        return cls(prior=prior, weight=jnp.asarray(weight, jnp.float32),
+                   param_index=idx,
+                   sub_jtj=jnp.asarray(sub_jtj, jnp.float32))

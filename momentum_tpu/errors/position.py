@@ -245,7 +245,7 @@ class ModelParametersErrorFunction(ErrorFunction):
 
     def error(self, character, ctx: EvalContext) -> jnp.ndarray:
         f, w = self.raw(character, ctx)
-        return self.weight * jnp.sum(w * jnp.sum(f * f, axis=-1))
+        return self.weight * jnp.sum(w * jnp.sum(f * f, axis=-1), axis=-1)
 
     has_analytic_jacobian = True
 

@@ -27,6 +27,7 @@ __all__ = [
     "euler_to_quaternion",
     "slerp",
     "blend",
+    "blend_nlerp",
     "from_two_vectors",
 ]
 
@@ -200,9 +201,28 @@ def slerp(q0: jnp.ndarray, q1: jnp.ndarray, t) -> jnp.ndarray:
 def blend(quats: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Weighted blend of quaternions over the second-to-last axis.
 
-    Sign-corrects against the first quaternion then renormalizes the weighted
-    sum (normalized-lerp blend, matching pymomentum/quaternion.py blend()).
+    The eigen average of Markley et al. ("Averaging Quaternions", AIAA JGCD
+    2007), matching pymomentum/quaternion_np.py:516-536 blend(): the result is
+    the top eigenvector of M = Σ w_i·q_i·q_iᵀ with the weights clamped ≥ 0 and
+    normalized to sum 1. Unlike the normalized-lerp blend (`blend_nlerp`) this
+    is exact for spread-out quaternions and sign-invariant by construction.
     """
+    if weights is None:
+        weights = jnp.ones(quats.shape[:-1], dtype=quats.dtype)
+    weights = jnp.maximum(weights, 0.0)
+    weights = weights / jnp.maximum(
+        jnp.sum(weights, axis=-1, keepdims=True), _EPS)
+    m = jnp.einsum("...ki,...kj,...k->...ij", quats, quats, weights)
+    _, vecs = jnp.linalg.eigh(m)  # ascending eigenvalues
+    return vecs[..., :, 3]
+
+
+def blend_nlerp(quats: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Normalized-lerp blend: sign-correct against the first quaternion, then
+    renormalize the weighted sum. First-order equal to `blend` for clustered
+    quaternions at a fraction of the cost — the right choice inside skinning
+    and dual-quaternion-style hot paths; use `blend` where the reference's
+    eigen-average semantics matter (retargeting, motion averaging)."""
     if weights is None:
         weights = jnp.ones(quats.shape[:-1], dtype=quats.dtype)
     ref = quats[..., :1, :]

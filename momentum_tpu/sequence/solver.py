@@ -60,17 +60,24 @@ def _single_frame_theta(fn: SequenceSolverFunction, pf_f, u):
     return theta
 
 
-def _normal_equations(fn: SequenceSolverFunction, pf, u):
+def _normal_equations(fn: SequenceSolverFunction, pf, u, f64: bool = False):
     """Build block-banded normal equations for the GN step.
 
     Returns (diag (F,p,p), offs [list of (F-k,p,p)], u_coupling (F,p,nu),
     u_block (nu,nu), rhs_f (F,p), rhs_u (nu,), q)
     where rhs = Jᵀr for the step H δ = Jᵀr, δ applied as x -= δ.
+
+    f64: accumulate every JᵀJ / Jᵀr contraction in float64 (the reference's
+    useDoublePrecisionNormalEquations, sequence_cholesky_solver.h:31-33);
+    callers downcast for the solve. No-op unless jax x64 is enabled.
     """
     f = fn.num_frames
     p = fn.num_per_frame
     nu = fn.num_universal
-    dtype = pf.dtype
+    dtype = jnp.float64 if f64 else pf.dtype
+
+    def _acc(x):
+        return x.astype(dtype) if f64 else x
 
     diag = jnp.zeros((f, p, p), dtype)
     u_coupling = jnp.zeros((f, p, nu), dtype)
@@ -116,6 +123,7 @@ def _normal_equations(fn: SequenceSolverFunction, pf, u):
         return rows, jac[0], jac[1]
 
     rows, j_pf, j_u = jax.vmap(frame_jac, in_axes=(0, None, 0))(pf, u, fn.per_frame_errors)
+    rows, j_pf, j_u = _acc(rows), _acc(j_pf), _acc(j_u)
     diag = diag + jnp.einsum("frp,frq->fpq", j_pf, j_pf)
     u_coupling = u_coupling + jnp.einsum("frp,fru->fpu", j_pf, j_u)
     u_block = u_block + jnp.einsum("fru,frv->uv", j_u, j_u)
@@ -144,6 +152,7 @@ def _normal_equations(fn: SequenceSolverFunction, pf, u):
         win_idx = jnp.arange(fw)[:, None] + jnp.arange(w)[None, :]
         pf_wins = pf[win_idx]  # (fw, W, p)
         s_rows, s_jw, s_ju = jax.vmap(seq_jac, in_axes=(0, None))(pf_wins, u)
+        s_rows, s_jw, s_ju = _acc(s_rows), _acc(s_jw), _acc(s_ju)
 
         base = jnp.arange(fw)
         for k in range(w):
@@ -208,7 +217,14 @@ def solve_sequence(
 
     def body(state):
         pf, u, last_err, it, done = state
-        diag, offs, uc, ub, rf, ru, q = _normal_equations(fn, pf, u)
+        diag, offs, uc, ub, rf, ru, q = _normal_equations(
+            fn, pf, u, f64=opts.f64_normal_equations)
+        if opts.f64_normal_equations:
+            # f64 accumulation (all row contractions + cross-error sums),
+            # f32 factorization — sequence_cholesky_solver.h:31-33 semantics
+            diag, uc, ub, rf, ru = (x.astype(pf.dtype)
+                                    for x in (diag, uc, ub, rf, ru))
+            offs = [o.astype(pf.dtype) for o in offs]
         eye = jnp.eye(p, dtype=pf.dtype) * opts.regularization
         diag = diag + eye[None]
         ub = ub + opts.regularization * jnp.eye(nu, dtype=pf.dtype)

@@ -79,6 +79,13 @@ class SolverOptions:
     # qr.h, online_householder_qr.h): half the condition number exposure of
     # the normal equations, for ill-conditioned rigs.
     linear_solver: str = "cholesky"
+    # Sequence solver only: accumulate the block normal equations in float64
+    # and solve in float32 — the reference's long-sequence conditioning
+    # guardrail (sequence_cholesky_solver.h:31-33
+    # useDoublePrecisionNormalEquations). Requires jax x64 to be enabled
+    # (jax.enable_x64() or the jax_enable_x64 flag); silently
+    # equivalent to f32 otherwise.
+    f64_normal_equations: bool = False
 
 
 class SolveResult(NamedTuple):
@@ -112,11 +119,16 @@ def _converged(last_err, err, threshold):
 def _line_search(error_fn, x, delta, err0, steps):
     """Backtracking halving search: largest alpha in {1, .5, .25, ...} that
     decreases the energy; falls back to full step if none does (matching the
-    reference's simple decrease criterion)."""
+    reference's simple decrease criterion, gauss_newton_solver.cpp line-search
+    path). Batch-native: err0/alpha carry the leading batch dims of x — each
+    element picks its own step length via masked selects, the TPU equivalent
+    of the reference's per-problem scalar loop."""
+    scale = (lambda a: a[..., None] * delta) if x.ndim > err0.ndim else \
+        (lambda a: a * delta)
 
     def body(carry, _):
         alpha, best_alpha, found = carry
-        e = error_fn(x - alpha * delta)
+        e = error_fn(x - scale(alpha))
         good = (e < err0) & (~found)
         best_alpha = jnp.where(good, alpha, best_alpha)
         found = found | good
@@ -156,12 +168,15 @@ def solve_gauss_newton(
     enabled_mask: Optional[jnp.ndarray] = None,
     options: SolverOptions = SolverOptions(),
     jacobian_fn: Optional[Callable] = None,
+    normal_fn: Optional[Callable] = None,
 ) -> SolveResult:
     """Minimize ‖r(x)‖² (r = weighted residual rows) by damped Gauss-Newton.
 
     residual_fn: (P,) -> (R,); error_fn: (P,) -> scalar exact energy.
     enabled_mask: optional (P,) 0/1 — disabled parameters are frozen.
     jacobian_fn: optional analytic (P,) -> (rows, J (R, P)) fast path.
+    normal_fn: optional (P,) -> (JᵀJ, Jᵀr, Σrows²) direct provider; see
+    solve_levenberg_marquardt.
     """
     p = x0.shape[-1]
     mask = jnp.ones(p, x0.dtype) if enabled_mask is None else enabled_mask.astype(x0.dtype)
@@ -169,28 +184,33 @@ def solve_gauss_newton(
     big = jnp.asarray(jnp.finfo(jnp.float32).max, x0.dtype)
 
     batched = x0.ndim > 1
-    if batched and opts.do_line_search:
-        raise NotImplementedError(
-            "line search requires a per-element energy; use the unbatched/"
-            "vmapped path or disable do_line_search for batch-native solves")
 
     def body(state):
         x, last_err, it, done, hist = state
-        rows, jt = _jacobian(residual_fn, x, jacobian_fn)
-        jt = jt * mask[:, None]
-        if opts.linear_solver == "qr":
-            damp = jnp.broadcast_to(opts.regularization + (1.0 - mask), x.shape)
-            delta = _qr_step(jt, rows, damp, mask)
-        else:
-            jtj = jnp.einsum("...pr,...qr->...pq", jt, jt)
-            jtr = jnp.einsum("...pr,...r->...p", jt, rows)
+        if normal_fn is not None:
+            jtj, jtr, sq = normal_fn(x)
+            if enabled_mask is not None:
+                jtj = jtj * (mask[:, None] * mask[None, :])
+                jtr = jtr * mask
             a = jtj + (opts.regularization + (1.0 - mask)) * jnp.eye(p, dtype=x.dtype)
-            delta = psd_solve(a, jtr)
-            delta = delta * mask
-        err = jnp.sum(rows * rows, axis=-1) if opts.energy_from_residual else error_fn(x)
+            delta = psd_solve(a, jtr) * mask
+            err = sq if opts.energy_from_residual else error_fn(x)
+        else:
+            rows, jt = _jacobian(residual_fn, x, jacobian_fn)
+            jt = jt * mask[:, None]
+            if opts.linear_solver == "qr":
+                damp = jnp.broadcast_to(opts.regularization + (1.0 - mask), x.shape)
+                delta = _qr_step(jt, rows, damp, mask)
+            else:
+                jtj = jnp.einsum("...pr,...qr->...pq", jt, jt)
+                jtr = jnp.einsum("...pr,...r->...p", jt, rows)
+                a = jtj + (opts.regularization + (1.0 - mask)) * jnp.eye(p, dtype=x.dtype)
+                delta = psd_solve(a, jtr)
+                delta = delta * mask
+            err = jnp.sum(rows * rows, axis=-1) if opts.energy_from_residual else error_fn(x)
         if opts.do_line_search:
             alpha = _line_search(error_fn, x, delta, err, opts.line_search_steps)
-            delta = alpha * delta
+            delta = (alpha[..., None] if batched else alpha) * delta
         x_new = x - delta
         conv = _converged(last_err, err, opts.threshold)
         newly_done = (it + 1 >= opts.min_iterations) & conv
@@ -223,6 +243,7 @@ def solve_gradient_descent(
     options: SolverOptions = SolverOptions(),
     learning_rate: float = 0.01,
     jacobian_fn: Optional[Callable] = None,
+    normal_fn: Optional[Callable] = None,
 ) -> SolveResult:
     """Plain first-order descent (gradient_descent_solver.h): per iteration
     x -= lr·∇E with ∇E = 2·Jᵀr, same convergence test as the GN solvers."""
@@ -234,9 +255,14 @@ def solve_gradient_descent(
 
     def body(state):
         x, last_err, it, done = state
-        rows, jt = _jacobian(residual_fn, x, jacobian_fn)
-        grad = 2.0 * jnp.einsum("...pr,...r->...p", jt * mask[:, None], rows)
-        err = jnp.sum(rows * rows, axis=-1) if opts.energy_from_residual else error_fn(x)
+        if normal_fn is not None:
+            _, jtr, sq = normal_fn(x)
+            grad = 2.0 * jtr * mask
+            err = sq if opts.energy_from_residual else error_fn(x)
+        else:
+            rows, jt = _jacobian(residual_fn, x, jacobian_fn)
+            grad = 2.0 * jnp.einsum("...pr,...r->...p", jt * mask[:, None], rows)
+            err = jnp.sum(rows * rows, axis=-1) if opts.energy_from_residual else error_fn(x)
         x_new = x - learning_rate * grad
         conv = _converged(last_err, err, opts.threshold)
         newly_done = (it + 1 >= opts.min_iterations) & conv
@@ -262,15 +288,33 @@ def solve_levenberg_marquardt(
     enabled_mask: Optional[jnp.ndarray] = None,
     options: SolverOptions = SolverOptions(),
     jacobian_fn: Optional[Callable] = None,
+    normal_fn: Optional[Callable] = None,
 ) -> SolveResult:
     """LM with multiplicative damping: each iteration solves
     (JᵀJ + λ·diag(JᵀJ) + reg·I) δ = Jᵀr and accepts only if the energy drops,
-    adapting λ — the TrustRegionQRT equivalent (trust_region_qr.cpp:82-230)."""
+    adapting λ — the TrustRegionQRT equivalent (trust_region_qr.cpp:82-230).
+
+    normal_fn: optional (P,) -> (JᵀJ, Jᵀr, Σrows²) direct normal-equation
+    provider (SkeletonSolverFunction.normal_equations) — structured residual
+    modules contribute JᵀJ without materializing rows. When given, the solver
+    never forms the dense Jacobian; with energy_from_residual the caller must
+    pass a Σrows² evaluator as error_fn (residual_sq)."""
     p = x0.shape[-1]
     mask = jnp.ones(p, x0.dtype) if enabled_mask is None else enabled_mask.astype(x0.dtype)
     opts = options
 
     batched = x0.ndim > 1
+
+    def _solve_normal(jtj, jtr, lam):
+        if enabled_mask is not None:
+            jtj = jtj * (mask[:, None] * mask[None, :])
+            jtr = jtr * mask
+        diag = jnp.diagonal(jtj, axis1=-2, axis2=-1)
+        damp = lam[..., None] if batched else lam
+        damp_diag = damp * jnp.maximum(diag, 1e-12) \
+            + opts.regularization + (1.0 - mask)
+        a = jtj + damp_diag[..., None] * jnp.eye(p, dtype=jtj.dtype)
+        return psd_solve(a, jtr) * mask
 
     def _step(x, rows, jt, lam):
         """One damped step from the factorization at x."""
@@ -325,13 +369,18 @@ def solve_levenberg_marquardt(
 
     def body(state):
         x, err, lam, it, done, hist = state
-        rows, jt = _jacobian(residual_fn, x, jacobian_fn)
-        x_trial = _step(x, rows, jt, lam)
-        if opts.energy_from_residual:
-            r_trial = residual_fn(x_trial)
-            err_trial = jnp.sum(r_trial * r_trial, axis=-1)
-        else:
+        if normal_fn is not None:
+            jtj, jtr, _ = normal_fn(x)
+            x_trial = x - _solve_normal(jtj, jtr, lam)
             err_trial = error_fn(x_trial)
+        else:
+            rows, jt = _jacobian(residual_fn, x, jacobian_fn)
+            x_trial = _step(x, rows, jt, lam)
+            if opts.energy_from_residual:
+                r_trial = residual_fn(x_trial)
+                err_trial = jnp.sum(r_trial * r_trial, axis=-1)
+            else:
+                err_trial = error_fn(x_trial)
         accept = err_trial < err
         acc = accept[..., None] if batched else accept
         x_new = jnp.where(acc, x_trial, x)
@@ -357,7 +406,7 @@ def solve_levenberg_marquardt(
              jnp.zeros((opts.max_iterations,) + x0.shape, x0.dtype)) \
         if opts.store_history else ()
     lam0 = jnp.broadcast_to(jnp.asarray(opts.lambda_init, x0.dtype), err_shape)
-    if opts.energy_from_residual and opts.carry_jacobian:
+    if opts.energy_from_residual and opts.carry_jacobian and normal_fn is None:
         rows0, jt0 = _jacobian(residual_fn, x0, jacobian_fn)
         err0 = jnp.sum(rows0 * rows0, axis=-1)
         init = (x0, rows0, jt0, jnp.broadcast_to(err0, err_shape), lam0,
@@ -365,7 +414,7 @@ def solve_levenberg_marquardt(
         x, _, _, err, _, it, done, hist = jax.lax.while_loop(
             cond_fused, body_fused, init)
     else:
-        if opts.energy_from_residual:
+        if opts.energy_from_residual and normal_fn is None:
             r0 = residual_fn(x0)
             err0 = jnp.sum(r0 * r0, axis=-1)
         else:

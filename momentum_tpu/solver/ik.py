@@ -67,8 +67,18 @@ def solve_ik(
     else:
         raise ValueError(f"unknown method {method!r}")
     jac_fn = solver_fn.residual_and_jacobian if solver_fn.fully_analytic else None
-    result = solve(solver_fn.residual, solver_fn.error, x0, enabled_mask, options,
-                   jacobian_fn=jac_fn)
+    # Structured modules (pose prior / model-space limits) short-circuit the
+    # dense Jacobian via the normal-equation protocol; only on the Cholesky
+    # path (QR needs actual rows).
+    normal_fn = None
+    error_fn = solver_fn.error
+    if (method != "gradient_descent" and options.linear_solver == "cholesky"
+            and solver_fn.has_structured_modules):
+        normal_fn = solver_fn.normal_equations
+        if options.energy_from_residual:
+            error_fn = solver_fn.residual_sq
+    result = solve(solver_fn.residual, error_fn, x0, enabled_mask, options,
+                   jacobian_fn=jac_fn, normal_fn=normal_fn)
     bad = ~jnp.all(jnp.isfinite(result.params), axis=-1, keepdims=True)
     params = jnp.where(bad, x0, result.params)
     return result._replace(params=params)

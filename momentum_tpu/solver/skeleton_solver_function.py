@@ -111,12 +111,15 @@ class SkeletonSolverFunction:
         skeleton_derivative.cpp) with AD for modules lacking an analytic path.
         Replaces the P-tangent jacfwd: memory traffic drops from O(P·nJ) to
         O(C·nJ) per evaluation."""
+        ctx = self.context(model_params)
+        return self._rows_and_jacobian(ctx, self.error_functions, model_params)
+
+    def _rows_and_jacobian(self, ctx, error_functions, model_params):
         from momentum_tpu.solver.analytic_jacobian import make_jacobian_context
 
-        ctx = self.context(model_params)
-        analytic = [ef for ef in self.error_functions
+        analytic = [ef for ef in error_functions
                     if getattr(ef, "has_analytic_jacobian", False)]
-        ad_efs = [ef for ef in self.error_functions
+        ad_efs = [ef for ef in error_functions
                   if not getattr(ef, "has_analytic_jacobian", False)]
 
         rows_list = []
@@ -128,7 +131,8 @@ class SkeletonSolverFunction:
             use_fused = self.prefer_fused
             fused = [ef for ef in analytic
                      if use_fused and hasattr(ef, "jacobian_model")]
-            blockwise = [ef for ef in analytic if ef not in fused]
+            fused_ids = {id(ef) for ef in fused}
+            blockwise = [ef for ef in analytic if id(ef) not in fused_ids]
             for ef in fused:
                 # straight to model space, no joint-space J materialized
                 r, j_m = ef.jacobian_model(self.character, ctx, jc, pt_mat)
@@ -162,3 +166,56 @@ class SkeletonSolverFunction:
             j_list.append(j_ad)
         return (jnp.concatenate(rows_list, axis=-1),
                 jnp.concatenate(j_list, axis=-2))
+
+    # ---- normal-equation fast path ----
+
+    @property
+    def has_structured_modules(self) -> bool:
+        return any(ef.supports_normal_contrib(self.character)
+                   for ef in self.error_functions)
+
+    def normal_equations(self, model_params: jnp.ndarray):
+        """(JᵀJ (..., P, P), Jᵀr (..., P), Σrows² (...,)) in one pass.
+
+        Structured modules (pose prior, model-space limits) add their
+        contributions directly via accumulate_normal — their rows never enter
+        the dense Jacobian — while everything else goes through the fused
+        analytic rows + one MXU contraction. This is the TPU shape of the
+        reference's per-error-function getSolverDerivatives rank updates
+        (gauss_newton_solver.cpp:113-221)."""
+        from momentum_tpu.solver.analytic_jacobian import make_jacobian_context
+
+        ctx = self.context(model_params)
+        p = model_params.shape[-1]
+        batch = model_params.shape[:-1]
+        direct = [ef for ef in self.error_functions
+                  if ef.supports_normal_contrib(self.character)]
+        direct_ids = {id(ef) for ef in direct}
+        dense = [ef for ef in self.error_functions if id(ef) not in direct_ids]
+
+        jtj = jnp.zeros(batch + (p, p), model_params.dtype)
+        jtr = jnp.zeros(batch + (p,), model_params.dtype)
+        sq = jnp.zeros(batch, model_params.dtype)
+        if dense:
+            rows, j = self._rows_and_jacobian(ctx, dense, model_params)
+            jtj = jtj + jnp.einsum("...rp,...rq->...pq", j, j)
+            jtr = jtr + jnp.einsum("...rp,...r->...p", j, rows)
+            sq = sq + jnp.sum(rows * rows, axis=-1)
+        if direct:
+            jc = make_jacobian_context(self.character, ctx)
+            pt_mat = self.character.parameter_transform.transform
+            acc = (jtj, jtr, sq)
+            for ef in direct:
+                acc = ef.accumulate_normal(self.character, ctx, jc, pt_mat, acc)
+            jtj, jtr, sq = acc
+        return jtj, jtr, sq
+
+    def residual_sq(self, model_params: jnp.ndarray) -> jnp.ndarray:
+        """Σ rows² without assembling the row vector (the GN surrogate energy
+        used for LM acceptance when energy_from_residual)."""
+        ctx = self.context(model_params)
+        total = jnp.zeros(model_params.shape[:-1], model_params.dtype)
+        for ef in self.error_functions:
+            r = ef.residual(self.character, ctx)
+            total = total + jnp.sum(r * r, axis=-1)
+        return total

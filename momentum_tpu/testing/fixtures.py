@@ -241,12 +241,21 @@ def create_fullbody_character(dtype=jnp.float32) -> Character:
     skin = SkinWeights(index=jnp.asarray(_np.stack(sidx)),
                        weight=jnp.asarray(_np.stack(swgt), dtype))
 
+    # minmax limits on every rotation parameter + the global scale — real
+    # full-body rigs carry limits on essentially all pose DoFs, and the
+    # marker-tracking residual stack always includes the limit term
+    # (marker_tracker.cpp:645-653), so the bench fixture must too.
+    mm = [(6, -0.5, 0.5, 1.0)]
+    mm += [(i, -1.2, 1.2, 1.0) for i in range(7, len(pnames))]
+    limits = make_limits(minmax=mm)
+
     char = Character(
         skeleton=skeleton,
         parameter_transform=pt,
         locators=locators,
         mesh=mesh,
         skin_weights=skin,
+        limits=limits,
         name="fullbody_synthetic",
     )
     return char.with_inverse_bind_pose()

@@ -113,3 +113,40 @@ def test_from_two_vectors(rng):
     ra = np.asarray(quat.rotate_vector(q, jnp.asarray(a / np.linalg.norm(a, axis=-1, keepdims=True))))
     bn = b / np.linalg.norm(b, axis=-1, keepdims=True)
     np.testing.assert_allclose(ra, bn, atol=1e-4)
+
+
+def test_blend_matches_eigen_average(rng):
+    """blend == the Markley eigen average (pymomentum/quaternion_np.py:516-536)
+    on SPREAD-OUT quaternions, where normalized-lerp visibly diverges."""
+    q = random_unit_quats(rng, 5)
+    w = rng.uniform(0.1, 1.0, 5)
+    # reference formula, straight numpy
+    wn = w / w.sum()
+    m = np.einsum("ki,kj,k->ij", q, q, wn)
+    _, vecs = np.linalg.eigh(m)
+    expected = vecs[:, 3]
+    got = np.asarray(quat.blend(jnp.asarray(q, jnp.float32),
+                                jnp.asarray(w, jnp.float32)))
+    # sign-invariant comparison
+    assert min(np.abs(got - expected).max(),
+               np.abs(got + expected).max()) < 1e-4
+
+
+def test_blend_identity_weight(rng):
+    """All weight on one quaternion reproduces it (up to sign)."""
+    q = random_unit_quats(rng, 4)
+    w = np.asarray([0.0, 0.0, 1.0, 0.0])
+    got = np.asarray(quat.blend(jnp.asarray(q, jnp.float32),
+                                jnp.asarray(w, jnp.float32)))
+    assert min(np.abs(got - q[2]).max(), np.abs(got + q[2]).max()) < 1e-4
+
+
+def test_blend_nlerp_close_quats_agrees_with_blend(rng):
+    """For clustered quaternions nlerp ~= the eigen average."""
+    base = random_unit_quats(rng, 1)[0]
+    perturbed = base[None, :] + 0.02 * rng.normal(size=(6, 4))
+    perturbed /= np.linalg.norm(perturbed, axis=-1, keepdims=True)
+    qj = jnp.asarray(perturbed, jnp.float32)
+    a = np.asarray(quat.blend(qj))
+    b = np.asarray(quat.blend_nlerp(qj))
+    assert min(np.abs(a - b).max(), np.abs(a + b).max()) < 1e-3

@@ -201,6 +201,38 @@ class TestConvergence:
         res = solve_gauss_newton(fn.residual, fn.error, x0, options=opts)
         assert float(fn.error(res.params)) < 1e-6
 
+    def test_batched_line_search_matches_vmapped(self, char, rng):
+        """Batch-native do_line_search == vmapping the scalar solver
+        (the masked per-element alpha is bit-equivalent to the per-problem
+        backtracking loop, gauss_newton_solver.cpp line-search path)."""
+        import dataclasses
+        b = 3
+        p = char.num_model_parameters
+        thetas = jnp.asarray(rng.uniform(-0.3, 0.3, (b, p)), jnp.float32)
+        states = jax.vmap(char.skeleton_states)(thetas)
+        targets = jax.vmap(char.locators.world_positions)(states)
+        ef0 = PositionErrorFunction.create(
+            np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+            np.zeros((char.locators.num_locators, 3)))
+        opts = SolverOptions(max_iterations=8, regularization=1e-5,
+                             do_line_search=True)
+
+        ef_b = dataclasses.replace(ef0, target=targets)
+        fn_b = SkeletonSolverFunction(char, (ef_b,))
+        res_b = solve_gauss_newton(
+            fn_b.residual, fn_b.error, jnp.zeros((b, p)), options=opts,
+            jacobian_fn=fn_b.residual_and_jacobian)
+
+        def solve_one(target):
+            ef = dataclasses.replace(ef0, target=target)
+            fn = SkeletonSolverFunction(char, (ef,))
+            return solve_gauss_newton(fn.residual, fn.error, jnp.zeros(p),
+                                      options=opts)
+
+        res_v = jax.jit(jax.vmap(solve_one))(targets)
+        np.testing.assert_allclose(np.asarray(res_b.params),
+                                   np.asarray(res_v.params), atol=2e-4)
+
 
 class TestLimits:
     def test_minmax_penalty_active_outside(self, char, rng):
@@ -259,3 +291,75 @@ def test_qr_solver_classes_use_qr():
         assert sol.options.linear_solver == "qr"
         out = sol.solve(jnp.zeros(char.num_model_parameters))
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_normal_equations_match_dense_jacobian():
+    """SkeletonSolverFunction.normal_equations (structured pose-prior/limit
+    contributions via accumulate_normal) == explicit JᵀJ/Jᵀr from the dense
+    row Jacobian, and the LM solve through either path lands on the same
+    optimum (the rank-update specialization of gauss_newton_solver.cpp:113-221)."""
+    import dataclasses as dc
+    import jax
+    from momentum_tpu.errors import (
+        LimitErrorFunction, OrientationErrorFunction, PosePriorErrorFunction,
+        PositionErrorFunction)
+    from momentum_tpu.errors.pose_prior import Mppca
+    from momentum_tpu.math import skel_state as ss
+    from momentum_tpu.solver import SkeletonSolverFunction, SolverOptions
+    from momentum_tpu.solver.gauss_newton import solve_levenberg_marquardt
+    from momentum_tpu.solver.ik import solve_ik
+    from momentum_tpu.testing.fixtures import create_fullbody_character
+
+    char = create_fullbody_character()
+    p = char.num_model_parameters
+    rng = np.random.default_rng(3)
+    b = 3
+    gt = jnp.asarray(rng.uniform(-0.3, 0.3, (b, p)), jnp.float32)
+    states = jax.vmap(char.skeleton_states)(gt)
+    targets = jax.vmap(char.locators.world_positions)(states)
+    _, q, _ = ss.split(states)
+    pos0 = PositionErrorFunction.create(
+        np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+        np.zeros((char.locators.num_locators, 3)))
+    ori0 = OrientationErrorFunction.create(
+        np.arange(char.skeleton.num_joints, dtype=np.int32),
+        np.tile(np.asarray([0, 0, 0, 1], np.float32),
+                (char.skeleton.num_joints, 1)))
+    pos = dc.replace(pos0, target=targets)
+    ori = dc.replace(ori0, target=q)
+    lim = LimitErrorFunction.create()
+    mu = np.zeros((2, p), np.float32)
+    w = [np.full((p, 4), 0.01, np.float32)] * 2
+    prior = Mppca.from_components(
+        pi=np.asarray([0.6, 0.4]), mu=mu, w_list=w,
+        sigma2=np.asarray([1.0, 2.0]), names=char.parameter_transform.names)
+    pp = PosePriorErrorFunction.create(prior, char.parameter_transform.names)
+    fn = SkeletonSolverFunction(char, (pos, ori, lim, pp), prefer_fused=True)
+    assert fn.has_structured_modules
+    assert lim.supports_normal_contrib(char)
+
+    # push one element outside the limits so the limit term is actually active
+    x = gt + 0.1 * jnp.asarray(rng.normal(0, 1, (b, p)), jnp.float32)
+    x = x.at[0, 8].set(1.5)
+    rows, j = fn.residual_and_jacobian(x)
+    jtj_d = jnp.einsum("...rp,...rq->...pq", j, j)
+    jtr_d = jnp.einsum("...rp,...r->...p", j, rows)
+    sq_d = jnp.sum(rows * rows, axis=-1)
+    jtj_n, jtr_n, sq_n = fn.normal_equations(x)
+    scale = float(jnp.abs(jtj_d).max())
+    np.testing.assert_allclose(np.asarray(jtj_n), np.asarray(jtj_d),
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(jtr_n), np.asarray(jtr_d),
+                               atol=1e-5 * float(jnp.abs(jtr_d).max()))
+    np.testing.assert_allclose(np.asarray(sq_n), np.asarray(sq_d), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fn.residual_sq(x)),
+                               np.asarray(sq_d), rtol=1e-5)
+
+    opts = SolverOptions(max_iterations=8, regularization=1e-5,
+                         energy_from_residual=True)
+    r_normal = solve_ik(fn, x, None, opts, method="levenberg_marquardt")
+    r_dense = solve_levenberg_marquardt(
+        fn.residual, fn.residual_sq, x, options=opts,
+        jacobian_fn=fn.residual_and_jacobian)
+    np.testing.assert_allclose(np.asarray(r_normal.params),
+                               np.asarray(r_dense.params), atol=5e-4)
