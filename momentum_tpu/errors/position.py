@@ -191,6 +191,43 @@ class OrientationErrorFunction(VectorErrorFunction):
         j = j_full.reshape(j_full.shape[:-4] + (c * 9, pt_mat.shape[1]))
         return rows, j
 
+    has_normal_contrib = True
+
+    def accumulate_normal(self, character, ctx: EvalContext, jc, pt_mat, acc):
+        """Closed-form JᵀJ/Jᵀr without the 9-row Jacobian.
+
+        Every row block is J_c = [v_j]-cross structure: row (i,j) equals
+        (h1 × v_j)_i with h1 = scale·(Σ_n m·rotAxis·PT) (the fused rotation
+        factor) and v_j the j-th COLUMN of the orthonormal R_world. Using
+        Σ_j v_j v_jᵀ = R Rᵀ = I and Σ_j ‖v_j‖² = 3:
+
+            JᵀJ = 3·h1ᵀh1 − h1ᵀ(Σ_j v_j v_jᵀ)h1 = 2·h1ᵀh1
+            Jᵀr = h1ᵀ · Σ_j (f_j × v_j),  f_j = col j of scale·(R_w − R_t)
+
+        i.e. the 9C rows contract to a 3C-wide MXU product — a 3× smaller
+        contraction and no (B, C, 9, P) Jacobian in HBM. Orientation path of
+        skeleton_derivative.cpp, reassociated."""
+        from momentum_tpu.solver.analytic_jacobian import fused_rotation_factor
+
+        jtj, jtr, sq = acc
+        states = jnp.take(ctx.skel_states, self.parent, axis=-2)
+        _, q, _ = ss.split(states)
+        r_world = quat.to_rotation_matrix(quat.multiply(q, self.offset))
+        diff = r_world - quat.to_rotation_matrix(self.target)  # (..., C, 3out, 3col)
+        f9 = diff.reshape(diff.shape[:-2] + (9,))
+        sqe = jnp.sum(f9 * f9, axis=-1)
+        scale = self._row_scale(self.cweight, sqe)
+        h1 = fused_rotation_factor(jc, self.parent, pt_mat, scale=scale)
+        jtj = jtj + 2.0 * jnp.einsum("...cwp,...cwq->...pq", h1, h1)
+        # g_c = Σ_j v_j × f_j with f_j, v_j the j-th COLUMNS (axis -1)
+        g = jnp.sum(
+            jnp.cross(r_world, scale[..., None, None] * diff,
+                      axisa=-2, axisb=-2, axisc=-2),
+            axis=-1)  # (..., C, 3)
+        jtr = jtr + jnp.einsum("...cwp,...cw->...p", h1, g)
+        sq = sq + jnp.sum(scale * scale * sqe, axis=-1)
+        return jtj, jtr, sq
+
     @classmethod
     def create(cls, parent, target, offset=None, cweight=None, weight=1.0, loss=None, capacity=None):
         parent = np.asarray(parent, np.int32)

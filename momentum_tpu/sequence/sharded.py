@@ -1,55 +1,91 @@
 """Multi-device sequence solve: frames sharded over a mesh axis.
 
 This is the TPU replacement for the reference's single-machine banded QR
-(SURVEY.md §2.9 / §5): 10k-frame sequence solves shard their frames across
-chips, Jacobian assembly is embarrassingly parallel (the reference's
-dispenso frame loop, sequence_solver.cpp:235-370), the temporal band is
-solved by substructuring (a block SPIKE algorithm), and the shared
-"universal" parameters ride an all-reduce — the reference's "serialize the
-common columns" (online_householder_qr.h:369-410) becomes a psum.
+(SURVEY.md §2.9 / §5): long sequence solves shard their frames across chips,
+Jacobian assembly is embarrassingly parallel (the reference's dispenso frame
+loop, sequence_solver.cpp:235-370), the temporal band is solved by
+substructuring (a block SPIKE algorithm), and the shared "universal"
+parameters ride an all-reduce — the reference's "serialize the common
+columns" (online_householder_qr.h:369-410) becomes a psum.
 
-Algorithm (window-2 sequence errors → block-tridiagonal + arrowhead):
-  per shard s with L local frames:
-    1. assemble local diag/off-diag/universal blocks; the window crossing
-       the left shard boundary is evaluated from a ppermute'd halo frame
-       (owner = shard of the window's start frame; the neighbor keeps only
-       its own rows' contributions, so nothing is double-counted)
-    2. factor-free local solves: T_s⁻¹ applied to [rhs | U_s | e_0·Bᵀ |
-       e_{L-1}·B] by the scan-based block Thomas (block_tridiag.py)
-    3. build the reduced interface system in z = (x_{s,0}, x_{s,L-1} ∀s, x_u)
-       of size (2·S·p + nu): boundary rows from the SPIKE identities,
-       universal row from Schur elimination; all terms are local products
-       psum/all_gathered
-    4. solve the reduced system replicated (it is tiny), broadcast, and
-       back-substitute locally: x_s = T_s⁻¹b − V_s·x_left − W_s·x_right −
-       (T_s⁻¹U_s)·x_u
+Bandwidth is auto-computed from the widest sequence-error window, matching
+the reference (sequence_solver.cpp:54-57): windows of width w ≤ q+1 are
+aggregated into superframes of q frames (block_tridiag.banded_to_tridiag), so
+accel (w=3) / jerk (w=4) stencils shard exactly like smoothness (w=2).
+Arbitrary frame counts are supported by padding to a shard-divisible count
+with zero-weight frames.
 
-Restrictions: sequence errors must have window ≤ 2 (the common smoothness
-case; wider stencils aggregate into superframes first — not yet wired into
-the sharded path) and F must divide evenly by the axis size.
+Assembly is owner-computes: every window is evaluated once, by the shard
+owning its START frame, against a q-frame right halo (one ppermute of the
+neighbor's first frames). Contributions that land on neighbor-owned frames
+(the window's tail) are shipped right with a second ppermute and added into
+the neighbor's head blocks — the reference's disjoint-column banded update
+(zeroBandedPart) with the cross-boundary rows exchanged explicitly.
+
+Per GN iteration:
+  1. per-shard: per-frame + windowed Jacobians → extended banded blocks
+     (L+q frames of diag/off/universal/rhs), tail shipped right
+  2. aggregate L local frames into G = L/q superframes (qp-sized blocks);
+     the shard-edge coupling becomes ONE (qp, qp) superblock
+  3. factor-free local solves: T_s⁻¹ applied to [rhs | U_s | e_0·B_leftᵀ |
+     e_{G-1}·B] by the scan-based block Thomas (block_tridiag.py)
+  4. reduced SPIKE interface system in z = (x_{s,0}, x_{s,G-1} ∀s, x_u) of
+     size (2·S·qp + nu), built from all_gathered local products, solved
+     replicated (it is tiny), then local back-substitution.
 """
 
 from __future__ import annotations
 
 from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from momentum_tpu.sequence.block_tridiag import block_tridiag_solve
-from momentum_tpu.sequence.solver import SequenceSolveResult, _single_frame_theta
+from momentum_tpu.sequence.block_tridiag import banded_to_tridiag, block_tridiag_solve
+from momentum_tpu.sequence.solver import (
+    SequenceSolveResult,
+    _single_frame_theta,
+    make_frame_jacobian,
+)
 from momentum_tpu.sequence.solver_function import SequenceSolverFunction
 from momentum_tpu.solver.gauss_newton import SolverOptions, _converged
 
 __all__ = ["solve_sequence_sharded"]
 
 
-def _local_normal_equations(fn: SequenceSolverFunction, pf_local, u, axis):
-    """Per-shard block assembly with left-halo window evaluation.
+def _bandwidth(fn: SequenceSolverFunction) -> int:
+    """Half-bandwidth q = max window − 1 (sequence_solver.cpp:54-57)."""
+    q = 1
+    for sef in fn.sequence_errors:
+        q = max(q, sef.window - 1)
+    return q
+
+
+def _shift_left(x, axis, s_count):
+    """Receive from the RIGHT neighbor (shard s gets shard s+1's value)."""
+    perm = [(i, (i - 1) % s_count) for i in range(s_count)]
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.ppermute(a, axis, perm), x)
+
+
+def _shift_right(x, axis, s_count):
+    """Receive from the LEFT neighbor (shard s gets shard s-1's value)."""
+    perm = [(i, (i + 1) % s_count) for i in range(s_count)]
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.ppermute(a, axis, perm), x)
+
+
+def _local_normal_equations(fn, pf_local, u, axis, q, f_real):
+    """Owner-computes banded assembly with a q-frame right halo.
 
     pf_local: (L, p) local frames. Returns
-    (diag (L,p,p), off (L-1,p,p), b_edge (p,p) coupling last-local→next-first,
-     uc (L,p,nu), ublock (nu,nu), rhs (L,p), rhs_u (nu,))
+    (diag (L,p,p), offs [d=1..q each (L-d,p,p)], edge (qp,qp) coupling the
+     last local superframe to the next shard's first, uc (L,p,nu),
+     ublock (nu,nu), rhs (L,p), rhs_u (nu,)).
+    Windows whose global span exceeds f_real are masked out, which makes the
+    last shard's shipped tail (and the wrap-around edge) exactly zero.
     """
     l_frames, p = pf_local.shape
     nu = fn.num_universal
@@ -57,160 +93,166 @@ def _local_normal_equations(fn: SequenceSolverFunction, pf_local, u, axis):
     s_count = jax.lax.axis_size(axis)
     s_idx = jax.lax.axis_index(axis)
 
-    # ---- per-frame errors (pure data parallel) ----
-    def frame_res(pf_f, u_, ef_f):
-        return fn.frame_residual(_single_frame_theta(fn, pf_f, u_), ef_f)
-
-    def frame_jac(pf_f, u_, ef_f):
-        jac, rows = jax.jacfwd(
-            lambda a, b: (frame_res(a, b, ef_f),) * 2, argnums=(0, 1), has_aux=True
-        )(pf_f, u_)
-        return rows, jac[0], jac[1]
-
+    # ---- per-frame errors (pure data parallel; analytic fast path) ----
+    frame_jac = make_frame_jacobian(fn)
     rows, j_pf, j_u = jax.vmap(frame_jac, in_axes=(0, None, 0))(
         pf_local, u, fn.per_frame_errors)
-    diag = jnp.einsum("frp,frq->fpq", j_pf, j_pf)
-    uc = jnp.einsum("frp,fru->fpu", j_pf, j_u)
+
+    le = l_frames + q  # extended (local + halo) frame range
+    diag = jnp.zeros((le, p, p), dtype)
+    uc = jnp.zeros((le, p, nu), dtype)
+    rhs = jnp.zeros((le, p), dtype)
+    offs = [jnp.zeros((le, p, p), dtype) for _ in range(q)]
     ublock = jnp.einsum("fru,frv->uv", j_u, j_u)
-    rhs = jnp.einsum("frp,fr->fp", j_pf, rows)
     rhs_u = jnp.einsum("fru,fr->u", j_u, rows)
+    diag = diag.at[:l_frames].add(jnp.einsum("frp,frq->fpq", j_pf, j_pf))
+    uc = uc.at[:l_frames].add(jnp.einsum("frp,fru->fpu", j_pf, j_u))
+    rhs = rhs.at[:l_frames].add(jnp.einsum("frp,fr->fp", j_pf, rows))
 
-    off = jnp.zeros((max(l_frames - 1, 0), p, p), dtype)
-    b_edge = jnp.zeros((p, p), dtype)
+    # ---- sequence errors: windows starting at local frames ----
+    if fn.sequence_errors:
+        halo = _shift_left(pf_local[:q], axis, s_count)  # next shard's head
+        pf_ext = jnp.concatenate([pf_local, halo], axis=0)  # (L+q, p)
+        g_start = s_idx * l_frames + jnp.arange(l_frames)  # global starts
 
-    # ---- window-2 sequence errors ----
-    # halo: next shard's first frame (for windows starting locally),
-    # and we re-evaluate the left-boundary window for our first frame's rows.
-    right_halo = jax.lax.ppermute(
-        pf_local[0], axis, [(i, (i - 1) % s_count) for i in range(s_count)])
-    left_halo = jax.lax.ppermute(
-        pf_local[-1], axis, [(i, (i + 1) % s_count) for i in range(s_count)])
-    is_first = s_idx == 0
-    is_last = s_idx == s_count - 1
+        for sef in fn.sequence_errors:
+            w = sef.window
 
-    for sef in fn.sequence_errors:
-        if sef.window != 2:
-            raise NotImplementedError(
-                "sharded sequence solve currently supports window-2 errors only")
+            def seq_res(pf_win, u_, sef=sef):
+                thetas = jax.vmap(
+                    lambda x: _single_frame_theta(fn, x, u_))(pf_win)
+                ctxs = jax.vmap(fn._context)(thetas)
+                return sef.residual(fn.character, ctxs)
 
-        def seq_res(pf_pair, u_, sef=sef):
-            thetas = jax.vmap(lambda x: _single_frame_theta(fn, x, u_))(pf_pair)
-            ctxs = jax.vmap(fn._context)(thetas)
-            return sef.residual(fn.character, ctxs)
+            def seq_jac(pf_win, u_):
+                jac, r_ = jax.jacfwd(
+                    lambda a, b: (seq_res(a, b),) * 2, argnums=(0, 1),
+                    has_aux=True)(pf_win, u_)
+                return r_, jac[0], jac[1]  # (R,), (R, W, p), (R, nu)
 
-        def seq_jac(pf_pair, u_):
-            jac, r_ = jax.jacfwd(
-                lambda a, b: (seq_res(a, b),) * 2, argnums=(0, 1), has_aux=True
-            )(pf_pair, u_)
-            return r_, jac[0], jac[1]  # (R,), (R, 2, p), (R, nu)
+            win_idx = jnp.arange(l_frames)[:, None] + jnp.arange(w)[None, :]
+            wins = pf_ext[win_idx]  # (L, W, p)
+            s_rows, s_jw, s_ju = jax.vmap(seq_jac, in_axes=(0, None))(wins, u)
+            # a window starting at global g spans [g, g+w-1]; valid iff
+            # g + w - 1 ≤ f_real - 1
+            valid = (g_start <= f_real - w).astype(dtype)
+            s_rows = s_rows * valid[:, None]
+            s_jw = s_jw * valid[:, None, None, None]
+            s_ju = s_ju * valid[:, None, None]
 
-        # windows starting at local frames 0..L-1 (the last pairs with the halo)
-        starts = jnp.concatenate([pf_local, right_halo[None]], axis=0)
-        pairs = jnp.stack([starts[:-1], starts[1:]], axis=1)  # (L, 2, p)
-        s_rows, s_jw, s_ju = jax.vmap(seq_jac, in_axes=(0, None))(pairs, u)
-        # the global last frame starts no window: mask it out on the last shard
-        valid = jnp.where(
-            is_last,
-            jnp.arange(l_frames) < l_frames - 1,
-            jnp.ones(l_frames, bool),
-        ).astype(dtype)
-        s_rows = s_rows * valid[:, None]
-        s_jw = s_jw * valid[:, None, None, None]
-        s_ju = s_ju * valid[:, None, None]
+            base = jnp.arange(l_frames)
+            for k in range(w):
+                jk = s_jw[:, :, k, :]  # (L, R, p) — columns of frame start+k
+                diag = diag.at[base + k].add(
+                    jnp.einsum("frp,frq->fpq", jk, jk))
+                rhs = rhs.at[base + k].add(
+                    jnp.einsum("frp,fr->fp", jk, s_rows))
+                uc = uc.at[base + k].add(
+                    jnp.einsum("frp,fru->fpu", jk, s_ju))
+                for d in range(1, w - k):
+                    jkd = s_jw[:, :, k + d, :]
+                    offs[d - 1] = offs[d - 1].at[base + k].add(
+                        jnp.einsum("frp,frq->fpq", jk, jkd))
+            ublock = ublock + jnp.einsum("fru,frv->uv", s_ju, s_ju)
+            rhs_u = rhs_u + jnp.einsum("fru,fr->u", s_ju, s_rows)
 
-        j1 = s_jw[:, :, 0, :]
-        j2 = s_jw[:, :, 1, :]
-        # owner contributions (start frame local)
-        diag = diag + jnp.einsum("frp,frq->fpq", j1, j1)
-        rhs = rhs + jnp.einsum("frp,fr->fp", j1, s_rows)
-        uc = uc + jnp.einsum("frp,fru->fpu", j1, s_ju)
-        ublock = ublock + jnp.einsum("fru,frv->uv", s_ju, s_ju)
-        rhs_u = rhs_u + jnp.einsum("fru,fr->u", s_ju, s_rows)
-        # end-frame contributions for windows fully inside the shard
-        diag = diag.at[1:].add(jnp.einsum("frp,frq->fpq", j2[:-1], j2[:-1]))
-        rhs = rhs.at[1:].add(jnp.einsum("frp,fr->fp", j2[:-1], s_rows[:-1]))
-        uc = uc.at[1:].add(jnp.einsum("frp,fru->fpu", j2[:-1], s_ju[:-1]))
-        off = off + jnp.einsum("frp,frq->fpq", j1[:-1], j2[:-1])
-        # boundary coupling (last local frame → next shard's first)
-        b_edge = b_edge + jnp.einsum("rp,rq->pq", j1[-1], j2[-1])
+        # ---- ship the tail (contributions to neighbor-owned frames) ----
+        tail = (diag[l_frames:], rhs[l_frames:], uc[l_frames:],
+                jnp.stack([o[l_frames:l_frames + q] for o in offs]))
+        r_diag, r_rhs, r_uc, r_offs = _shift_right(tail, axis, s_count)
+        diag = diag.at[:q].add(r_diag)
+        rhs = rhs.at[:q].add(r_rhs)
+        uc = uc.at[:q].add(r_uc)
+        offs = [o.at[:q].add(r_offs[d]) for d, o in enumerate(offs)]
 
-        # left-boundary window: rows of OUR first frame (end of the window
-        # owned by the left neighbor) — re-evaluate with the left halo
-        pair_l = jnp.stack([left_halo, pf_local[0]], axis=0)
-        lb_rows, lb_jw, lb_ju = seq_jac(pair_l, u)
-        w_l = jnp.where(is_first, 0.0, 1.0).astype(dtype)
-        j2l = lb_jw[:, 1, :] * w_l
-        diag = diag.at[0].add(jnp.einsum("rp,rq->pq", j2l, j2l))
-        rhs = rhs.at[0].add(jnp.einsum("rp,r->p", j2l, lb_rows * w_l))
-        uc = uc.at[0].add(jnp.einsum("rp,ru->pu", j2l, lb_ju * w_l[..., None] if lb_ju.ndim == 2 else lb_ju))
-
-    return diag, off, b_edge, uc, ublock, rhs, rhs_u
+    # ---- split in-shard band vs shard-edge superblock ----
+    qp = q * p
+    edge = jnp.zeros((qp, qp), dtype)
+    for d in range(1, q + 1):
+        for i in range(q - d, q):  # f = L - q + i couples into the halo
+            f = l_frames - q + i
+            j = i + d - q  # column superframe-local index of frame f + d
+            if 0 <= j < q and 0 <= f < l_frames:
+                edge = edge.at[i * p:(i + 1) * p, j * p:(j + 1) * p].add(
+                    offs[d - 1][f])
+    return (diag[:l_frames], [offs[d - 1][:l_frames - d] for d in range(1, q + 1)],
+            edge, uc[:l_frames], ublock, rhs[:l_frames], rhs_u)
 
 
-def _sharded_step(fn, pf_local, u, opts, axis):
-    """One GN step: assemble + SPIKE solve. Returns (d_pf_local, d_u)."""
+def _sharded_step(fn, pf_local, u, opts, axis, q, f_real):
+    """One GN step: assemble + superblock SPIKE solve → (d_pf_local, d_u)."""
     l_frames, p = pf_local.shape
     nu = fn.num_universal
     s_count = jax.lax.axis_size(axis)
     s_idx = jax.lax.axis_index(axis)
     dtype = pf_local.dtype
+    qp = q * p
+    g_blocks = l_frames // q  # superframes per shard
 
-    diag, off, b_edge, uc, ublock, rhs, rhs_u = _local_normal_equations(
-        fn, pf_local, u, axis)
+    diag, offs, b_edge, uc, ublock, rhs, rhs_u = _local_normal_equations(
+        fn, pf_local, u, axis, q, f_real)
     diag = diag + opts.regularization * jnp.eye(p, dtype=dtype)[None]
 
-    # left edge coupling (from the left neighbor's b_edge)
-    b_left = jax.lax.ppermute(
-        b_edge, axis, [(i, (i + 1) % s_count) for i in range(s_count)])
+    # aggregate to superblocks: in-shard band → tridiagonal of qp-blocks
+    if q == 1:
+        sd, su = diag, offs[0]
+    else:
+        sd, su = banded_to_tridiag(diag, offs)
+    uc_s = uc.reshape(g_blocks, qp, nu)
+    rhs_s = rhs.reshape(g_blocks, qp)
+
+    # edge coupling from the left neighbor
+    b_left = _shift_right(b_edge, axis, s_count)
     not_first = jnp.where(s_idx == 0, 0.0, 1.0).astype(dtype)
     not_last = jnp.where(s_idx == s_count - 1, 0.0, 1.0).astype(dtype)
     b_left = b_left * not_first
     b_edge = b_edge * not_last
 
-    # local solves: T⁻¹ [rhs | U | e0·B_leftᵀ | e_{L-1}·B_edge]
-    n_rhs = 1 + nu + 2 * p
-    big_rhs = jnp.zeros((l_frames, p, n_rhs), dtype)
-    big_rhs = big_rhs.at[:, :, 0].set(rhs)
+    # local solves: T⁻¹ [rhs | U | e0·B_leftᵀ | e_{G-1}·B_edge]
+    n_rhs = 1 + nu + 2 * qp
+    big_rhs = jnp.zeros((g_blocks, qp, n_rhs), dtype)
+    big_rhs = big_rhs.at[:, :, 0].set(rhs_s)
     if nu:
-        big_rhs = big_rhs.at[:, :, 1:1 + nu].set(uc)
-    big_rhs = big_rhs.at[0, :, 1 + nu:1 + nu + p].set(b_left.T)
-    big_rhs = big_rhs.at[l_frames - 1, :, 1 + nu + p:].set(b_edge)
-    sol = block_tridiag_solve(diag, off, big_rhs)
-    g = sol[:, :, 0]  # T⁻¹ rhs (L, p)
-    tiu = sol[:, :, 1:1 + nu]  # T⁻¹ U (L, p, nu)
-    v_spike = sol[:, :, 1 + nu:1 + nu + p]  # T⁻¹ e0 B_leftᵀ
-    w_spike = sol[:, :, 1 + nu + p:]  # T⁻¹ e_{L-1} B_edge
+        big_rhs = big_rhs.at[:, :, 1:1 + nu].set(uc_s)
+    big_rhs = big_rhs.at[0, :, 1 + nu:1 + nu + qp].set(b_left.T)
+    big_rhs = big_rhs.at[g_blocks - 1, :, 1 + nu + qp:].set(b_edge)
+    sol = block_tridiag_solve(sd, su, big_rhs)
+    g = sol[:, :, 0]  # T⁻¹ rhs (G, qp)
+    tiu = sol[:, :, 1:1 + nu]  # T⁻¹ U (G, qp, nu)
+    v_spike = sol[:, :, 1 + nu:1 + nu + qp]  # T⁻¹ e0 B_leftᵀ
+    w_spike = sol[:, :, 1 + nu + qp:]  # T⁻¹ e_{G-1} B_edge
 
-    # reduced system pieces (rows for x_{s,0} and x_{s,L-1})
-    #   x_{s,0}    + V[0]   x_{s-1,L-1} + W[0]   x_{s+1,0} + TiU[0] x_u   = g[0]
-    #   x_{s,L-1}  + V[L-1] x_{s-1,L-1} + W[L-1] x_{s+1,0} + TiU[L-1] x_u = g[L-1]
+    # reduced system pieces (rows for x_{s,0} and x_{s,G-1})
+    #   x_{s,0}    + V[0]   x_{s-1,G-1} + W[0]   x_{s+1,0} + TiU[0] x_u   = g[0]
+    #   x_{s,G-1}  + V[G-1] x_{s-1,G-1} + W[G-1] x_{s+1,0} + TiU[G-1] x_u = g[G-1]
     # universal row: Σ_s U_sᵀ x_s + (S + reg) x_u = b_u →
-    #   Σ_s [Uᵀg − UᵀV x_{s-1,L-1} − UᵀW x_{s+1,0} − UᵀTiU x_u] + S x_u = b_u
-    ut_g = jnp.einsum("fpu,fp->u", uc, g)
-    ut_v = jnp.einsum("fpu,fpq->uq", uc, v_spike)
-    ut_w = jnp.einsum("fpu,fpq->uq", uc, w_spike)
-    ut_tiu = jnp.einsum("fpu,fpv->uv", uc, tiu)
+    #   Σ_s [Uᵀg − UᵀV x_{s-1,G-1} − UᵀW x_{s+1,0} − UᵀTiU x_u] + S x_u = b_u
+    ut_g = jnp.einsum("fpu,fp->u", uc_s, g)
+    ut_v = jnp.einsum("fpu,fpq->uq", uc_s, v_spike)
+    ut_w = jnp.einsum("fpu,fpq->uq", uc_s, w_spike)
+    ut_tiu = jnp.einsum("fpu,fpv->uv", uc_s, tiu)
 
     gathered = jax.lax.all_gather(
         (g[0], g[-1], v_spike[0], v_spike[-1], w_spike[0], w_spike[-1],
          tiu[0], tiu[-1], ut_g, ut_v, ut_w, ut_tiu), axis)
     (g0_all, gl_all, v0_all, vl_all, w0_all, wl_all,
      tiu0_all, tiul_all, utg_all, utv_all, utw_all, uttiu_all) = gathered
-    ublock_sum = jax.lax.psum(ublock, axis) + opts.regularization * jnp.eye(nu, dtype=dtype)
+    ublock_sum = jax.lax.psum(ublock, axis) \
+        + opts.regularization * jnp.eye(nu, dtype=dtype)
     rhs_u_sum = jax.lax.psum(rhs_u, axis)
 
-    # replicated reduced system: unknowns z = [x_{0,0}, x_{0,L-1}, ...,
-    # x_{S-1,0}, x_{S-1,L-1}, x_u]
-    n_red = 2 * s_count * p + nu
+    # replicated reduced system: unknowns z = [x_{0,0}, x_{0,G-1}, ...,
+    # x_{S-1,0}, x_{S-1,G-1}, x_u]
+    n_red = 2 * s_count * qp + nu
     a_red = jnp.zeros((n_red, n_red), dtype)
     b_red = jnp.zeros((n_red,), dtype)
-    eye_p = jnp.eye(p, dtype=dtype)
+    eye_p = jnp.eye(qp, dtype=dtype)
 
     def first_idx(s):
-        return 2 * s * p
+        return 2 * s * qp
 
     def last_idx(s):
-        return (2 * s + 1) * p
+        return (2 * s + 1) * qp
 
     # python loop over shards is fine: s_count is static inside shard_map
     for s in range(int(s_count)):
@@ -218,40 +260,40 @@ def _sharded_step(fn, pf_local, u, opts, axis):
         sr = (s + 1) % int(s_count)
         r0 = first_idx(s)
         r1 = last_idx(s)
-        a_red = a_red.at[r0:r0 + p, r0:r0 + p].add(eye_p)
-        a_red = a_red.at[r1:r1 + p, r1:r1 + p].add(eye_p)
-        a_red = a_red.at[r0:r0 + p, last_idx(sl):last_idx(sl) + p].add(v0_all[s])
-        a_red = a_red.at[r1:r1 + p, last_idx(sl):last_idx(sl) + p].add(vl_all[s])
-        a_red = a_red.at[r0:r0 + p, first_idx(sr):first_idx(sr) + p].add(w0_all[s])
-        a_red = a_red.at[r1:r1 + p, first_idx(sr):first_idx(sr) + p].add(wl_all[s])
+        a_red = a_red.at[r0:r0 + qp, r0:r0 + qp].add(eye_p)
+        a_red = a_red.at[r1:r1 + qp, r1:r1 + qp].add(eye_p)
+        a_red = a_red.at[r0:r0 + qp, last_idx(sl):last_idx(sl) + qp].add(v0_all[s])
+        a_red = a_red.at[r1:r1 + qp, last_idx(sl):last_idx(sl) + qp].add(vl_all[s])
+        a_red = a_red.at[r0:r0 + qp, first_idx(sr):first_idx(sr) + qp].add(w0_all[s])
+        a_red = a_red.at[r1:r1 + qp, first_idx(sr):first_idx(sr) + qp].add(wl_all[s])
         if nu:
-            a_red = a_red.at[r0:r0 + p, 2 * s_count * p:].add(tiu0_all[s])
-            a_red = a_red.at[r1:r1 + p, 2 * s_count * p:].add(tiul_all[s])
+            a_red = a_red.at[r0:r0 + qp, 2 * s_count * qp:].add(tiu0_all[s])
+            a_red = a_red.at[r1:r1 + qp, 2 * s_count * qp:].add(tiul_all[s])
             # universal row
-            a_red = a_red.at[2 * s_count * p:, last_idx(sl):last_idx(sl) + p].add(
+            a_red = a_red.at[2 * s_count * qp:, last_idx(sl):last_idx(sl) + qp].add(
                 -utv_all[s])
-            a_red = a_red.at[2 * s_count * p:, first_idx(sr):first_idx(sr) + p].add(
+            a_red = a_red.at[2 * s_count * qp:, first_idx(sr):first_idx(sr) + qp].add(
                 -utw_all[s])
-        b_red = b_red.at[r0:r0 + p].set(g0_all[s])
-        b_red = b_red.at[r1:r1 + p].set(gl_all[s])
+        b_red = b_red.at[r0:r0 + qp].set(g0_all[s])
+        b_red = b_red.at[r1:r1 + qp].set(gl_all[s])
     if nu:
-        u_row = 2 * s_count * p
+        u_row = 2 * s_count * qp
         a_red = a_red.at[u_row:, u_row:].add(ublock_sum - jnp.sum(uttiu_all, axis=0))
         b_red = b_red.at[u_row:].set(rhs_u_sum - jnp.sum(utg_all, axis=0))
 
     z = jnp.linalg.solve(a_red, b_red)
-    d_u = z[2 * s_count * p:] if nu else jnp.zeros((0,), dtype)
+    d_u = z[2 * s_count * qp:] if nu else jnp.zeros((0,), dtype)
 
     # local back-substitution
     x_left = jax.lax.dynamic_slice(
-        z, ((2 * ((s_idx - 1) % s_count) + 1) * p,), (p,))  # x_{s-1, L-1}
+        z, ((2 * ((s_idx - 1) % s_count) + 1) * qp,), (qp,))  # x_{s-1, G-1}
     x_right = jax.lax.dynamic_slice(
-        z, (2 * ((s_idx + 1) % s_count) * p,), (p,))  # x_{s+1, 0}
+        z, (2 * ((s_idx + 1) % s_count) * qp,), (qp,))  # x_{s+1, 0}
     d_pf = g - jnp.einsum("fpq,q->fp", v_spike, x_left) \
         - jnp.einsum("fpq,q->fp", w_spike, x_right)
     if nu:
         d_pf = d_pf - jnp.einsum("fpu,u->fp", tiu, d_u)
-    return d_pf, d_u
+    return d_pf.reshape(l_frames, p), d_u
 
 
 def solve_sequence_sharded(
@@ -263,14 +305,37 @@ def solve_sequence_sharded(
     options: SolverOptions = SolverOptions(),
 ) -> SequenceSolveResult:
     """GN sequence solve with frames sharded over `mesh[axis]`. The result
-    matches `solve_sequence` (tested on a virtual CPU mesh)."""
+    matches `solve_sequence` (tested on a virtual CPU mesh). Arbitrary frame
+    counts and sequence-error windows are supported: frames pad to a
+    shard-divisible count with zero-weight frames, windows > 2 aggregate into
+    superframes."""
     from jax import shard_map
 
     opts = options
-    f_total = fn.num_frames
+    f_real = fn.num_frames
     n_dev = mesh.shape[axis]
-    if f_total % n_dev != 0:
-        raise ValueError(f"frames ({f_total}) must divide evenly across {n_dev} devices")
+    q = _bandwidth(fn)
+    chunk = n_dev * q
+    f_pad = ((f_real + chunk - 1) // chunk) * chunk
+    pad = f_pad - f_real
+
+    per_frame_errors = fn.per_frame_errors
+    pf0_p = pf0
+    if pad:
+        # zero-weight padding frames: residual rows scale by sqrt(weight·w)=0,
+        # so their Jacobians and energies vanish; diag blocks become reg·I
+        pf0_p = jnp.concatenate(
+            [pf0, jnp.zeros((pad,) + pf0.shape[1:], pf0.dtype)], axis=0)
+        per_frame_errors = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+            if (hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == f_real)
+            else x,
+            fn.per_frame_errors)
+    import dataclasses as _dc
+
+    fn_pad = _dc.replace(fn, per_frame_errors=per_frame_errors,
+                         num_frames=f_pad)
 
     pf_spec = P(axis)
     rep = P()
@@ -279,11 +344,11 @@ def solve_sequence_sharded(
     # else is replicated. We shard any leaf whose leading dim == F.
     def ef_spec(leaf):
         return P(axis) if (hasattr(leaf, "shape") and leaf.ndim >= 1
-                           and leaf.shape[0] == f_total) else P()
+                           and leaf.shape[0] == f_pad) else P()
 
-    ef_specs = jax.tree_util.tree_map(ef_spec, fn.per_frame_errors)
-    seq_specs = jax.tree_util.tree_map(lambda _: P(), fn.sequence_errors)
-    char_specs = jax.tree_util.tree_map(lambda _: P(), fn.character)
+    ef_specs = jax.tree_util.tree_map(ef_spec, fn_pad.per_frame_errors)
+    seq_specs = jax.tree_util.tree_map(lambda _: P(), fn_pad.sequence_errors)
+    char_specs = jax.tree_util.tree_map(lambda _: P(), fn_pad.character)
 
     @partial(
         shard_map, mesh=mesh,
@@ -295,14 +360,14 @@ def solve_sequence_sharded(
         import dataclasses as _dc
 
         fn_local = _dc.replace(
-            fn, character=character, per_frame_errors=per_frame_errors,
+            fn_pad, character=character, per_frame_errors=per_frame_errors,
             sequence_errors=sequence_errors)
 
         def body(state):
             pf_, u_, last_err, it, done = state
-            d_pf, d_u = _sharded_step(fn_local, pf_, u_, opts, axis)
+            d_pf, d_u = _sharded_step(fn_local, pf_, u_, opts, axis, q, f_real)
             # energy: local per-frame + owned windows, psum'd
-            err = _sharded_error(fn_local, pf_, u_, axis)
+            err = _sharded_error(fn_local, pf_, u_, axis, q, f_real)
             pf_new = jnp.where(done, pf_, pf_ - d_pf)
             u_new = jnp.where(done, u_, u_ - d_u)
             conv = _converged(last_err, err, opts.threshold)
@@ -319,11 +384,12 @@ def solve_sequence_sharded(
         return pf_out, u_out, err, it, done
 
     pf_res, u_res, err, it, done = run(
-        fn.character, fn.per_frame_errors, fn.sequence_errors, pf0, u0)
-    return SequenceSolveResult(pf_res, u_res, err, it, done)
+        fn_pad.character, fn_pad.per_frame_errors, fn_pad.sequence_errors,
+        pf0_p, u0)
+    return SequenceSolveResult(pf_res[:f_real], u_res, err, it, done)
 
 
-def _sharded_error(fn, pf_local, u, axis):
+def _sharded_error(fn, pf_local, u, axis, q, f_real):
     """Total energy with window ownership by start frame (psum-reduced)."""
     s_count = jax.lax.axis_size(axis)
     s_idx = jax.lax.axis_index(axis)
@@ -337,19 +403,20 @@ def _sharded_error(fn, pf_local, u, axis):
     total = jnp.sum(per_frame)
 
     if fn.sequence_errors:
-        right_halo = jax.lax.ppermute(
-            pf_local[0], axis, [(i, (i - 1) % s_count) for i in range(s_count)])
-        starts = jnp.concatenate([pf_local, right_halo[None]], axis=0)
-        pairs = jnp.stack([starts[:-1], starts[1:]], axis=1)
-        valid = jnp.where(s_idx == s_count - 1,
-                          jnp.arange(l_frames) < l_frames - 1,
-                          jnp.ones(l_frames, bool))
+        halo = _shift_left(pf_local[:q], axis, s_count)
+        pf_ext = jnp.concatenate([pf_local, halo], axis=0)
+        g_start = s_idx * l_frames + jnp.arange(l_frames)
         for sef in fn.sequence_errors:
-            def win_err(pf_pair):
-                th = jax.vmap(frame_theta)(pf_pair)
+            w = sef.window
+            win_idx = jnp.arange(l_frames)[:, None] + jnp.arange(w)[None, :]
+            wins = pf_ext[win_idx]
+
+            def win_err(pf_win):
+                th = jax.vmap(frame_theta)(pf_win)
                 ctxs = jax.vmap(fn._context)(th)
                 return sef.error(fn.character, ctxs)
 
-            errs = jax.vmap(win_err)(pairs)
+            errs = jax.vmap(win_err)(wins)
+            valid = g_start <= f_real - w
             total = total + jnp.sum(jnp.where(valid, errs, 0.0))
     return jax.lax.psum(total, axis)

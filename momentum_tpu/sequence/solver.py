@@ -39,7 +39,7 @@ from momentum_tpu.sequence.block_tridiag import (
 from momentum_tpu.sequence.solver_function import SequenceSolverFunction
 from momentum_tpu.solver.gauss_newton import SolverOptions, _converged
 
-__all__ = ["SequenceSolveResult", "solve_sequence"]
+__all__ = ["SequenceSolveResult", "solve_sequence", "make_frame_jacobian"]
 
 
 class SequenceSolveResult(NamedTuple):
@@ -58,6 +58,50 @@ def _single_frame_theta(fn: SequenceSolverFunction, pf_f, u):
     if fn.universal_index:
         theta = theta.at[np.asarray(fn.universal_index)].set(u)
     return theta
+
+
+def make_frame_jacobian(fn: SequenceSolverFunction):
+    """Per-frame (rows, J_pf, J_u) provider shared by the single-device and
+    sharded assemblies.
+
+    The analytic full-θ Jacobian pays for itself when the parameter count is
+    large (it replaces P forward tangents with C-sized assembly); for small
+    rigs the few-tangent jacfwd wins (measured: 16-joint rig 7.4k frames/s
+    jacfwd vs 5.8k analytic; full-body is the reverse). Override with
+    MOMENTUM_TPU_SEQ_ANALYTIC=0/1."""
+    import os as _os
+
+    from momentum_tpu.solver.skeleton_solver_function import (
+        SkeletonSolverFunction as _SSF,
+    )
+
+    pf_idx = np.asarray(fn.per_frame_index, np.int64) if fn.per_frame_index \
+        else np.zeros(0, np.int64)
+    u_idx = np.asarray(fn.universal_index, np.int64) if fn.universal_index \
+        else np.zeros(0, np.int64)
+    _force = _os.environ.get("MOMENTUM_TPU_SEQ_ANALYTIC")
+    analytic = (fn.character.num_model_parameters >= 64 if _force is None
+                else _force not in ("0", "false")) \
+        and _SSF(fn.character, tuple(fn.per_frame_errors)).fully_analytic
+
+    def frame_res(pf_f, u_, ef_f):
+        return fn.frame_residual(_single_frame_theta(fn, pf_f, u_), ef_f)
+
+    def frame_jac(pf_f, u_, ef_f):
+        if analytic:
+            # the full-θ analytic Jacobian; per-frame / universal columns are
+            # direct index selections since θ[pf_idx] = pf, θ[u_idx] = u
+            ssf = _SSF(fn.character, tuple(ef_f))
+            rows, jac = ssf.residual_and_jacobian(
+                _single_frame_theta(fn, pf_f, u_))
+            return rows, jac[:, pf_idx], jac[:, u_idx]
+        jac, rows = jax.jacfwd(
+            lambda a, b: (frame_res(a, b, ef_f),) * 2, argnums=(0, 1),
+            has_aux=True,
+        )(pf_f, u_)
+        return rows, jac[0], jac[1]
+
+    return frame_jac
 
 
 def _normal_equations(fn: SequenceSolverFunction, pf, u, f64: bool = False):
@@ -91,37 +135,7 @@ def _normal_equations(fn: SequenceSolverFunction, pf, u, f64: bool = False):
     u_idx = np.asarray(fn.universal_index, np.int64) if fn.universal_index \
         else np.zeros(0, np.int64)
 
-    def frame_res(pf_f, u_, ef_f):
-        return fn.frame_residual(_single_frame_theta(fn, pf_f, u_), ef_f)
-
-    from momentum_tpu.solver.skeleton_solver_function import (
-        SkeletonSolverFunction as _SSF,
-    )
-
-    # the analytic full-θ Jacobian pays for itself when the parameter count
-    # is large (it replaces P forward tangents with C-sized assembly); for
-    # small rigs the few-tangent jacfwd wins (measured: 16-joint rig 7.4k
-    # frames/s jacfwd vs 5.8k analytic; full-body is the reverse)
-    import os as _os
-
-    _force = _os.environ.get("MOMENTUM_TPU_SEQ_ANALYTIC")
-    analytic = (fn.character.num_model_parameters >= 64 if _force is None
-                else _force not in ("0", "false")) \
-        and _SSF(fn.character, tuple(fn.per_frame_errors)).fully_analytic
-
-    def frame_jac(pf_f, u_, ef_f):
-        if analytic:
-            # the full-θ analytic Jacobian; per-frame / universal columns are
-            # direct index selections since θ[pf_idx] = pf, θ[u_idx] = u
-            ssf = _SSF(fn.character, tuple(ef_f))
-            rows, jac = ssf.residual_and_jacobian(
-                _single_frame_theta(fn, pf_f, u_))
-            return rows, jac[:, pf_idx], jac[:, u_idx]
-        jac, rows = jax.jacfwd(
-            lambda a, b: (frame_res(a, b, ef_f),) * 2, argnums=(0, 1), has_aux=True
-        )(pf_f, u_)
-        return rows, jac[0], jac[1]
-
+    frame_jac = make_frame_jacobian(fn)
     rows, j_pf, j_u = jax.vmap(frame_jac, in_axes=(0, None, 0))(pf, u, fn.per_frame_errors)
     rows, j_pf, j_u = _acc(rows), _acc(j_pf), _acc(j_u)
     diag = diag + jnp.einsum("frp,frq->fpq", j_pf, j_pf)

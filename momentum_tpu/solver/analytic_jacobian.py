@@ -160,6 +160,22 @@ def fused_vector_jacobian_model(jc: JacobianContext, vectors, parents, pt_mat,
                      axisc=-2)
 
 
+def fused_rotation_factor(jc: JacobianContext, parents, pt_mat, scale=None):
+    """The precontracted rotation factor h1 = Σ_j mask·(rotAxis_j·PT_rot)
+    of shape (..., C, 3, P) — the quantity every world-direction derivative
+    is a cross product of (d(R·v)/dθ_model = h1 × v). Exposed so structured
+    normal-equation contributions (orientation) can contract h1 directly
+    without materializing per-row Jacobians."""
+    nj = jc.anc_mask.shape[0]
+    p_dim = pt_mat.shape[1]
+    ptj = pt_mat.reshape(nj, 7, p_dim)
+    mask = jnp.take(jc.anc_mask, parents, axis=1).T
+    if scale is not None:
+        mask = mask * scale[..., :, None]
+    d_r = jnp.einsum("...nwk,nkp->...nwp", jc.rot_axis, ptj[:, 3:6])
+    return jnp.einsum("...cn,...nwp->...cwp", mask, d_r)
+
+
 def skinned_point_jacobian(jc: JacobianContext, character, ctx, vertex_index):
     """d(posed LBS vertex)/d(joint parameters) — the vertex variant of the
     derivative walk (skeleton_derivative.cpp vertex paths): the posed vertex
