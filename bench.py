@@ -85,6 +85,58 @@ def main():
     dt = (time.perf_counter() - t0) / n_rep
 
     solves_per_sec = batch / dt
+
+    # ---- full residual stack (position+orientation+limit+pose-prior) ----
+    # The reference's per-frame tracker always carries limit + pose-prior
+    # terms (marker_tracker.cpp:645-653); this reports the same warm-started
+    # workload with the full stack, solved by GN (the reference's per-frame
+    # solver choice, marker_tracker.cpp:913). Convergence = marker-position
+    # energy at the solution below 1e-5 (the matched-residual bar).
+    full_iters = int(os.environ.get("MOMENTUM_TPU_BENCH_FULLSTACK_ITERS", 5))
+    from momentum_tpu.errors import (
+        LimitErrorFunction, OrientationErrorFunction, PosePriorErrorFunction)
+    from momentum_tpu.errors.pose_prior import Mppca
+    from momentum_tpu.math import skel_state as _ss
+
+    p = char.num_model_parameters
+    _, q_t, _ = _ss.split(states)
+    ori0 = OrientationErrorFunction.create(
+        np.arange(char.skeleton.num_joints, dtype=np.int32),
+        np.tile(np.asarray([0, 0, 0, 1], np.float32),
+                (char.skeleton.num_joints, 1)))
+    lim = LimitErrorFunction.create()
+    mu = np.zeros((2, p), np.float32)
+    w = [np.full((p, 4), 0.01, np.float32)] * 2
+    prior = Mppca.from_components(
+        pi=np.asarray([0.6, 0.4]), mu=mu, w_list=w,
+        sigma2=np.asarray([1.0, 2.0]), names=char.parameter_transform.names)
+    pp = PosePriorErrorFunction.create(prior, char.parameter_transform.names)
+    full_opts = SolverOptions(max_iterations=full_iters, regularization=1e-5,
+                              energy_from_residual=True)
+
+    from momentum_tpu.solver.ik import solve_ik
+
+    @jax.jit
+    def solve_full(targets, q_targets, x0):
+        ef_pos = dataclasses.replace(ef0, target=targets)
+        ef_ori = dataclasses.replace(ori0, target=q_targets)
+        fn = SkeletonSolverFunction(char, (ef_pos, ef_ori, lim, pp),
+                                    prefer_fused=True)
+        r = solve_ik(fn, x0, None, full_opts, method="gauss_newton")
+        fn_pos = SkeletonSolverFunction(char, (ef_pos,))
+        return r.params, fn_pos.error(r.params)
+
+    params_f, pos_e = solve_full(targets, q_t, x0)
+    jax.block_until_ready(params_f)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        params_f, pos_e = solve_full(targets, q_t, x0)
+    jax.block_until_ready(params_f)
+    dt_full = (time.perf_counter() - t0) / n_rep
+    full_per_sec = batch / dt_full
+    full_conv = float(jnp.mean(pos_e < 1e-5))
+    full_nan = float(jnp.mean(~jnp.isfinite(pos_e)))
+
     print(
         json.dumps(
             {
@@ -93,8 +145,16 @@ def main():
                 "unit": (f"solves/s (51-joint/157-param char, 80 markers, "
                          f"{iters} LM iters warm-started, median energy "
                          f"sum-r2 {med_err:.2e}, {conv_frac:.2f} conv@1e-5, "
-                         f"divergent {nan_frac:.3f})"),
+                         f"divergent {nan_frac:.3f}; FULL residual stack "
+                         f"pos+ori+limit+prior GN-{full_iters}: "
+                         f"{full_per_sec:.0f} solves/s, "
+                         f"{full_conv:.2f} marker conv@1e-5, "
+                         f"divergent {full_nan:.3f})"),
                 "vs_baseline": round(solves_per_sec / TARGET_SOLVES_PER_SEC_PER_CHIP, 4),
+                "full_stack_solves_per_sec": round(full_per_sec, 1),
+                "full_stack_conv_1e5": round(full_conv, 4),
+                "full_stack_vs_baseline": round(
+                    full_per_sec / TARGET_SOLVES_PER_SEC_PER_CHIP, 4),
             }
         )
     )

@@ -118,7 +118,9 @@ def config2():
     import os
 
     b = int(os.environ.get("MOMENTUM_TPU_BENCH_BATCH", 2048))
-    iters = int(os.environ.get("MOMENTUM_TPU_BENCH_FULLSTACK_ITERS", 8))
+    iters = int(os.environ.get("MOMENTUM_TPU_BENCH_FULLSTACK_ITERS", 5))
+    method = os.environ.get("MOMENTUM_TPU_BENCH_FULLSTACK_METHOD",
+                            "gauss_newton")
     import dataclasses as dc
 
     gt_b = jnp.asarray(rng.uniform(-0.3, 0.3, (b, p)), jnp.float32)
@@ -131,10 +133,12 @@ def config2():
     ori_b = dc.replace(ori, target=q_b)
     fn_b = SkeletonSolverFunction(char, (pos_b, ori_b, lim, pp),
                                   prefer_fused=True)
+    # GN matches the reference's per-frame tracking solver choice
+    # (trackPosesPerframe uses GaussNewtonSolverQRT, marker_tracker.cpp:913)
     opts_b = SolverOptions(max_iterations=iters, regularization=1e-5,
                            energy_from_residual=True)
     solve_b = jax.jit(lambda x0: solve_ik(fn_b, x0, None, opts_b,
-                                          method="levenberg_marquardt"))
+                                          method=method))
     x0_b = gt_b + 0.05 * jnp.asarray(rng.normal(0, 1, (b, p)), jnp.float32)
     dt_b, res_b = _timeit(solve_b, x0_b)
     # per-element converged optimum (40 LM iterations)
@@ -142,8 +146,9 @@ def config2():
     res_ref = jax.jit(lambda x0: solve_ik(fn_b, x0, None, opts_ref,
                                           method="levenberg_marquardt"))(x0_b)
     excess = res_b.error - res_ref.error
-    _emit(config=2, metric="fullbody_lm_full_residual_batched",
+    _emit(config=2, metric="fullbody_full_residual_batched",
           value=b / dt_b, unit="solves/s", batch=b, iterations=iters,
+          method=method,
           median_error=float(jnp.median(res_b.error)),
           conv_at_1e5=float(jnp.mean(excess < 1e-5)),
           median_excess_vs_40it=float(jnp.median(excess)))

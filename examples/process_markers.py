@@ -41,7 +41,11 @@ def main(argv=None):
                     "defaults (the reference CLI's set_config('-c'), "
                     "process_markers_app.cpp:19-51)")
     ap.add_argument("--markers", required=True, help="C3D or TRC marker file")
-    ap.add_argument("--character", required=True, help="GLB character file")
+    ap.add_argument("--character", required=True,
+                    help="GLB character file, or the literal 'cmu' to "
+                    "bootstrap the built-in CMU/Vicon 41-marker humanoid "
+                    "(tracking/cmu.py) — lets real CMU clips like the "
+                    "reference's 02_01.c3d run without a model asset")
     ap.add_argument("--model", help="optional .model/.cfg parameter definition")
     ap.add_argument("--out", required=True, help="output .glb/.mmo/.bvh motion")
     ap.add_argument("--calib-frames", type=int, default=60)
@@ -49,6 +53,12 @@ def main(argv=None):
     ap.add_argument("--max-iter", type=int, default=30)
     ap.add_argument("--smoothing", type=float, default=0.0)
     ap.add_argument("--no-calibrate", action="store_true")
+    ap.add_argument("--method", default=None,
+                    help="per-frame solver: gauss_newton (default) or "
+                    "levenberg_marquardt (robust on uncalibrated rigs)")
+    ap.add_argument("--calibrate-locators", action="store_true",
+                    help="also refine locator offsets against the clip "
+                    "(calibrateLocators alternation)")
     import configparser
 
     # INI config supplies defaults; explicit CLI flags win
@@ -76,7 +86,16 @@ def main(argv=None):
     )
 
     t0 = time.time()
-    character, _, _ = mio.load_character_glb(args.character)
+    bootstrap_cmu = args.character.lower() == "cmu"
+    if bootstrap_cmu:
+        from momentum_tpu.tracking.cmu import create_cmu_character
+
+        character = create_cmu_character()
+        if args.method is None:
+            args.method = "levenberg_marquardt"  # cold-start robustness
+    else:
+        character, _, _ = mio.load_character_glb(args.character)
+    method = args.method or "gauss_newton"
     if args.model:
         import dataclasses
         pt, limits = load_model_definition(args.model, character.skeleton)
@@ -94,14 +113,29 @@ def main(argv=None):
           f"@ {raw.fps:g} fps")
 
     identity = jnp.zeros(character.num_model_parameters)
+    if bootstrap_cmu:
+        # seed the free root translation at the first frame's marker centroid
+        identity = identity.at[:3].set(jnp.nanmean(markers.positions[0], axis=0))
     if not args.no_calibrate:
         cfg = CalibrationConfig(calib_frames=args.calib_frames,
                                 major_iter=args.major_iter,
-                                max_iter=args.max_iter)
-        identity, _ = calibrate_model(character, markers, cfg)
+                                max_iter=args.max_iter, method=method,
+                                regularization=1e-3 if bootstrap_cmu else 0.05)
+        # the returned identity includes the initial seed with the universal
+        # (scale) entries replaced by their calibrated values
+        identity, _ = calibrate_model(character, markers, cfg, initial=identity)
         print(f"calibrated identity: |θ_id| = {float(jnp.linalg.norm(identity)):.4f}")
+        if args.calibrate_locators or bootstrap_cmu:
+            import dataclasses as _dc
+            cfg_loc = _dc.replace(cfg, locators_only=True,
+                                  major_iter=max(1, args.major_iter - 1))
+            _, _, character = calibrate_model(
+                character, markers, cfg_loc, initial=identity)
+            print("locator offsets refined against the clip")
 
-    tcfg = TrackingConfig(max_iter=args.max_iter, smoothing=args.smoothing)
+    tcfg = TrackingConfig(max_iter=args.max_iter, smoothing=args.smoothing,
+                          method=method,
+                          regularization=1e-3 if bootstrap_cmu else 0.05)
     if args.smoothing > 0:
         result, _ = track_sequence(character, markers, tcfg, initial=None)
     else:

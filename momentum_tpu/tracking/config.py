@@ -22,6 +22,18 @@ class BaseConfig:
     min_vis_percent: float = 0.0  # skip frames with fewer visible markers
     regularization: float = 0.05
     debug: bool = False
+    # "gauss_newton" (reference trackPosesPerframe GN-QR) or
+    # "levenberg_marquardt" — LM is the robust choice for cold starts on
+    # uncalibrated rigs (mm-scale data can overshoot the log2 scale in GN)
+    method: str = "gauss_newton"
+    # lock identity/scaling parameters during pose tracking, matching the
+    # reference which solves pose params only while tracking
+    # (marker_tracker.cpp trackPosesPerframe); calibration estimates scale
+    freeze_scaling: bool = True
+    # Armijo backtracking in the sequence solve (the reference SequenceSolver
+    # option, sequence_solver.cpp:531-555); calibration turns it on so the
+    # universal log2-scale step cannot overshoot
+    line_search: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -71,9 +71,13 @@ class TrackingResult(NamedTuple):
 def _match_locators(character: Character, markers: MarkerSequence):
     """Match marker names to locator names → (locator parents, offsets,
     marker column index per matched locator). Mirrors the name matching in
-    app_utils/marker_tracker."""
+    app_utils/marker_tracker; "Subject:Marker" namespaces are stripped the
+    way the reference's C3D loader does (io/marker/c3d_io.cpp:30-48,167)."""
     loc = character.locators
     name_to_col = {n: i for i, n in enumerate(markers.names)}
+    for i, n in enumerate(markers.names):
+        if ":" in n:
+            name_to_col.setdefault(n.rsplit(":", 1)[-1], i)
     rows = [(li, name_to_col[n]) for li, n in enumerate(loc.names) if n in name_to_col]
     if not rows and markers.num_markers == loc.num_locators:
         rows = [(i, i) for i in range(loc.num_locators)]  # positional fallback
@@ -102,6 +106,31 @@ def _marker_error_template(character: Character, markers: MarkerSequence, config
     return ef0, per_frame
 
 
+def _pose_mask(character: Character, config, enabled_mask):
+    """Default tracking mask: pose params only — identity/scaling parameters
+    stay frozen during tracking (the reference solves pose while tracking,
+    marker_tracker.cpp trackPosesPerframe; scale comes from calibration)."""
+    if enabled_mask is not None or not config.freeze_scaling:
+        return enabled_mask
+    pt = character.parameter_transform
+    mask = np.ones(character.num_model_parameters, np.float32)
+    if "scaling" in pt.parameter_sets:
+        mask[list(pt.parameter_sets["scaling"])] = 0.0
+    else:
+        for i, n in enumerate(pt.names):
+            if "scale" in n.lower():
+                mask[i] = 0.0
+    return jnp.asarray(mask)
+
+
+def _solver_for(config):
+    from momentum_tpu.solver.gauss_newton import solve_levenberg_marquardt
+
+    return (solve_levenberg_marquardt
+            if config.method in ("levenberg_marquardt", "trust_region")
+            else solve_gauss_newton)
+
+
 def track_poses_per_frame(
     character: Character,
     markers: MarkerSequence,
@@ -118,13 +147,15 @@ def track_poses_per_frame(
     opts = SolverOptions(max_iterations=config.max_iter,
                          regularization=config.regularization)
     x_init = jnp.zeros(p) if initial is None else initial
+    enabled_mask = _pose_mask(character, config, enabled_mask)
+    solver = _solver_for(config)
 
     def step(carry, inputs):
         x_prev = carry
         pos_f, occ_f = inputs
         ef = per_frame(ef0, pos_f, occ_f)
         fn = SkeletonSolverFunction(character, (ef, limits))
-        res = solve_gauss_newton(fn.residual, fn.error, x_prev, enabled_mask, opts)
+        res = solver(fn.residual, fn.error, x_prev, enabled_mask, opts)
         # NaN guard (tensor_ik.cpp:168-175): revert to warm start
         bad = ~jnp.all(jnp.isfinite(res.params))
         x = jnp.where(bad, x_prev, res.params)
@@ -151,11 +182,13 @@ def track_poses_batched(
     opts = SolverOptions(max_iterations=config.max_iter,
                          regularization=config.regularization)
     x0 = jnp.zeros(p) if initial is None else initial
+    enabled_mask = _pose_mask(character, config, enabled_mask)
+    solver = _solver_for(config)
 
     def solve_one(pos_f, occ_f):
         ef = per_frame(ef0, pos_f, occ_f)
         fn = SkeletonSolverFunction(character, (ef, limits))
-        res = solve_gauss_newton(fn.residual, fn.error, x0, enabled_mask, opts)
+        res = solver(fn.residual, fn.error, x0, enabled_mask, opts)
         return res.params, res.error
 
     motion, errors = jax.vmap(solve_one)(markers.positions, markers.occluded)
@@ -204,9 +237,19 @@ def track_sequence(
         pf0 = jnp.zeros((f, fn.num_per_frame))
         u0 = jnp.zeros((fn.num_universal,))
     res = solve_sequence(fn, pf0, u0, SolverOptions(
-        max_iterations=config.max_iter, regularization=config.regularization))
-    motion = fn.join(res.per_frame, res.universal)
-    return TrackingResult(motion=motion, errors=jnp.broadcast_to(res.error, (f,))), res.universal
+        max_iterations=config.max_iter, regularization=config.regularization,
+        # plain GN can overshoot the log2 scale on mm-scale uncalibrated
+        # data; Armijo backtracking (the reference SequenceSolver option,
+        # sequence_solver.cpp:531-555) keeps the universal solve in range
+        do_line_search=(config.line_search
+                        or config.method != "gauss_newton")))
+    # NaN guard (tensor_ik.cpp:168-175 semantics): revert to the inits
+    pf_bad = ~jnp.all(jnp.isfinite(res.per_frame))
+    u_bad = ~jnp.all(jnp.isfinite(res.universal))
+    per_frame_out = jnp.where(pf_bad, pf0, res.per_frame)
+    universal_out = jnp.where(u_bad, u0, res.universal)
+    motion = fn.join(per_frame_out, universal_out)
+    return TrackingResult(motion=motion, errors=jnp.broadcast_to(res.error, (f,))), universal_out
 
 
 def _mask_low_visibility(markers: MarkerSequence, min_vis_percent: float):
@@ -226,6 +269,7 @@ def calibrate_model(
     markers: MarkerSequence,
     config: CalibrationConfig = CalibrationConfig(),
     scaling_set: str = "scaling",
+    initial: Optional[jnp.ndarray] = None,
 ):
     """Alternating identity calibration (calibrateModel,
     marker_tracker.cpp:1479-1720): sample frames, then repeat major_iter
@@ -278,9 +322,11 @@ def calibrate_model(
 
     track_cfg = TrackingConfig(
         loss_alpha=config.loss_alpha, loss_c=config.loss_c,
-        max_iter=config.max_iter, regularization=config.regularization)
+        max_iter=config.max_iter, regularization=config.regularization,
+        method=config.method, freeze_scaling=config.freeze_scaling,
+        line_search=True)
 
-    identity = jnp.zeros(p)
+    identity = jnp.zeros(p) if initial is None else jnp.asarray(initial)
     motion = None
     for _ in range(config.major_iter):
         init = identity  # warm start with current identity estimate

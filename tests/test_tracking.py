@@ -39,9 +39,10 @@ def _synthetic_markers(char, f, rng, occlusion=0.0, scale=None):
     # respect the fixture's MinMax limit on parameter 0 ([-0.1, 0.1]) so the
     # limit penalty is zero at the ground truth
     thetas[:, 0] = np.clip(thetas[:, 0], -0.09, 0.09)
-    if scale is not None:
-        si = char.parameter_transform.parameter_index("scale_global")
-        thetas[:, si] = scale
+    # identity (scale) is constant over a take — tracking solves pose only
+    # (freeze_scaling), calibration estimates the scale
+    si = char.parameter_transform.parameter_index("scale_global")
+    thetas[:, si] = 0.0 if scale is None else scale
     thetas = jnp.asarray(thetas, jnp.float32)
     states = jax.vmap(char.skeleton_states)(thetas)
     positions = jax.vmap(char.locators.world_positions)(states)
@@ -90,7 +91,7 @@ class TestTracking:
         rng = _rng()
         true_scale = 0.25
         _, markers = _synthetic_markers(char, 12, rng, scale=true_scale)
-        cfg = CalibrationConfig(calib_frames=6, major_iter=2,
+        cfg = CalibrationConfig(calib_frames=6, major_iter=3,
                                 max_iter=25, regularization=1e-6)
         identity, motion = calibrate_model(char, markers, cfg)
         si = char.parameter_transform.parameter_index("scale_global")
