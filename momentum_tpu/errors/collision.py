@@ -152,6 +152,61 @@ class CollisionErrorFunction(VectorErrorFunction):
         f = jnp.where(active, overlap, 0.0)[..., None]
         return f, self.pweight * K_COLLISION_WEIGHT
 
+    has_analytic_jacobian = True
+
+    def jacobian(self, character, ctx: EvalContext, jc):
+        """Analytic rows with the closest-point parameters (s, t) frozen —
+        the reference's collision gradient (collision_error_function.cpp:80+):
+        d overlap = d rad − û·(d p_a − d p_b) with û the separation direction,
+        p_a/p_b the closest points treated as rigid attachments of the two
+        capsules' joints, and d rad the ln2-scale column for every scale DoF
+        whose joint is an ancestor (radii scale with the parent's global
+        scale, capsule_states). Envelope theorem: ∂dist/∂(s,t) = 0 at the
+        minimizer, so freezing s, t matches AD except through the tapered-
+        radius term ∂rad/∂s·∂s/∂θ (zero for uniform radii)."""
+        col = character.collision
+        o, d, r = capsule_states(col, ctx.skel_states)
+        pa_j = jnp.take(jnp.asarray(col.parent), self.pair_a)
+        pb_j = jnp.take(jnp.asarray(col.parent), self.pair_b)
+        oa = jnp.take(o, self.pair_a, axis=-2)
+        ob = jnp.take(o, self.pair_b, axis=-2)
+        da = jnp.take(d, self.pair_a, axis=-2)
+        db = jnp.take(d, self.pair_b, axis=-2)
+        ra = jnp.take(r, self.pair_a, axis=-2)
+        rb = jnp.take(r, self.pair_b, axis=-2)
+        s, t, dist = closest_points_on_segments(oa, da, ob, db)
+        rad_a = ra[..., 0] + s * (ra[..., 1] - ra[..., 0])
+        rad_b = rb[..., 0] + t * (rb[..., 1] - rb[..., 0])
+        overlap = rad_a + rad_b - dist
+        active = (overlap > 0) & (dist >= 1e-8)
+        f = jnp.where(active, overlap, 0.0)
+        scale = self._row_scale(self.pweight * K_COLLISION_WEIGHT, f * f)
+        gate = (scale * active.astype(scale.dtype))
+
+        from momentum_tpu.solver.analytic_jacobian import point_jacobian
+
+        p_a = oa + s[..., None] * da
+        p_b = ob + t[..., None] * db
+        u = (p_a - p_b) / jnp.maximum(dist, 1e-8)[..., None]
+        j_pa = point_jacobian(jc, p_a, pa_j)  # (..., NP, 3, nJ7)
+        j_pb = point_jacobian(jc, p_b, pb_j)
+        j_dist = jnp.einsum("...ci,...cij->...cj", u, j_pa - j_pb)
+        # radius term: world radii = local radii · parent scale, and the
+        # parent scale is exp2(Σ ancestor scale params) ⇒ the scale-DoF
+        # column of d rad is ln2·(rad_a·anc[j, parent_a] + rad_b·anc[...])
+        nj = jc.anc_mask.shape[0]
+        mask_a = jnp.take(jc.anc_mask, pa_j, axis=1)  # (nJ, NP)
+        mask_b = jnp.take(jc.anc_mask, pb_j, axis=1)
+        ln2 = 0.6931471805599453
+        drad = ln2 * (rad_a[..., None] * jnp.swapaxes(mask_a, -1, -2)
+                      + rad_b[..., None] * jnp.swapaxes(mask_b, -1, -2))
+        j_rad = jnp.zeros(j_dist.shape[:-1] + (nj, 7), j_dist.dtype)
+        j_rad = j_rad.at[..., 6].set(drad)
+        j_rad = j_rad.reshape(j_dist.shape)
+        rows = scale * f
+        j_jp = gate[..., None] * (j_rad - j_dist)
+        return rows, j_jp, None
+
     @classmethod
     def create(cls, character, pairs=None, weight=1.0, loss=None):
         if pairs is None:

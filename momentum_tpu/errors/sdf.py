@@ -61,6 +61,33 @@ class VertexSdfErrorFunction(VectorErrorFunction):
         f = (d - self.target_distance)[..., None]
         return f, self.cweight * K_VERTEX_SDF_WEIGHT
 
+    @property
+    def has_analytic_jacobian(self) -> bool:
+        # the joint-attached-grid case adds an inverse-frame chain term;
+        # it stays on the AD path
+        return self.sdf_parent < 0
+
+    def jacobian(self, character, ctx: EvalContext, jc):
+        """∇φ(v)·(LBS vertex Jacobian): the trilinear gradient is exactly
+        what AD of sample() produces (vertex_sdf_error_function.cpp:240-265
+        gradient path over the skinning walk)."""
+        from momentum_tpu.errors.vertex import _blend_model_columns
+        from momentum_tpu.solver.analytic_jacobian import skinned_point_jacobian
+
+        v = jnp.take(ctx.mesh_vertices, self.vertex_index, axis=-2)
+        d = self.sdf.sample(v)
+        f = d - self.target_distance
+        scale = self._row_scale(self.cweight * K_VERTEX_SDF_WEIGHT, f * f)
+        g = self.sdf.gradient(v)  # (..., C, 3)
+        jv = skinned_point_jacobian(jc, character, ctx, self.vertex_index)
+        rows = scale * f
+        j_jp = scale[..., None] * jnp.einsum("...ci,...cij->...cj", g, jv)
+        jb = _blend_model_columns(character, ctx, self.vertex_index,
+                                  ctx.model_params.shape[-1])
+        j_model = None if jb is None else scale[..., None] * jnp.einsum(
+            "...ci,...cip->...cp", g, jb)
+        return rows, j_jp, j_model
+
     @classmethod
     def create(cls, sdf, vertex_index, target_distance=None, cweight=None,
                weight=1.0, sdf_parent=-1, loss=None, capacity=None):
@@ -106,6 +133,30 @@ class SdfCollisionErrorFunction(VectorErrorFunction):
         d = self.sdf.sample(v)
         f = jnp.minimum(d, 0.0)[..., None]
         return f, self.cweight * K_SDF_COLLISION_WEIGHT
+
+    has_analytic_jacobian = True
+
+    def jacobian(self, character, ctx: EvalContext, jc):
+        """Penetration rows: gate·∇φ(v)·(LBS vertex Jacobian)
+        (sdf_collision_error_function.cpp gradient path)."""
+        from momentum_tpu.errors.vertex import _blend_model_columns
+        from momentum_tpu.solver.analytic_jacobian import skinned_point_jacobian
+
+        v = jnp.take(ctx.mesh_vertices, self.vertex_index, axis=-2)
+        d = self.sdf.sample(v)
+        f = jnp.minimum(d, 0.0)
+        active = (d < 0).astype(d.dtype)
+        scale = self._row_scale(self.cweight * K_SDF_COLLISION_WEIGHT, f * f)
+        g = self.sdf.gradient(v)
+        jv = skinned_point_jacobian(jc, character, ctx, self.vertex_index)
+        coef = (scale * active)[..., None]
+        rows = scale * f
+        j_jp = coef * jnp.einsum("...ci,...cij->...cj", g, jv)
+        jb = _blend_model_columns(character, ctx, self.vertex_index,
+                                  ctx.model_params.shape[-1])
+        j_model = None if jb is None else coef * jnp.einsum(
+            "...ci,...cip->...cp", g, jb)
+        return rows, j_jp, j_model
 
     @classmethod
     def create(cls, sdf, vertex_index, cweight=None, weight=1.0, loss=None, capacity=None):

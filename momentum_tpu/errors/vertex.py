@@ -46,6 +46,28 @@ def _pad_fields(cap, **arrays):
     return {k: jnp.asarray(pad_rows(v, cap)) for k, v in arrays.items()}
 
 
+def _blend_model_columns(character, ctx, vertex_index, p):
+    """d(posed vertex)/d(model params) restricted to blendshape +
+    face-expression columns: the skinning linear map applied to each basis
+    delta, scattered into model space. (..., C, 3, P) or None."""
+    out = None
+    from momentum_tpu.solver.analytic_jacobian import skinned_blend_jacobian
+
+    for basis, pidx in (
+            (character.blend_shape, character.blend_shape_param_index),
+            (character.face_expression_blend_shape,
+             character.face_expression_param_index)):
+        if basis is None or not pidx:
+            continue
+        jb = skinned_blend_jacobian(character, ctx, vertex_index, basis)
+        cols = np.asarray(pidx, np.int64)
+        sel = np.zeros((len(cols), p), np.float32)
+        sel[np.arange(len(cols)), cols] = 1.0
+        jm = jnp.einsum("...cib,bp->...cip", jb, jnp.asarray(sel))
+        out = jm if out is None else out + jm
+    return out
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class VertexPositionErrorFunction(VectorErrorFunction):
@@ -236,6 +258,43 @@ class VertexNormalErrorFunction(VectorErrorFunction):
         f = jnp.sum(n * (v - self.target_position), axis=-1, keepdims=True)
         return f, self.cweight
 
+    has_analytic_jacobian = True
+
+    def jacobian(self, character, ctx: EvalContext, jc):
+        """Point-to-plane rows over the LBS walk plus the normal-rotation
+        correction (the reference's combined gradient+normal walk,
+        skeleton_derivative.h:233-235): the source normal is treated as
+        rigidly rotating with its skinning frames,
+            d f = nᵀ·dv + w_src·(v − tgt)ᵀ·d(src_n),
+        which captures the first-order normal motion without re-deriving it
+        from face areas (that exact derivative couples all fan vertices)."""
+        from momentum_tpu.solver.analytic_jacobian import (
+            skinned_point_jacobian, skinned_vector_jacobian,
+        )
+
+        v = jnp.take(ctx.mesh_vertices, self.vertex_index, axis=-2)
+        src_n = jnp.take(ctx.mesh_normals, self.vertex_index, axis=-2)
+        flip = jnp.sum(src_n * self.target_normal, axis=-1, keepdims=True) < 0
+        tgt_n = jnp.where(flip, -self.target_normal, self.target_normal)
+        n = self.source_normal_weight * src_n + self.target_normal_weight * tgt_n
+        diff = v - self.target_position
+        dist = jnp.sum(n * diff, axis=-1)
+        scale = self._row_scale(self.cweight, dist * dist)
+        jv = skinned_point_jacobian(jc, character, ctx, self.vertex_index)
+        rows = scale * dist
+        j_jp = jnp.einsum("...ci,...cij->...cj", n, jv)
+        if self.source_normal_weight != 0.0:
+            jn = skinned_vector_jacobian(jc, character, ctx,
+                                         self.vertex_index, src_n)
+            j_jp = j_jp + self.source_normal_weight * jnp.einsum(
+                "...ci,...cij->...cj", diff, jn)
+        j_jp = scale[..., None] * j_jp
+        jb = _blend_model_columns(character, ctx, self.vertex_index,
+                                  ctx.model_params.shape[-1])
+        j_model = None if jb is None else scale[..., None] * jnp.einsum(
+            "...ci,...cip->...cp", n, jb)
+        return rows, j_jp, j_model
+
     @classmethod
     def create(cls, vertex_index, target_position, target_normal, cweight=None, weight=1.0,
                source_normal_weight=0.5, target_normal_weight=0.5, loss=None, capacity=None):
@@ -279,6 +338,44 @@ class VertexProjectionErrorFunction(VectorErrorFunction):
         valid = z[..., 0] >= self.near_clip
         f = q[..., :2] / jnp.where(jnp.abs(z) > 1e-16, z, 1.0) - self.target
         return jnp.where(valid[..., None], f, 0.0), self.cweight
+
+    has_analytic_jacobian = True
+
+    def jacobian(self, character, ctx: EvalContext, jc):
+        """Exact pinhole chain rule over the LBS walk
+        (vertex_projection_error_function.cpp): with q = P·[v;1],
+        d(q_xy/q_z)/dv = P[:2,:3]/z − (q_xy/z²)·P[2,:3], composed with the
+        per-influence rigid point Jacobians (+ blendshape columns)."""
+        from momentum_tpu.solver.analytic_jacobian import skinned_point_jacobian
+
+        v = jnp.take(ctx.mesh_vertices, self.vertex_index, axis=-2)
+        q = jnp.einsum("...ij,...j->...i", self.projection[..., :3], v) \
+            + self.projection[..., 3]
+        z = q[..., 2:3]
+        valid = (z[..., 0] >= self.near_clip)
+        zsafe = jnp.where(jnp.abs(z) > 1e-16, z, 1.0)
+        f = q[..., :2] / zsafe - self.target
+        f = jnp.where(valid[..., None], f, 0.0)
+        sq = jnp.sum(f * f, axis=-1)
+        scale = self._row_scale(self.cweight, sq)
+        gate = (scale * valid.astype(scale.dtype))[..., None, None]
+        # df/dv: (..., C, 2, 3)
+        dfdv = self.projection[..., :2, :3] / zsafe[..., None] \
+            - (q[..., :2] / (zsafe * zsafe))[..., None] \
+            * self.projection[..., 2:3, :3]
+        dfdv = gate * dfdv
+        jv = skinned_point_jacobian(jc, character, ctx, self.vertex_index)
+        rows = (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
+        j_jp = jnp.einsum("...cdi,...cij->...cdj", dfdv, jv)
+        j_jp = j_jp.reshape(j_jp.shape[:-3] + (rows.shape[-1], jv.shape[-1]))
+        jb = _blend_model_columns(character, ctx, self.vertex_index,
+                                  ctx.model_params.shape[-1])
+        j_model = None
+        if jb is not None:
+            j_model = jnp.einsum("...cdi,...cip->...cdp", dfdv, jb)
+            j_model = j_model.reshape(
+                j_model.shape[:-3] + (rows.shape[-1], jb.shape[-1]))
+        return rows, j_jp, j_model
 
     @classmethod
     def create(cls, vertex_index, projection, target, cweight=None, weight=1.0,

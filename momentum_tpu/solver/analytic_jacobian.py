@@ -203,6 +203,28 @@ def skinned_point_jacobian(jc: JacobianContext, character, ctx, vertex_index):
     return j
 
 
+def skinned_vector_jacobian(jc: JacobianContext, character, ctx, vertex_index,
+                            vectors):
+    """Approximate d(posed vertex direction)/d(joint params): the direction
+    rotates with the blend of its skinning transforms, so each influence
+    contributes w_k·(rotAxis × v) masked by its own ancestor chain — the
+    reference's normal-rotation correction (skeleton_derivative.h:233-235:
+    the combined gradient+normal walk treats the vertex normal as rigidly
+    rotating with the skinning frames, not re-derived from face areas).
+
+    vectors (..., C, 3) current posed directions; returns (..., C, 3, nJ·7)."""
+    char = character.with_inverse_bind_pose()
+    skin = char.skin_weights
+    idx = jnp.take(skin.index, vertex_index, axis=0)  # (C, K)
+    w = jnp.take(skin.weight, vertex_index, axis=0)  # (C, K)
+    j = None
+    for k in range(idx.shape[1]):
+        jk = vector_jacobian(jc, vectors, idx[:, k])
+        contrib = w[:, k][..., None, None] * jk
+        j = contrib if j is None else j + contrib
+    return j
+
+
 def skinned_blend_jacobian(character, ctx, vertex_index, basis=None):
     """d(posed vertex)/d(shape coefficients): the skinning linear map applied
     to each basis delta — the blend-shape columns of the vertex derivative

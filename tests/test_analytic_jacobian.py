@@ -322,3 +322,159 @@ def test_vertex_plane_analytic_jacobian():
         m = max(np.abs(np.asarray(J_ad)).max(), 1e-9)
         np.testing.assert_allclose(np.asarray(J) / m, np.asarray(J_ad) / m,
                                    atol=3e-5)
+
+
+def _vertex_char(rng):
+    char = create_test_character(5)
+    return char, char.mesh.num_vertices
+
+
+def test_vertex_projection_analytic_jacobian():
+    """Exact pinhole chain rule over the LBS walk == AD."""
+    from momentum_tpu.errors import VertexProjectionErrorFunction
+
+    char, v = _vertex_char(np.random.default_rng(0))
+    rng = np.random.default_rng(0)
+    p = char.num_model_parameters
+    vid = np.arange(0, v, 4, dtype=np.int32)
+    # cameras looking at the mesh from +z at distance ~5
+    proj = np.zeros((len(vid), 3, 4), np.float32)
+    proj[:, 0, 0] = proj[:, 1, 1] = 500.0
+    proj[:, 2, 2] = 1.0
+    proj[:, 2, 3] = 6.0  # keep z > near_clip
+    tgt = rng.normal(0, 50, (len(vid), 2)).astype(np.float32)
+    ef = VertexProjectionErrorFunction.create(vid, proj, tgt)
+    fn = SkeletonSolverFunction(char, (ef,))
+    assert fn.fully_analytic
+    x = jnp.asarray(rng.normal(0, 0.2, p), jnp.float32)
+    rows, J = fn.residual_and_jacobian(x)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(fn.residual(x)),
+                               atol=1e-5)
+    _, jvp = jax.linearize(fn.residual, x)
+    J_ad = jax.vmap(jvp)(jnp.eye(p)).T
+    m = np.abs(np.asarray(J_ad)).max()
+    np.testing.assert_allclose(np.asarray(J) / m, np.asarray(J_ad) / m,
+                               atol=2e-5)
+
+
+def test_vertex_normal_analytic_jacobian():
+    """Frozen-normal point-to-plane rows: exact vs AD when the source-normal
+    weight is 0 (the normal is then θ-independent); with a blended normal the
+    analytic path is the GN frozen-normal approximation — verify it still
+    DRIVES THE SOLVE to the AD path's optimum."""
+    import dataclasses as dc
+
+    from momentum_tpu.errors import VertexNormalErrorFunction
+
+    char, v = _vertex_char(np.random.default_rng(0))
+    rng = np.random.default_rng(1)
+    p = char.num_model_parameters
+    vid = np.arange(0, v, 4, dtype=np.int32)
+    nrm = rng.normal(0, 1, (len(vid), 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    tgt = rng.normal(0, 0.5, (len(vid), 3)).astype(np.float32)
+    ef = VertexNormalErrorFunction.create(
+        vid, tgt, nrm, source_normal_weight=0.0, target_normal_weight=1.0)
+    fn = SkeletonSolverFunction(char, (ef,))
+    assert fn.fully_analytic
+    x = jnp.asarray(rng.normal(0, 0.2, p), jnp.float32)
+    rows, J = fn.residual_and_jacobian(x)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(fn.residual(x)),
+                               atol=1e-6)
+    _, jvp = jax.linearize(fn.residual, x)
+    J_ad = jax.vmap(jvp)(jnp.eye(p)).T
+    m = max(np.abs(np.asarray(J_ad)).max(), 1e-6)
+    np.testing.assert_allclose(np.asarray(J) / m, np.asarray(J_ad) / m,
+                               atol=2e-5)
+
+    # blended normal: analytic (frozen-normal) solve reaches the same energy
+    ef_mix = VertexNormalErrorFunction.create(
+        vid, tgt, nrm, source_normal_weight=0.5, target_normal_weight=0.5)
+    fn_mix = SkeletonSolverFunction(char, (ef_mix,))
+    opts = SolverOptions(max_iterations=30, regularization=1e-5)
+    res = solve_ik(fn_mix, jnp.zeros(p), None, opts,
+                   method="levenberg_marquardt")
+    # AD path (force it by dropping the analytic flag through the base class)
+    from momentum_tpu.solver.gauss_newton import solve_levenberg_marquardt
+    res_ad = solve_levenberg_marquardt(fn_mix.residual, fn_mix.error,
+                                       jnp.zeros(p), options=opts)
+    assert float(fn_mix.error(res.params)) <= \
+        float(fn_mix.error(res_ad.params)) * 1.2 + 1e-8
+
+
+def test_collision_analytic_jacobian():
+    """Frozen-(s,t) capsule-pair rows == AD for uniform radii (envelope
+    theorem at the closest-point minimizer). A folding two-bone arm
+    guarantees an ACTIVE overlap (the fixture's chain rarely collides)."""
+    import dataclasses as dc
+
+    from momentum_tpu.character import CollisionGeometry
+    from momentum_tpu.errors import CollisionErrorFunction
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(4)
+    nj = char.num_joints
+    # capsules along +Y on joints 1 and 3 (same local frame as the fixture)
+    cap_tf = np.zeros((2, 8), np.float32)
+    cap_tf[:, 5] = np.sin(np.pi / 4)
+    cap_tf[:, 6] = np.cos(np.pi / 4)
+    cap_tf[:, 7] = 1.0
+    collision = CollisionGeometry(
+        parent=jnp.asarray([1, 3], jnp.int32),
+        transform=jnp.asarray(cap_tf),
+        radius=jnp.full((2, 2), 0.3, jnp.float32),  # uniform radii
+        length=jnp.full((2,), 0.8, jnp.float32))
+    char = dc.replace(char, collision=collision)
+    ef = CollisionErrorFunction.create(char)
+    assert ef.pair_a.shape[0] >= 1
+    fn = SkeletonSolverFunction(char, (ef,))
+    assert fn.fully_analytic
+    rng = np.random.default_rng(2)
+    p = char.num_model_parameters
+    # fold the chain back on itself until the two capsules overlap
+    x = None
+    for _ in range(200):
+        cand = jnp.asarray(rng.normal(0, 1.2, p), jnp.float32)
+        if float(fn.error(cand)) > 1e-10:
+            x = cand
+            break
+    assert x is not None, "no overlapping pose found"
+    rows, J = fn.residual_and_jacobian(x)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(fn.residual(x)),
+                               atol=1e-6)
+    _, jvp = jax.linearize(fn.residual, x)
+    J_ad = jax.vmap(jvp)(jnp.eye(p)).T
+    m = max(np.abs(np.asarray(J_ad)).max(), 1e-9)
+    np.testing.assert_allclose(np.asarray(J) / m, np.asarray(J_ad) / m,
+                               atol=5e-4)
+
+
+def test_sdf_analytic_jacobians():
+    """∇φ-chained SDF rows == AD (trilinear gradient is exactly AD's)."""
+    from momentum_tpu.axel.sdf import SignedDistanceField
+    from momentum_tpu.errors import SdfCollisionErrorFunction, VertexSdfErrorFunction
+
+    char, v = _vertex_char(np.random.default_rng(0))
+    rng = np.random.default_rng(3)
+    p = char.num_model_parameters
+    grid = rng.normal(0, 1, (8, 8, 8)).astype(np.float32)
+    sdf = SignedDistanceField(
+        origin=jnp.asarray([-3.0, -3.0, -3.0]),
+        spacing=jnp.asarray([1.0, 1.0, 1.0]),
+        values=jnp.asarray(grid))
+    vid = np.arange(0, v, 5, dtype=np.int32)
+    for cls, kw in ((VertexSdfErrorFunction,
+                     dict(target_distance=rng.normal(0, 0.3, len(vid)))),
+                    (SdfCollisionErrorFunction, dict())):
+        ef = cls.create(sdf, vid, **kw)
+        fn = SkeletonSolverFunction(char, (ef,))
+        assert fn.fully_analytic, cls.__name__
+        x = jnp.asarray(rng.normal(0, 0.15, p), jnp.float32)
+        rows, J = fn.residual_and_jacobian(x)
+        np.testing.assert_allclose(np.asarray(rows),
+                                   np.asarray(fn.residual(x)), atol=1e-6)
+        _, jvp = jax.linearize(fn.residual, x)
+        J_ad = jax.vmap(jvp)(jnp.eye(p)).T
+        m = max(np.abs(np.asarray(J_ad)).max(), 1e-9)
+        np.testing.assert_allclose(np.asarray(J) / m, np.asarray(J_ad) / m,
+                                   atol=2e-5, err_msg=cls.__name__)
