@@ -33,10 +33,13 @@ def load_any(path):
         from momentum_tpu.io.urdf import load_urdf
 
         return load_urdf(path), None, 120.0
-    if ext == ".usda":
-        from momentum_tpu.io.usd import load_usda
+    if ext in (".usda", ".usdc", ".usd"):
+        from momentum_tpu.io.usd import load_usd
 
-        return load_usda(path), None, 120.0
+        char, motion = load_usd(path)
+        if motion is not None and getattr(motion, "ndim", 0) != 2:
+            motion = None  # joint-matrix motion has no model-param mapping
+        return char, motion, 120.0
     if ext in (".model", ".cfg"):
         from momentum_tpu.io.model_definition import load_momentum_model
 
@@ -76,10 +79,10 @@ def save_any(path, character, motion, fps):
             raise SystemExit("character has no mesh to export as OBJ")
         save_obj(path, character.mesh.vertices, character.mesh.faces)
         return
-    if ext == ".usda":
-        from momentum_tpu.io.usd import save_usda
+    if ext in (".usda", ".usdc", ".usd"):
+        from momentum_tpu.io.usd import save_usd
 
-        save_usda(path, character)
+        save_usd(path, character)
         return
     if ext == ".json":
         from momentum_tpu.io.legacy_json import save_legacy_json

@@ -13,6 +13,11 @@ from momentum_tpu.io.model_definition import (  # noqa: F401
 )
 from momentum_tpu.io.motion import load_mmo, save_mmo  # noqa: F401
 from momentum_tpu.io.pose_prior import load_mppca, save_mppca  # noqa: F401
-from momentum_tpu.io.usd import load_usda, save_usda  # noqa: F401
+from momentum_tpu.io.usd import (  # noqa: F401
+    load_usd,
+    load_usda,
+    save_usd,
+    save_usda,
+)
 from momentum_tpu.io.obj import export_motion_objs, save_obj  # noqa: F401
 from momentum_tpu.io.legacy_json import load_legacy_json, save_legacy_json  # noqa: F401
