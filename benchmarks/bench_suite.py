@@ -211,6 +211,30 @@ def config4():
           unit="ms", error=float(res.error),
           vertices=int(len(vid)), blend_shapes=k)
 
+    # 4b: BATCHED mesh fitting — where the analytic LBS vertex Jacobian
+    # (skinning-walk + blendshape columns, solver/analytic_jacobian.py)
+    # pays off; single-solve latency above is tunnel-dispatch bound.
+    b = 256
+    rng_b = np.random.default_rng(1)
+    gt_b = jnp.asarray(np.concatenate([
+        rng_b.uniform(-0.2, 0.2, (b, p - k)),
+        rng_b.uniform(-1, 1, (b, k))], axis=-1), jnp.float32)
+    ctx_b = jax.vmap(fn0.context)(gt_b)
+    targets_b = jnp.take(ctx_b.mesh_vertices, jnp.asarray(vid), axis=-2)
+    ef_b = dataclasses.replace(ef, target=targets_b)
+    fn_b = SkeletonSolverFunction(char, (ef_b,))
+    x0_b = gt_b + 0.05 * jnp.asarray(
+        rng_b.normal(0, 1, (b, p)), jnp.float32)
+    opts_b = SolverOptions(max_iterations=6, regularization=1e-5,
+                           energy_from_residual=True)
+    solve_b = jax.jit(lambda x0: solve_ik(fn_b, x0, None, opts_b,
+                                          method="gauss_newton"))
+    dt_b, res_b = _timeit(solve_b, x0_b, reps=3)
+    err_b = jnp.sum((res_b.params - gt_b) ** 2, axis=-1)
+    _emit(config=4, metric="shape_pose_vertex_fit_batched", value=b / dt_b,
+          unit="solves/s", batch=b, vertices=int(len(vid)), blend_shapes=k,
+          median_param_sq_err=float(jnp.median(err_b)))
+
 
 def config5(frames: int = 1024):
     """Sequence calibration: universal scale + per-frame pose, banded solve.
@@ -260,9 +284,15 @@ def config5(frames: int = 1024):
 
 
 def main():
-    stages = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    # args: config numbers; "5=10000" parameterizes config 5's frame count
+    # (BASELINE config 5 is 10k frames)
+    stages = sys.argv[1:] or ["1", "2", "3", "4", "5"]
     for s in stages:
-        globals()[f"config{s}"]()
+        if "=" in s:
+            num, arg = s.split("=", 1)
+            globals()[f"config{num}"](int(arg))
+        else:
+            globals()[f"config{s}"]()
 
 
 if __name__ == "__main__":

@@ -10,3 +10,15 @@ from momentum_tpu.axel.grid import (  # noqa: F401
     closest_point_on_mesh_grid,
     ray_mesh_intersect_grid,
 )
+from momentum_tpu.axel.ccd import (  # noqa: F401
+    ccd_edge_edge,
+    ccd_vertex_triangle,
+    distance_edge_edge,
+    times_coplanar,
+)
+from momentum_tpu.axel.hole_filling import (  # noqa: F401
+    HoleBoundary,
+    detect_mesh_holes,
+    fill_hole,
+    fill_mesh_holes,
+)
