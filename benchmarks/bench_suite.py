@@ -234,6 +234,14 @@ def config4():
     _emit(config=4, metric="shape_pose_vertex_fit_batched", value=b / dt_b,
           unit="solves/s", batch=b, vertices=int(len(vid)), blend_shapes=k,
           median_param_sq_err=float(jnp.median(err_b)))
+    # A/B: same workload with the AD Jacobian (shows the analytic LBS
+    # vertex-walk gain)
+    fn_ad = SkeletonSolverFunction(char, (ef_b,), force_ad=True)
+    solve_ad = jax.jit(lambda x0: solve_ik(fn_ad, x0, None, opts_b,
+                                           method="gauss_newton"))
+    dt_ad, _ = _timeit(solve_ad, x0_b, reps=3)
+    _emit(config=4, metric="shape_pose_vertex_fit_batched_ad", value=b / dt_ad,
+          unit="solves/s", batch=b, speedup_analytic=dt_ad / dt_b)
 
 
 def config5(frames: int = 1024):

@@ -10,6 +10,17 @@ from momentum_tpu.rasterizer.render import (  # noqa: F401
     shade_lambert,
     shade_phong,
 )
+from momentum_tpu.rasterizer.materials import (  # noqa: F401
+    Light,
+    PhongMaterial,
+    ambient_light,
+    default_lights,
+    directional_light,
+    downsample,
+    point_light,
+    render_mesh_phong,
+    shade_phong_lights,
+)
 from momentum_tpu.rasterizer import primitives  # noqa: F401
 from momentum_tpu.rasterizer.primitives import (  # noqa: F401
     make_camera_frustum,

@@ -1,0 +1,237 @@
+"""Phong materials + multi-light shading + supersampled rendering.
+
+Reference: momentum/rasterizer/rasterizer.h:49-110 (PhongMaterial with
+diffuse/specular/emissive components and diffuse/emissive texture maps;
+Light with Point/Directional/Ambient types, default camera-colocated light)
+and rasterizeMesh (rasterizer.h:195-214: per-vertex colors, back-face
+culling, depth/image offsets, surface-normal output buffer). The reference
+recommends supersampling for anti-aliasing (rasterizer.h:220 etc.);
+`render_mesh_phong(..., supersample=k)` renders at k× and box-filters down.
+
+TPU shape: shading runs as (H, W)-wide elementwise math over the
+rasterization buffers — all lights evaluated densely and summed, no
+per-pixel control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from momentum_tpu.rasterizer.render import (
+    interpolate_attribute,
+    rasterize,
+    sample_texture,
+)
+
+__all__ = [
+    "PhongMaterial",
+    "Light",
+    "point_light",
+    "directional_light",
+    "ambient_light",
+    "default_lights",
+    "shade_phong_lights",
+    "render_mesh_phong",
+    "downsample",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PhongMaterial:
+    """rasterizer.h:49-86 PhongMaterial."""
+
+    diffuse_color: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.ones(3))
+    specular_color: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros(3))
+    specular_exponent: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.asarray(10.0))
+    emissive_color: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros(3))
+    # optional texture maps (Th, Tw, 3); None ⇒ flat colors
+    diffuse_texture: jnp.ndarray | None = None
+    emissive_texture: jnp.ndarray | None = None
+
+    @classmethod
+    def create(cls, diffuse_color=(1.0, 1.0, 1.0),
+               specular_color=(0.0, 0.0, 0.0), specular_exponent=10.0,
+               emissive_color=(0.0, 0.0, 0.0), diffuse_texture=None,
+               emissive_texture=None):
+        return cls(
+            diffuse_color=jnp.asarray(diffuse_color, jnp.float32),
+            specular_color=jnp.asarray(specular_color, jnp.float32),
+            specular_exponent=jnp.asarray(specular_exponent, jnp.float32),
+            emissive_color=jnp.asarray(emissive_color, jnp.float32),
+            diffuse_texture=None if diffuse_texture is None
+            else jnp.asarray(diffuse_texture, jnp.float32),
+            emissive_texture=None if emissive_texture is None
+            else jnp.asarray(emissive_texture, jnp.float32),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Light:
+    """rasterizer.h:92-110 Light. type: 0=point, 1=directional, 2=ambient.
+    position holds the world position (point) or direction (directional)."""
+
+    position: jnp.ndarray
+    color: jnp.ndarray
+    type: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+
+def point_light(position, color=(1.0, 1.0, 1.0)):
+    return Light(jnp.asarray(position, jnp.float32),
+                 jnp.asarray(color, jnp.float32), 0)
+
+
+def directional_light(direction, color=(1.0, 1.0, 1.0)):
+    return Light(jnp.asarray(direction, jnp.float32),
+                 jnp.asarray(color, jnp.float32), 1)
+
+
+def ambient_light(color=(0.2, 0.2, 0.2)):
+    return Light(jnp.zeros(3), jnp.asarray(color, jnp.float32), 2)
+
+
+def default_lights(camera_position):
+    """The reference's default: a light colocated with the camera plus a
+    small ambient term (rasterizer.h:182-183)."""
+    return (point_light(camera_position, (0.85, 0.85, 0.85)),
+            ambient_light((0.15, 0.15, 0.15)))
+
+
+def shade_phong_lights(position, normal, view_pos, material, lights,
+                       diffuse_albedo=None, emissive=None):
+    """Phong shading of (..., 3) surface points under a tuple of Lights.
+
+    diffuse_albedo/emissive override the material's flat colors per pixel
+    (texture or per-vertex-color paths)."""
+    kd = material.diffuse_color if diffuse_albedo is None else diffuse_albedo
+    ke = material.emissive_color if emissive is None else emissive
+    v = view_pos - position
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    color = jnp.broadcast_to(ke, position.shape).astype(position.dtype)
+    for light in lights:
+        if light.type == 2:
+            color = color + kd * light.color
+            continue
+        if light.type == 0:
+            l = light.position - position
+            l = l / jnp.maximum(jnp.linalg.norm(l, axis=-1, keepdims=True),
+                                1e-12)
+        else:
+            ln = light.position / jnp.linalg.norm(light.position)
+            l = jnp.broadcast_to(-ln, position.shape)
+        ndotl = jnp.maximum(jnp.sum(normal * l, axis=-1, keepdims=True), 0.0)
+        # Blinn-free classic Phong reflection about the normal
+        r = 2.0 * jnp.sum(normal * l, axis=-1, keepdims=True) * normal - l
+        rdotv = jnp.maximum(jnp.sum(r * v, axis=-1, keepdims=True), 0.0)
+        spec = rdotv ** material.specular_exponent
+        color = color + light.color * (kd * ndotl
+                                       + material.specular_color * spec)
+    return color
+
+
+def downsample(image, factor: int):
+    """Box-filter downsample of (H·k, W·k, C) or (H·k, W·k) by k
+    (the supersampling resolve pass)."""
+    if factor == 1:
+        return image
+    h, w = image.shape[:2]
+    hh, ww = h // factor, w // factor
+    if image.ndim == 2:
+        return image[: hh * factor, : ww * factor] \
+            .reshape(hh, factor, ww, factor).mean((1, 3))
+    c = image.shape[2]
+    return image[: hh * factor, : ww * factor] \
+        .reshape(hh, factor, ww, factor, c).mean((1, 3))
+
+
+def render_mesh_phong(camera, vertices, faces, width: int, height: int,
+                      material: PhongMaterial | None = None,
+                      lights=None, vertex_normals=None, vertex_colors=None,
+                      texcoords=None, supersample: int = 1,
+                      backface_culling: bool = True,
+                      depth_offset: float = 0.0,
+                      image_offset=(0.0, 0.0), chunk: int = 64):
+    """Full material path of the reference rasterizer (rasterizeMesh,
+    rasterizer.h:195-214): per-pixel smooth normals, Phong lighting under
+    point/directional/ambient lights, per-vertex diffuse colors, diffuse +
+    emissive textures, back-face culling, depth/image offsets, and k×
+    supersampled anti-aliasing.
+
+    Returns dict(color, mask, depth, face, bary, normal) at (height, width);
+    buffers are resolved (box-filtered) when supersample > 1."""
+    from momentum_tpu.character.skinning import update_normals
+    from momentum_tpu.math import skel_state as ss
+
+    if material is None:
+        material = PhongMaterial.create()
+    cam_pos = ss.split(ss.inverse(camera.eye_from_world))[0]
+    if lights is None:
+        lights = default_lights(cam_pos)
+
+    k = int(supersample)
+    w_s, h_s = width * k, height * k
+
+    uvz, valid = camera.project(vertices)
+    screen = jnp.where(valid[..., None], uvz, jnp.asarray([0.0, 0.0, -1.0]))
+    screen = screen.at[..., :2].multiply(k)
+    screen = screen + jnp.asarray([image_offset[0] * k, image_offset[1] * k,
+                                   depth_offset], screen.dtype)
+
+    if backface_culling:
+        # cull in screen space: signed area ≤ 0 (consistent with the
+        # rasterizer's CCW-front convention)
+        tri = jnp.take(screen, faces, axis=0)
+        area = ((tri[:, 1, 0] - tri[:, 0, 0]) * (tri[:, 2, 1] - tri[:, 0, 1])
+                - (tri[:, 1, 1] - tri[:, 0, 1]) * (tri[:, 2, 0] - tri[:, 0, 0]))
+        # keep winding-agnostic front faces oriented toward the camera by
+        # dropping only one orientation
+        keep = area > 0
+        faces_r = jnp.where(keep[:, None], faces, 0)
+    else:
+        faces_r = faces
+    buf = rasterize(screen, faces_r, w_s, h_s, chunk)
+
+    if vertex_normals is None:
+        vertex_normals = update_normals(vertices, faces)
+    n_pix = interpolate_attribute(buf, faces_r, vertex_normals)
+    n_pix = n_pix / jnp.maximum(
+        jnp.linalg.norm(n_pix, axis=-1, keepdims=True), 1e-12)
+    p_pix = interpolate_attribute(buf, faces_r, vertices)
+
+    albedo = None
+    emissive = None
+    if texcoords is not None and material.diffuse_texture is not None:
+        uv = interpolate_attribute(buf, faces_r, texcoords)
+        albedo = sample_texture(material.diffuse_texture, uv)
+    if texcoords is not None and material.emissive_texture is not None:
+        uv = interpolate_attribute(buf, faces_r, texcoords)
+        emissive = sample_texture(material.emissive_texture, uv)
+    if vertex_colors is not None:
+        vc = interpolate_attribute(buf, faces_r, vertex_colors)
+        albedo = vc if albedo is None else albedo * vc
+
+    color = shade_phong_lights(p_pix, n_pix, cam_pos, material, lights,
+                               diffuse_albedo=albedo, emissive=emissive)
+    mask = buf["face"] >= 0
+    color = jnp.where(mask[..., None], color, 0.0)
+
+    if k > 1:
+        color = downsample(color, k)
+        alpha = downsample(mask.astype(color.dtype), k)
+        depth = -downsample(-buf["depth"], k)  # keep nearest-ish depth
+        normal = downsample(n_pix, k)
+        # center-sample the id buffers
+        face = buf["face"][k // 2::k, k // 2::k][:height, :width]
+        bary = buf["bary"][k // 2::k, k // 2::k][:height, :width]
+        return dict(color=color, mask=alpha > 0.5, alpha=alpha, depth=depth,
+                    face=face, bary=bary, normal=normal)
+    return dict(color=color, mask=mask,
+                alpha=mask.astype(color.dtype), normal=n_pix, **buf)

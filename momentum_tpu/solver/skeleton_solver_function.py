@@ -38,6 +38,9 @@ class SkeletonSolverFunction:
     # fused program compiles ~3x slower; enable for large rigs/constraint
     # counts where the (B,C,3,nJ*7) intermediate dominates HBM traffic.
     prefer_fused: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Force the AD (jax.linearize) Jacobian path even when every module has
+    # an analytic one — for equivalence tests and A/B benchmarks.
+    force_ad: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     def context(self, model_params: jnp.ndarray) -> EvalContext:
         """One FK pass (+ mesh pose if any module needs it) — the shared state
@@ -102,6 +105,8 @@ class SkeletonSolverFunction:
 
     @property
     def fully_analytic(self) -> bool:
+        if self.force_ad:
+            return False
         return all(getattr(ef, "has_analytic_jacobian", False)
                    for ef in self.error_functions)
 
