@@ -101,13 +101,18 @@ class SolveResult(NamedTuple):
 
 def _jacobian(residual_fn: Callable, x: jnp.ndarray, jacobian_fn=None):
     """(rows, Jᵀ) with Jᵀ (..., P, R). Uses an analytic (rows, J) provider
-    when given (supports leading batch dims — the batch-native path), else
-    one linearize + vmapped JVP over the basis (unbatched x only)."""
+    when given, else one linearize + vmapped JVP over the parameter basis;
+    both support leading batch dims (the batch-native path)."""
     if jacobian_fn is not None:
         rows, j = jacobian_fn(x)
         return rows, jnp.swapaxes(j, -1, -2)
     rows, jvp = jax.linearize(residual_fn, x)
     eye = jnp.eye(x.shape[-1], dtype=x.dtype)
+    if x.ndim > 1:
+        # batched primal: tangent e_p broadcast across the batch; the JVP is
+        # linear, so the broadcast tangent yields every element's column p
+        jt = jax.vmap(lambda e: jvp(jnp.broadcast_to(e, x.shape)))(eye)
+        return rows, jnp.moveaxis(jt, 0, -2)  # (..., P, R)
     jt = jax.vmap(jvp)(eye)  # row p = J @ e_p = column p of J
     return rows, jt
 

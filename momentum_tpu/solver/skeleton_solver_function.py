@@ -166,7 +166,12 @@ class SkeletonSolverFunction:
 
             rows_ad, jvp = jax.linearize(ad_residual, model_params)
             eye = jnp.eye(model_params.shape[-1], dtype=model_params.dtype)
-            j_ad = jax.vmap(jvp)(eye).T  # (R_ad, P)
+            if model_params.ndim > 1:
+                j_ad = jax.vmap(lambda e: jvp(
+                    jnp.broadcast_to(e, model_params.shape)))(eye)
+                j_ad = jnp.moveaxis(j_ad, 0, -1)  # (..., R_ad, P)
+            else:
+                j_ad = jax.vmap(jvp)(eye).T  # (R_ad, P)
             rows_list.append(rows_ad)
             j_list.append(j_ad)
         return (jnp.concatenate(rows_list, axis=-1),

@@ -15,5 +15,19 @@ from momentum_tpu.tracking.tracker import (  # noqa: F401
     track_sequence,
 )
 from momentum_tpu.tracking.gap_fill import fill_marker_gaps  # noqa: F401
+from momentum_tpu.tracking.tracker_utils import (  # noqa: F401
+    average_triangle_skin_weights,
+    closest_point_on_mesh_matching_parent,
+    compute_floor_contact_constraints,
+    create_locator_character,
+    extract_id_and_locators_from_params,
+    extract_locators_from_character,
+    extract_markers_from_motion,
+    extract_parameters,
+    fill_identity,
+    locators_to_skinned_locators,
+    remove_identity,
+    skinned_locators_to_locators,
+)
 from momentum_tpu.tracking.app_utils import load_character, load_character_with_identity  # noqa: F401
 from momentum_tpu.tracking import glove_utils  # noqa: F401
