@@ -363,3 +363,39 @@ def test_normal_equations_match_dense_jacobian():
         jacobian_fn=fn.residual_and_jacobian)
     np.testing.assert_allclose(np.asarray(r_normal.params),
                                np.asarray(r_dense.params), atol=5e-4)
+
+
+def test_qr_survives_ill_conditioning_where_cholesky_fails():
+    """GaussNewtonSolverQR's reason to exist (gauss_newton_solver_qr.h):
+    at condition number ~1e5 the f32 normal equations (squared condition
+    ~1e10) produce a non-PD JtJ and the Cholesky step NaNs out, while the
+    damped-stack QR still reaches machine-level energy."""
+    from momentum_tpu.solver.gauss_newton import (
+        SolverOptions, solve_gauss_newton)
+
+    rng = np.random.default_rng(5)
+    m, n = 60, 30
+    U, _ = np.linalg.qr(rng.normal(0, 1, (m, m)))
+    V, _ = np.linalg.qr(rng.normal(0, 1, (n, n)))
+    s = np.logspace(0, -5, n)  # condition number 1e5
+    A = jnp.asarray((U[:, :n] * s) @ V.T, jnp.float32)
+    xstar = jnp.asarray(rng.normal(0, 1, n), jnp.float32)
+    b = A @ xstar
+
+    def residual(x):
+        return A @ x - b
+
+    def energy(x):
+        r = residual(x)
+        return jnp.sum(r * r)
+
+    x0 = jnp.zeros(n)
+    opts = lambda ls: SolverOptions(max_iterations=20, regularization=0.0,
+                                    linear_solver=ls)
+    res_c = solve_gauss_newton(residual, energy, x0, options=opts("cholesky"))
+    res_q = solve_gauss_newton(residual, energy, x0, options=opts("qr"))
+    assert float(res_q.error) < 1e-10
+    # the normal-equation path degrades: NaN energy, or orders of magnitude
+    # worse than QR
+    e_c = float(res_c.error)
+    assert np.isnan(e_c) or e_c > 1e4 * float(res_q.error)
