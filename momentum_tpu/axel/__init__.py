@@ -3,7 +3,13 @@ from momentum_tpu.axel.queries import (  # noqa: F401
     knn,
     ray_mesh_intersect,
 )
-from momentum_tpu.axel.sdf import SignedDistanceField, mesh_to_sdf, sdf_to_mesh  # noqa: F401
+from momentum_tpu.axel.sdf import (  # noqa: F401
+    SignedDistanceField,
+    mesh_to_sdf,
+    morphological_cleanup,
+    sdf_to_mesh,
+    winding_number,
+)
 from momentum_tpu.axel.grid import (  # noqa: F401
     TriangleGrid,
     build_triangle_grid,

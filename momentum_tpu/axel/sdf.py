@@ -62,10 +62,73 @@ class SignedDistanceField:
             points.reshape(-1, 3)).reshape(points.shape)
 
 
+def winding_number(points, vertices, faces, chunk=512):
+    """Generalized winding number of `points` (N, 3) w.r.t. the mesh
+    (Jacobson et al.): Σ signed solid angles / 4π. ≈1 inside a closed
+    surface, ≈0 outside; robust to creases and self-intersections — the
+    reference's Winding sign method (MeshToSdf.h SignMethod::Winding).
+    Batched over (points × triangles) on the VPU."""
+    vertices = jnp.asarray(vertices, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    tri = jnp.take(vertices, faces, axis=0)  # (F, 3, 3)
+
+    def solid_angles(p_chunk):
+        # Van Oosterom-Strackee per (point, triangle)
+        a = tri[None, :, 0] - p_chunk[:, None]
+        b = tri[None, :, 1] - p_chunk[:, None]
+        c = tri[None, :, 2] - p_chunk[:, None]
+        la = jnp.linalg.norm(a, axis=-1)
+        lb = jnp.linalg.norm(b, axis=-1)
+        lc = jnp.linalg.norm(c, axis=-1)
+        num = jnp.sum(jnp.cross(a, b) * c, axis=-1)
+        den = (la * lb * lc + jnp.sum(a * b, axis=-1) * lc
+               + jnp.sum(b * c, axis=-1) * la + jnp.sum(a * c, axis=-1) * lb)
+        return jnp.sum(2.0 * jnp.arctan2(num, den), axis=-1)
+
+    points = jnp.asarray(points, jnp.float32)
+    n = points.shape[0]
+    pad = (-n) % chunk
+    pts = jnp.concatenate([points, jnp.zeros((pad, 3), points.dtype)], 0)
+    omega = jax.lax.map(solid_angles, pts.reshape(-1, chunk, 3)).reshape(-1)
+    return omega[:n] / (4.0 * jnp.pi)
+
+
+def _morph_unit(mask, op):
+    """One 6-connected binary erosion/dilation step on a 3D bool grid."""
+    m = mask.astype(jnp.float32)
+    shifted = [m]
+    for axis in range(3):
+        for s in (1, -1):
+            shifted.append(jnp.roll(m, s, axis=axis))
+    stack = jnp.stack(shifted)
+    return (jnp.min(stack, 0) > 0.5) if op == "erode" else \
+        (jnp.max(stack, 0) > 0.5)
+
+
+def morphological_cleanup(inside, open_iters: int = 0, close_iters: int = 0):
+    """Binary open (erode→dilate, removes speckles) then close
+    (dilate→erode, fills pinholes) of the inside mask — the reference's
+    morphological open/close cleanup (MeshToSdf.h:24-230)."""
+    for _ in range(open_iters):
+        inside = _morph_unit(inside, "erode")
+    for _ in range(open_iters):
+        inside = _morph_unit(inside, "dilate")
+    for _ in range(close_iters):
+        inside = _morph_unit(inside, "dilate")
+    for _ in range(close_iters):
+        inside = _morph_unit(inside, "erode")
+    return inside
+
+
 def mesh_to_sdf(vertices, faces, resolution=(32, 32, 32), padding=0.1,
-                chunk=2048) -> SignedDistanceField:
-    """Brute-force signed distance grid with pseudo-normal sign
-    (MeshToSdf.h:24-230 equivalent)."""
+                chunk=2048, sign_method: str = "normal",
+                open_iters: int = 0, close_iters: int = 0) -> SignedDistanceField:
+    """Brute-force signed distance grid (MeshToSdf.h:24-230 equivalent).
+
+    sign_method: "normal" (closest-face pseudo-normal test) or "winding"
+    (generalized winding number > 0.5 ⇒ inside — robust for messy meshes).
+    open_iters/close_iters apply morphological open/close to the inside
+    mask before signing (the reference's cleanup options)."""
     vertices = jnp.asarray(vertices, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     lo = jnp.min(vertices, axis=0)
@@ -80,21 +143,28 @@ def mesh_to_sdf(vertices, faces, resolution=(32, 32, 32), padding=0.1,
     gx, gy, gz = jnp.meshgrid(*xs, indexing="ij")
     grid = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
 
-    # angle-weighted pseudo vertex/edge/face normals reduce sign errors at
-    # creases; face normal of the closest triangle weighted by barycentric
-    # region is a close, cheaper approximation used here
-    a = jnp.take(vertices, faces[:, 0], axis=0)
-    b = jnp.take(vertices, faces[:, 1], axis=0)
-    c = jnp.take(vertices, faces[:, 2], axis=0)
-    face_n = jnp.cross(b - a, c - a)
-
     cp, fi, bary, d2 = closest_point_on_mesh(grid, vertices, faces, chunk=chunk)
-    n = jnp.take(face_n, fi, axis=0)
-    sign = jnp.where(jnp.sum((grid - cp) * n, axis=-1) >= 0, 1.0, -1.0)
+    if sign_method == "winding":
+        inside = winding_number(grid, vertices, faces) > 0.5
+    else:
+        # angle-weighted pseudo vertex/edge/face normals reduce sign errors
+        # at creases; face normal of the closest triangle weighted by
+        # barycentric region is a close, cheaper approximation used here
+        a = jnp.take(vertices, faces[:, 0], axis=0)
+        b = jnp.take(vertices, faces[:, 1], axis=0)
+        c = jnp.take(vertices, faces[:, 2], axis=0)
+        face_n = jnp.cross(b - a, c - a)
+        n = jnp.take(face_n, fi, axis=0)
+        inside = jnp.sum((grid - cp) * n, axis=-1) < 0
+    shape = tuple(int(r) for r in res)
+    if open_iters or close_iters:
+        inside = morphological_cleanup(inside.reshape(shape), open_iters,
+                                       close_iters).reshape(-1)
+    sign = jnp.where(inside, -1.0, 1.0)
     dist = sign * jnp.sqrt(jnp.maximum(d2, 0.0))
     return SignedDistanceField(
         origin=lo, spacing=spacing,
-        values=dist.reshape(tuple(int(r) for r in res)),
+        values=dist.reshape(shape),
     )
 
 

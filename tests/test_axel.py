@@ -203,3 +203,45 @@ def test_grid_raycast_matches_brute_force():
     both = np.asarray(hg) & np.asarray(hb)
     np.testing.assert_allclose(np.asarray(tg)[both], np.asarray(tb)[both],
                                atol=1e-4)
+
+
+class TestSdfSignMethods:
+    def test_winding_number_inside_outside(self):
+        v, f = _unit_cube()
+        pts = jnp.asarray([[0.5, 0.5, 0.5], [0.2, 0.8, 0.3],
+                           [1.5, 0.5, 0.5], [-0.2, 0.0, 0.0]], jnp.float32)
+        from momentum_tpu.axel import winding_number
+        w = np.asarray(winding_number(pts, v, f))
+        np.testing.assert_allclose(w[:2], 1.0, atol=1e-3)
+        np.testing.assert_allclose(w[2:], 0.0, atol=1e-3)
+
+    def test_winding_sign_matches_normal_sign_on_closed_mesh(self):
+        v, f = _unit_cube()
+        s_n = mesh_to_sdf(v, f, resolution=(16, 16, 16), padding=0.3)
+        s_w = mesh_to_sdf(v, f, resolution=(16, 16, 16), padding=0.3,
+                          sign_method="winding")
+        a = np.asarray(s_n.values)
+        b = np.asarray(s_w.values)
+        # identical distances, identical signs away from the surface
+        np.testing.assert_allclose(np.abs(a), np.abs(b), atol=1e-6)
+        far = np.abs(a) > 0.05
+        np.testing.assert_array_equal(np.sign(a[far]), np.sign(b[far]))
+
+    def test_morphological_cleanup_removes_speckle(self):
+        from momentum_tpu.axel import morphological_cleanup
+        inside = np.zeros((9, 9, 9), bool)
+        inside[2:7, 2:7, 2:7] = True     # solid block
+        inside[8, 8, 8] = True           # speckle noise
+        inside[4, 4, 4] = inside[4, 4, 4]  # keep solid
+        pin = inside.copy()
+        pin[4, 4, 8] = False
+        cleaned = np.asarray(morphological_cleanup(
+            jnp.asarray(inside), open_iters=1))
+        assert not cleaned[8, 8, 8]          # speckle gone
+        assert cleaned[4, 4, 4]              # body survives
+        # close fills an interior pinhole
+        hole = inside.copy()
+        hole[4, 4, 4] = False
+        closed = np.asarray(morphological_cleanup(
+            jnp.asarray(hole), close_iters=1))
+        assert closed[4, 4, 4]
