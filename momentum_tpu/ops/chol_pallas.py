@@ -37,9 +37,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["chol_solve_pallas", "chol_solve_pallas_available"]
+__all__ = [
+    "chol_solve_pallas",
+    "chol_solve_pallas_available",
+    "chol_solve_pallas_blocked",
+]
 
 _BT = 8  # batch tile: systems factorized per grid step
+_BTB = 16  # batch tile for the blocked kernel (VMEM: 2·bt·n²·4B)
+_PW = 32  # panel width of the blocked kernel
 
 
 def chol_solve_pallas_available(n: int) -> bool:
@@ -82,6 +88,107 @@ def _kernel(a_ref, damp_ref, b_ref, x_ref, s_ref, y_ref, invd_ref, *, n: int):
             lrow * x_ref[:] * (col > k).astype(f32), axis=-1, keepdims=True
         )
         x_ref[:, k : k + 1] = (y_ref[:, k : k + 1] - acc) * invd_ref[:, k : k + 1]
+
+
+def _kernel_blocked(a_ref, damp_ref, b_ref, x_ref, s_ref, y_ref, invd_ref,
+                    *, n: int, pw: int):
+    """Blocked right-looking factor + substitutions, one batch tile resident
+    in VMEM. The first rank-1 attempt above touches the FULL (bt, n, n)
+    trailing matrix on every one of the n column steps — n·bt·n² VMEM
+    traffic — and measured VMEM-bandwidth/issue bound (23.5 ms vs 13.3 ms
+    for the XLA blocked path at B=2048, n=160). This variant confines the
+    column steps to a 32-wide panel and applies the trailing update once
+    per panel as a batched MXU contraction: VMEM traffic drops ~w-fold on
+    the serial part and the bulk FLOPs ride the MXU."""
+    f32 = jnp.float32
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(f32)
+    s_ref[:] = a_ref[:] + damp_ref[:][:, None, :] * eye[None]
+
+    npanels = n // pw
+    for p in range(npanels):
+        r0 = p * pw  # panel top row / first column
+        m = n - r0  # panel height (rows r0..n)
+        # ---- unblocked panel factorization (dpotf2 over all m rows) ----
+        for kk in range(pw):
+            k = r0 + kk
+            d = s_ref[:, k, k:k + 1]  # (bt, 1)
+            inv = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+            invd_ref[:, k:k + 1] = inv
+            colk = s_ref[:, r0:, k:k + 1] * inv[:, :, None]  # (bt, m, 1)
+            # zero above the diagonal (rows r0..k-1 hold stale A values)
+            rowmask = (jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
+                       >= kk).astype(f32)
+            colk = colk * rowmask
+            s_ref[:, r0:, k:k + 1] = colk
+            if kk + 1 < pw:
+                # rank-1 update confined to the remaining panel columns
+                lrow = colk[:, kk + 1:pw, 0]  # (bt, pw-kk-1) = L[k+1..,k]
+                s_ref[:, r0:, k + 1:r0 + pw] = (
+                    s_ref[:, r0:, k + 1:r0 + pw]
+                    - colk * lrow[:, None, :])
+        # ---- trailing update on the MXU: T -= L21 · L21ᵀ (full square) ----
+        if r0 + pw < n:
+            l21 = s_ref[:, r0 + pw:, r0:r0 + pw]  # (bt, m-pw, pw)
+            upd = jax.lax.dot_general(
+                l21, l21,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32)
+            s_ref[:, r0 + pw:, r0 + pw:] = s_ref[:, r0 + pw:, r0 + pw:] - upd
+
+    # ---- forward substitution: y = L⁻¹ b (row reads, lane-contiguous) ----
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    y_ref[:] = b_ref[:]
+    for k in range(n):
+        lrow = s_ref[:, k, :]  # (bt, n); cols < k hold L[k, :k]
+        acc = jnp.sum(lrow * y_ref[:] * (col < k).astype(f32),
+                      axis=-1, keepdims=True)
+        y_ref[:, k:k + 1] = (b_ref[:, k:k + 1] - acc) * invd_ref[:, k:k + 1]
+    # ---- backward substitution: Lᵀ x = y (column k of L = s[:, k:, k]) ----
+    x_ref[:] = jnp.zeros_like(x_ref)
+    for k in range(n - 1, -1, -1):
+        lcol = s_ref[:, :, k]  # (bt, n): rows > k hold L[j, k]
+        acc = jnp.sum(lcol * x_ref[:] * (col > k).astype(f32),
+                      axis=-1, keepdims=True)
+        x_ref[:, k:k + 1] = (y_ref[:, k:k + 1] - acc) * invd_ref[:, k:k + 1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "bt"))
+def chol_solve_pallas_blocked(a, damp, b, interpret: bool = False,
+                              bt: int = _BTB):
+    """Blocked-panel variant of chol_solve_pallas: solve
+    (a + diag(damp)) x = b for a batch of SPD systems, n % 32 == 0."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, n, _ = a.shape
+    pad = (-bsz) % bt
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (pad, n, n))], 0
+        )
+        damp = jnp.concatenate([damp, jnp.zeros((pad, n), damp.dtype)], 0)
+        b = jnp.concatenate([b, jnp.zeros((pad, n), b.dtype)], 0)
+    bp = a.shape[0]
+
+    x = pl.pallas_call(
+        functools.partial(_kernel_blocked, n=n, pw=_PW),
+        out_shape=jax.ShapeDtypeStruct((bp, n), a.dtype),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, n, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bt, n), lambda i: (i, 0)),
+            pl.BlockSpec((bt, n), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, n), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bt, n, n), jnp.float32),  # s: damped A → L
+            pltpu.VMEM((bt, n), jnp.float32),     # y
+            pltpu.VMEM((bt, n), jnp.float32),     # invd
+        ],
+        interpret=interpret,
+    )(a, damp, b)
+    return x[:bsz]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
