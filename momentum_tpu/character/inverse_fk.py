@@ -26,7 +26,8 @@ from momentum_tpu.character.fk import parent_global_states
 from momentum_tpu.character.skeleton import Skeleton
 from momentum_tpu.math import euler, quaternion as quat, skel_state as ss
 
-__all__ = ["joint_parameters_from_skeleton_states", "local_from_global"]
+__all__ = ["joint_parameters_from_skeleton_states",
+           "joint_parameters_from_local_skel_states", "local_from_global"]
 
 
 def local_from_global(skeleton: Skeleton, global_states: jnp.ndarray) -> jnp.ndarray:
@@ -40,6 +41,14 @@ def joint_parameters_from_skeleton_states(
 ) -> jnp.ndarray:
     """(..., nJ, 8) global states → (..., nJ*7) joint parameters (inverse FK)."""
     local = local_from_global(skeleton, global_states)
+    return joint_parameters_from_local_skel_states(skeleton, local)
+
+
+def joint_parameters_from_local_skel_states(
+    skeleton: Skeleton, local: jnp.ndarray
+) -> jnp.ndarray:
+    """(..., nJ, 8) joint-LOCAL states → (..., nJ*7) joint parameters
+    (constrained ZYX Euler extraction against the pre-rotation)."""
     t, q, s = ss.split(local)
     t_params = t - skeleton.translation_offset
     q_euler = quat.multiply(quat.conjugate(skeleton.pre_rotation), q)
