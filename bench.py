@@ -55,6 +55,8 @@ def main():
     opts = SolverOptions(max_iterations=iters, regularization=1e-5,
                          energy_from_residual=True)
 
+    method = os.environ.get("MOMENTUM_TPU_BENCH_METHOD", "lm")
+
     @jax.jit
     def solve_batch(targets, x0):
         # batch-native path: batched analytic Jacobians + batched linalg +
@@ -64,6 +66,12 @@ def main():
             char, (ef,),
             prefer_fused=bool(int(os.environ.get(
                 "MOMENTUM_TPU_PREFER_FUSED", "1"))))
+        if method == "gn":
+            from momentum_tpu.solver.gauss_newton import solve_gauss_newton
+
+            return solve_gauss_newton(
+                fn.residual, fn.error, x0, options=opts,
+                jacobian_fn=fn.residual_and_jacobian)
         return solve_levenberg_marquardt(
             fn.residual, fn.error, x0, options=opts,
             jacobian_fn=fn.residual_and_jacobian)
@@ -92,7 +100,7 @@ def main():
     # workload with the full stack, solved by GN (the reference's per-frame
     # solver choice, marker_tracker.cpp:913). Convergence = marker-position
     # energy at the solution below 1e-5 (the matched-residual bar).
-    full_iters = int(os.environ.get("MOMENTUM_TPU_BENCH_FULLSTACK_ITERS", 5))
+    full_iters = int(os.environ.get("MOMENTUM_TPU_BENCH_FULLSTACK_ITERS", 3))
     from momentum_tpu.errors import (
         LimitErrorFunction, OrientationErrorFunction, PosePriorErrorFunction)
     from momentum_tpu.errors.pose_prior import Mppca

@@ -291,10 +291,72 @@ def config5(frames: int = 1024):
           error=float(res.error))
 
 
+def config6():
+    """Real-data tracking: the reference's CMU walking take 02_01.c3d (343
+    frames × 41 Vicon markers, measured positions — genuine noise, occlusion
+    and model mismatch; NO inverse crime). Calibrates the built-in CMU
+    humanoid once, then times warm-started per-frame tracking over the whole
+    clip. Reports frames/s + marker-residual statistics."""
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    c3d = "/root/reference/pymomentum/test/resources/02_01.c3d"
+    if not os.path.exists(c3d):
+        print("config 6 skipped: reference C3D unavailable")
+        return
+    from momentum_tpu.io.markers import load_c3d
+    from momentum_tpu.tracking import (
+        CalibrationConfig, MarkerSequence, TrackingConfig, calibrate_model,
+        track_poses_per_frame)
+    from momentum_tpu.tracking.cmu import create_cmu_character
+    from momentum_tpu.tracking.tracker import _match_locators
+
+    raw = load_c3d(c3d)
+    char = create_cmu_character()
+    seq = MarkerSequence(positions=jnp.asarray(raw.positions),
+                         occluded=jnp.asarray(raw.occluded),
+                         names=tuple(raw.names))
+    p = char.num_model_parameters
+    seed = jnp.zeros(p).at[:3].set(jnp.mean(seq.positions[0], axis=0))
+    cfg = CalibrationConfig(calib_frames=10, major_iter=2, max_iter=25,
+                            regularization=1e-3,
+                            method="levenberg_marquardt")
+    identity, _ = calibrate_model(char, seq, cfg, initial=seed)
+    cfg_loc = dataclasses.replace(cfg, locators_only=True, major_iter=1)
+    _, _, char2 = calibrate_model(char, seq, cfg_loc, initial=identity)
+
+    tcfg = TrackingConfig(max_iter=15, regularization=1e-3,
+                          method="levenberg_marquardt")
+    tr = track_poses_per_frame(char2, seq, tcfg, initial=identity)  # compile
+    jax.block_until_ready(tr.motion)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        tr = track_poses_per_frame(char2, seq, tcfg, initial=identity)
+    jax.block_until_ready(tr.motion)
+    dt = (time.perf_counter() - t0) / reps
+
+    li, mi = _match_locators(char2, seq)
+    states = jax.vmap(char2.skeleton_states)(tr.motion)
+    wp = jax.vmap(char2.locators.world_positions)(states)
+    d = np.linalg.norm(np.asarray(wp[:, li]) - np.asarray(seq.positions[:, mi]),
+                       axis=-1)
+    occ = np.asarray(seq.occluded[:, mi])
+    d = d[~occ]
+    _emit(config=6, metric="real_clip_tracking_frames_per_sec",
+          value=seq.positions.shape[0] / dt, unit="frames/s",
+          frames=int(seq.positions.shape[0]),
+          median_marker_err_mm=float(np.median(d)),
+          p90_marker_err_mm=float(np.percentile(d, 90)))
+
+
 def main():
     # args: config numbers; "5=10000" parameterizes config 5's frame count
     # (BASELINE config 5 is 10k frames)
-    stages = sys.argv[1:] or ["1", "2", "3", "4", "5"]
+    stages = sys.argv[1:] or ["1", "2", "3", "4", "5", "6"]
     for s in stages:
         if "=" in s:
             num, arg = s.split("=", 1)
