@@ -52,7 +52,8 @@ def main():
     )
     # warm start: previous-frame initialization (tracking scenario)
     x0 = gt + jnp.asarray(rng.normal(0, 0.05, gt.shape), jnp.float32)
-    opts = SolverOptions(max_iterations=iters, regularization=1e-5,
+    reg = float(os.environ.get("MOMENTUM_TPU_BENCH_REG", "1e-5"))
+    opts = SolverOptions(max_iterations=iters, regularization=reg,
                          energy_from_residual=True)
 
     method = os.environ.get("MOMENTUM_TPU_BENCH_METHOD", "lm")

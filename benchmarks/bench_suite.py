@@ -244,11 +244,12 @@ def config4():
           unit="solves/s", batch=b, speedup_analytic=dt_ad / dt_b)
 
 
-def config5(frames: int = 1024):
+def config5(frames: int = 1024, fullbody: bool = False):
     """Sequence calibration: universal scale + per-frame pose, banded solve.
 
     Frames/sec on the block-tridiagonal sequence solver (single device; the
-    sharded SPIKE variant covers the multi-chip case in dryrun_multichip)."""
+    sharded SPIKE variant covers the multi-chip case in dryrun_multichip).
+    fullbody=True (CLI: "5f[=frames]") runs the 52-joint humanoid rig."""
     import jax
     import jax.numpy as jnp
 
@@ -261,9 +262,10 @@ def config5(frames: int = 1024):
         SequenceSolverFunction, stack_frames,
     )
     from momentum_tpu.solver import SolverOptions
-    from momentum_tpu.testing.fixtures import create_test_character
+    from momentum_tpu.testing.fixtures import (
+        create_fullbody_character, create_test_character)
 
-    char = create_test_character(16)
+    char = create_fullbody_character() if fullbody else create_test_character(16)
     p = char.num_model_parameters
     rng = np.random.default_rng(0)
     gt = jnp.asarray(rng.uniform(-0.2, 0.2, (frames, p)), jnp.float32)
@@ -288,7 +290,7 @@ def config5(frames: int = 1024):
     dt, res = _timeit(solve, pf0, u0, reps=3)
     _emit(config=5, metric="sequence_calibration_frames_per_sec",
           value=frames / dt, unit="frames/s", frames=frames,
-          error=float(res.error))
+          fullbody=fullbody, error=float(res.error))
 
 
 def config6():
@@ -358,11 +360,15 @@ def main():
     # (BASELINE config 5 is 10k frames)
     stages = sys.argv[1:] or ["1", "2", "3", "4", "5", "6"]
     for s in stages:
+        kw = {}
+        if s.startswith("5f"):
+            s = "5" + s[2:]
+            kw = {"fullbody": True}
         if "=" in s:
             num, arg = s.split("=", 1)
-            globals()[f"config{num}"](int(arg))
+            globals()[f"config{num}"](int(arg), **kw)
         else:
-            globals()[f"config{s}"]()
+            globals()[f"config{s}"](**kw)
 
 
 if __name__ == "__main__":
