@@ -77,20 +77,28 @@ def main():
             fn.residual, fn.error, x0, options=opts,
             jacobian_fn=fn.residual_and_jacobian)
 
+    def _sync(r):
+        # REAL device round trip: over the axon tunnel block_until_ready can
+        # return before execution completes; end timings on a host transfer
+        float(jnp.sum(r.params))
+        return r
+
     # warmup / compile
-    res = solve_batch(targets, x0)
-    jax.block_until_ready(res.params)
+    res = _sync(solve_batch(targets, x0))
 
     # residual sanity: solves must actually converge
     med_err = float(jnp.nanmedian(res.error))
     nan_frac = float(jnp.mean(~jnp.isfinite(res.error)))
     conv_frac = float(jnp.mean(res.error < 1e-5))
 
-    n_rep = 5
+    # pipelined throughput: N in-order dispatches + ONE terminal sync; the
+    # single tunnel round trip amortizes over the reps (a production stream
+    # never syncs per batch)
+    n_rep = 10
     t0 = time.perf_counter()
     for _ in range(n_rep):
         res = solve_batch(targets, x0)
-    jax.block_until_ready(res.params)
+    _sync(res)
     dt = (time.perf_counter() - t0) / n_rep
 
     solves_per_sec = batch / dt
@@ -136,11 +144,11 @@ def main():
         return r.params, fn_pos.error(r.params)
 
     params_f, pos_e = solve_full(targets, q_t, x0)
-    jax.block_until_ready(params_f)
+    float(jnp.sum(params_f))
     t0 = time.perf_counter()
     for _ in range(n_rep):
         params_f, pos_e = solve_full(targets, q_t, x0)
-    jax.block_until_ready(params_f)
+    float(jnp.sum(params_f))
     dt_full = (time.perf_counter() - t0) / n_rep
     full_per_sec = batch / dt_full
     full_conv = float(jnp.mean(pos_e < 1e-5))

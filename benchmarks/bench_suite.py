@@ -21,13 +21,25 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, reps: int = 5):
+def _sync(out):
+    """Force a REAL device round trip. Over the axon tunnel
+    jax.block_until_ready can return before execution completes (measured:
+    3 queued 300-ms solves "blocked" in 0.0 ms), so timings must end on a
+    host transfer of a scalar derived from the result."""
     import jax
+    import jax.numpy as jnp
 
-    out = jax.block_until_ready(fn(*args))
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf))
+    return out
+
+
+def _timeit(fn, *args, reps: int = 5):
+    out = _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    _sync(out)  # in-order queue: one terminal sync covers every rep
     return (time.perf_counter() - t0) / reps, out
 
 

@@ -28,7 +28,18 @@ import jax.numpy as jnp
 
 from momentum_tpu.math.linalg import psd_solve
 
-__all__ = ["block_tridiag_solve", "banded_to_tridiag", "schur_arrowhead_solve"]
+__all__ = ["block_tridiag_solve", "block_tridiag_solve_thomas",
+           "block_tridiag_solve_cr", "banded_to_tridiag",
+           "schur_arrowhead_solve"]
+
+# Cyclic reduction is DISABLED by default: sync-timed on v5e it loses to the
+# Thomas scan at every tested shape (F=2048/p=160: 2.08 s vs 0.80 s;
+# F=10000/p=24: 1.35 s vs 0.18 s). The log2(F) levels each re-stream the
+# full (F, p, p) block arrays through HBM — ~log F times the memory traffic
+# of the scan, and the problem is bandwidth-bound, not latency-bound. Kept
+# (correct + tested) for future hardware; opt in via the env var.
+_CR_MIN_FRAMES = int(__import__("os").environ.get(
+    "MOMENTUM_TPU_CR_MIN_FRAMES", str(1 << 30)))
 
 
 def _chol_solve(a, b):
@@ -43,9 +54,20 @@ def block_tridiag_solve(diag: jnp.ndarray, upper: jnp.ndarray, rhs: jnp.ndarray)
     rhs:   (F, p, k)
     Returns x (F, p, k).
 
-    Block Thomas algorithm: forward Schur elimination then back-substitution,
-    both as lax.scan (sequential over frames; each step is dense p×p work).
+    Dispatches to batched cyclic reduction for F ≥ MOMENTUM_TPU_CR_MIN_FRAMES
+    (default: never — see the measured note above), else the sequential
+    block Thomas scan.
     """
+    if diag.shape[0] >= _CR_MIN_FRAMES:
+        return block_tridiag_solve_cr(diag, upper, rhs)
+    return block_tridiag_solve_thomas(diag, upper, rhs)
+
+
+def block_tridiag_solve_thomas(diag: jnp.ndarray, upper: jnp.ndarray,
+                               rhs: jnp.ndarray) -> jnp.ndarray:
+    """Block Thomas algorithm: forward Schur elimination then
+    back-substitution, both as lax.scan (sequential over frames; each step
+    is dense p×p work)."""
     f_total = diag.shape[0]
     if f_total == 1:
         return _chol_solve(diag[0], rhs[0])[None]
@@ -79,6 +101,81 @@ def block_tridiag_solve(diag: jnp.ndarray, upper: jnp.ndarray, rhs: jnp.ndarray)
         bwd, x_last, (s_all[:-1], y_all[:-1], upper), reverse=True
     )
     return jnp.concatenate([x_rest, x_last[None]], axis=0)
+
+
+def block_tridiag_solve_cr(diag: jnp.ndarray, upper: jnp.ndarray,
+                           rhs: jnp.ndarray) -> jnp.ndarray:
+    """Cyclic-reduction solve of the same SPD block-tridiagonal system as
+    `block_tridiag_solve` — the TPU-parallel formulation.
+
+    Block Thomas is a length-F sequential scan: F dependent p×p
+    factorizations, none batched (measured: the full-body sequence solve is
+    bound by it at ~320 frames/s). Cyclic reduction eliminates all ODD block
+    rows simultaneously — one BATCHED psd_solve + a few batched matmuls per
+    level — and recurses on the even half: log2(F) levels, each one device
+    program over F/2^k frames. ~2× the FLOPs of Thomas, ~F/log F times the
+    parallelism. Schur complements of an SPD matrix stay SPD, so every level
+    keeps the Cholesky fast path.
+
+    Row o (odd):  U[o-1]ᵀ x_{o-1} + D_o x_o + U[o] x_{o+1} = b_o
+    eliminates into even rows e = o ± 1:
+      D'_e −= U[e-1]ᵀ D_{e-1}⁻¹ U[e-1] + U[e] D_{e+1}⁻¹ U[e]ᵀ
+      U'_(e→e+2) = −U[e] D_{e+1}⁻¹ U[e+1]
+      b'_e −= U[e-1]ᵀ D_{e-1}⁻¹ b_{e-1} + U[e] D_{e+1}⁻¹ b_{e+1}
+    """
+    f = diag.shape[0]
+    p = diag.shape[-1]
+    if f == 1:
+        return _chol_solve(diag[0], rhs[0])[None]
+    if f == 2:
+        h = jnp.concatenate([
+            jnp.concatenate([diag[0], upper[0]], axis=-1),
+            jnp.concatenate([upper[0].T, diag[1]], axis=-1)], axis=-2)
+        x = _chol_solve(h, jnp.concatenate([rhs[0], rhs[1]], axis=-2))
+        return jnp.stack([x[:p], x[p:]])
+
+    if f % 2:
+        eye = jnp.broadcast_to(jnp.eye(p, dtype=diag.dtype), (1, p, p))
+        diag = jnp.concatenate([diag, eye], axis=0)
+        upper = jnp.concatenate(
+            [upper, jnp.zeros((1, p, p), diag.dtype)], axis=0)
+        rhs = jnp.concatenate(
+            [rhs, jnp.zeros((1,) + rhs.shape[1:], rhs.dtype)], axis=0)
+        return block_tridiag_solve_cr(diag, upper, rhs)[:f]
+
+    k = rhs.shape[-1]
+    d_e, d_o = diag[0::2], diag[1::2]  # (ne, p, p), (no, p, p); ne == no
+    up = jnp.concatenate([upper, jnp.zeros((1, p, p), diag.dtype)], axis=0)
+    a = up[0::2]  # A[m] = U[2m]   couples even m → odd m
+    b = up[1::2]  # B[m] = U[2m+1] couples odd m → even m+1 (zero for last)
+
+    at = jnp.swapaxes(a, -1, -2)
+    # one batched solve against all odd diagonals: D_o⁻¹ [Aᵀ | B | b_o]
+    stacked = jnp.concatenate([at, b, rhs[1::2]], axis=-1)
+    s = psd_solve(d_o, stacked)
+    s1 = s[..., :p]          # D⁻¹Aᵀ
+    s2 = s[..., p:2 * p]     # D⁻¹B
+    s3 = s[..., 2 * p:]      # D⁻¹b_o
+
+    mm = jnp.matmul
+    term1 = mm(a, s1)                      # A D⁻¹ Aᵀ  → even m
+    term2 = mm(jnp.swapaxes(b, -1, -2), s2)  # Bᵀ D⁻¹ B → even m+1
+    d_red = d_e - term1
+    d_red = d_red.at[1:].add(-term2[:-1])
+    u_red = -mm(a, s2)[:-1]                # couples even m → even m+1
+    r_e = rhs[0::2] - mm(a, s3)
+    r_e = r_e.at[1:].add(-mm(jnp.swapaxes(b, -1, -2), s3)[:-1])
+
+    x_e = block_tridiag_solve_cr(d_red, u_red, r_e)
+
+    x_e_next = jnp.concatenate(
+        [x_e[1:], jnp.zeros((1, p, k), x_e.dtype)], axis=0)
+    x_o = s3 - mm(s1, x_e) - mm(s2, x_e_next)
+
+    out = jnp.zeros((f, p, k), x_e.dtype)
+    out = out.at[0::2].set(x_e)
+    out = out.at[1::2].set(x_o)
+    return out
 
 
 def banded_to_tridiag(diag: jnp.ndarray, offs: list[jnp.ndarray]):

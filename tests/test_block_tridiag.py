@@ -123,3 +123,25 @@ def test_schur_arrowhead_matches_dense():
     x = np.linalg.solve(h, b)
     np.testing.assert_allclose(np.asarray(x_f).reshape(-1), x[:n], rtol=3e-3, atol=3e-4)
     np.testing.assert_allclose(np.asarray(x_u), x[n:], rtol=3e-3, atol=3e-4)
+
+
+def test_cyclic_reduction_matches_thomas():
+    """The batched-parallel CR path equals the sequential Thomas scan on
+    random SPD tridiagonal systems of every parity/size class."""
+    from momentum_tpu.sequence.block_tridiag import (
+        block_tridiag_solve_cr, block_tridiag_solve_thomas)
+
+    rng = np.random.default_rng(7)
+    for f, p, k in ((1, 4, 1), (2, 6, 2), (7, 5, 2), (16, 4, 1), (33, 3, 3)):
+        m = rng.normal(0, 1, (f, p, p))
+        diag = jnp.asarray(m @ np.transpose(m, (0, 2, 1)) + 4 * p * np.eye(p),
+                           jnp.float32)
+        upper = jnp.asarray(rng.normal(0, 0.3, (max(f - 1, 0), p, p)),
+                            jnp.float32)
+        rhs = jnp.asarray(rng.normal(0, 1, (f, p, k)), jnp.float32)
+        x_t = block_tridiag_solve_thomas(diag, upper, rhs)
+        x_c = block_tridiag_solve_cr(diag, upper, rhs)
+        scale = float(jnp.max(jnp.abs(x_t)))
+        np.testing.assert_allclose(np.asarray(x_c) / scale,
+                                   np.asarray(x_t) / scale, atol=1e-5,
+                                   err_msg=f"F={f} p={p} k={k}")
