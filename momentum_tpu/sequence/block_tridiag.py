@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from momentum_tpu.math.linalg import psd_solve
 
 __all__ = ["block_tridiag_solve", "block_tridiag_solve_thomas",
-           "block_tridiag_solve_cr", "banded_to_tridiag",
-           "schur_arrowhead_solve"]
+           "block_tridiag_solve_cr", "block_tridiag_solve_partitioned",
+           "banded_to_tridiag", "schur_arrowhead_solve"]
 
 # Cyclic reduction is DISABLED by default: sync-timed on v5e it loses to the
 # Thomas scan at every tested shape (F=2048/p=160: 2.08 s vs 0.80 s;
@@ -40,6 +40,12 @@ __all__ = ["block_tridiag_solve", "block_tridiag_solve_thomas",
 # (correct + tested) for future hardware; opt in via the env var.
 _CR_MIN_FRAMES = int(__import__("os").environ.get(
     "MOMENTUM_TPU_CR_MIN_FRAMES", str(1 << 30)))
+# SPIKE partitioning: batched local Thomas scans + small interface system.
+# Sync-timed v5e: F=2048/p=160 778→134 ms (K=32); F=10000/p=24 157→77 ms.
+_SPIKE_MIN_FRAMES = int(__import__("os").environ.get(
+    "MOMENTUM_TPU_SPIKE_MIN_FRAMES", "128"))
+_SPIKE_PARTS = int(__import__("os").environ.get(
+    "MOMENTUM_TPU_SPIKE_PARTS", "32"))
 
 
 def _chol_solve(a, b):
@@ -54,12 +60,17 @@ def block_tridiag_solve(diag: jnp.ndarray, upper: jnp.ndarray, rhs: jnp.ndarray)
     rhs:   (F, p, k)
     Returns x (F, p, k).
 
-    Dispatches to batched cyclic reduction for F ≥ MOMENTUM_TPU_CR_MIN_FRAMES
-    (default: never — see the measured note above), else the sequential
-    block Thomas scan.
+    Dispatch (measured on v5e, see docs/BENCHMARKS.md): SPIKE partitioning
+    for F ≥ 128 (5.8× the scan at F=2048/p=160), the sequential Thomas scan
+    below it; cyclic reduction only if MOMENTUM_TPU_CR_MIN_FRAMES opts in.
+    K is capped so each chunk keeps ≥ 64 frames of serial work.
     """
-    if diag.shape[0] >= _CR_MIN_FRAMES:
+    f = diag.shape[0]
+    if f >= _CR_MIN_FRAMES:
         return block_tridiag_solve_cr(diag, upper, rhs)
+    if f >= _SPIKE_MIN_FRAMES:
+        parts = min(_SPIKE_PARTS, max(2, f // 64))
+        return block_tridiag_solve_partitioned(diag, upper, rhs, parts)
     return block_tridiag_solve_thomas(diag, upper, rhs)
 
 
@@ -176,6 +187,118 @@ def block_tridiag_solve_cr(diag: jnp.ndarray, upper: jnp.ndarray,
     out = out.at[0::2].set(x_e)
     out = out.at[1::2].set(x_o)
     return out
+
+
+def _block_tridiag_solve_lu(diag, lower, upper, rhs):
+    """General (nonsymmetric) block-tridiagonal LU-Thomas solve.
+    diag (G, n, n); lower (G-1, n, n) = H[s, s-1]; upper (G-1, n, n) =
+    H[s, s+1]; rhs (G, n, k). Small G — used for SPIKE interface systems."""
+    g_count = diag.shape[0]
+    if g_count == 1:
+        return jnp.linalg.solve(diag[0], rhs[0])[None]
+
+    def fwd(carry, inp):
+        s_prev, y_prev = carry
+        d_s, l_s, u_prev, b_s = inp
+        w = jnp.linalg.solve(s_prev, jnp.concatenate([u_prev, y_prev], -1))
+        n = u_prev.shape[-1]
+        s_s = d_s - l_s @ w[:, :n]
+        y_s = b_s - l_s @ w[:, n:]
+        return (s_s, y_s), (s_s, y_s)
+
+    (s_last, y_last), (s_rest, y_rest) = jax.lax.scan(
+        fwd, (diag[0], rhs[0]), (diag[1:], lower, upper, rhs[1:]))
+    s_all = jnp.concatenate([diag[:1], s_rest], axis=0)
+    y_all = jnp.concatenate([rhs[:1], y_rest], axis=0)
+    x_last = jnp.linalg.solve(s_last, y_last)
+
+    def bwd(x_next, inp):
+        s_s, y_s, u_s = inp
+        x_s = jnp.linalg.solve(s_s, y_s - u_s @ x_next)
+        return x_s, x_s
+
+    _, x_rest = jax.lax.scan(bwd, x_last,
+                             (s_all[:-1], y_all[:-1], upper), reverse=True)
+    return jnp.concatenate([x_rest, x_last[None]], axis=0)
+
+
+def block_tridiag_solve_partitioned(diag: jnp.ndarray, upper: jnp.ndarray,
+                                    rhs: jnp.ndarray,
+                                    partitions: int = 8) -> jnp.ndarray:
+    """SPIKE-partitioned solve of the SPD block-tridiagonal system — the
+    single-device parallel formulation (same substructuring as the
+    multi-chip sharded path, sequence/sharded.py, with vmap standing in for
+    the device axis).
+
+    Splits the F frames into K chunks; each chunk runs the Thomas scan
+    LOCALLY and BATCHED (vmap over chunks) against [rhs | left-spike |
+    right-spike] columns, then a small nonsymmetric interface system over
+    the 2K chunk-boundary unknowns couples them. Work ≈ 3× Thomas on the
+    locals + O(K·(2p)³) interface, wall-clock ≈ Thomas/K: unlike cyclic
+    reduction this keeps ONE pass over HBM, so it wins where CR lost.
+
+    Chunk s, local row x = g − V·x_{s-1,last} − W·x_{s+1,first} with
+      g = T_s⁻¹ b,  V = T_s⁻¹(e_0 ⊗ C_leftᵀ),  W = T_s⁻¹(e_{M-1} ⊗ C_right)
+    (C_left = upper[sM−1], C_right = upper[(s+1)M−1]).
+    """
+    f = diag.shape[0]
+    p = diag.shape[-1]
+    k = rhs.shape[-1]
+    kp = int(partitions)
+    if kp <= 1 or f < 2 * kp:
+        return block_tridiag_solve_thomas(diag, upper, rhs)
+    m = -(-f // kp)  # chunk length
+    pad = kp * m - f
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(p, dtype=diag.dtype), (pad, p, p))
+        diag = jnp.concatenate([diag, eye], axis=0)
+        rhs = jnp.concatenate(
+            [rhs, jnp.zeros((pad, p, k), rhs.dtype)], axis=0)
+    up_pad = jnp.concatenate(
+        [upper, jnp.zeros((pad + 1, p, p), diag.dtype)], axis=0)
+
+    dd = diag.reshape(kp, m, p, p)
+    uu_full = up_pad.reshape(kp, m, p, p)
+    uu = uu_full[:, :m - 1]
+    c_right = uu_full[:, m - 1]  # (K, p, p); last is zero
+    c_left = jnp.concatenate(
+        [jnp.zeros((1, p, p), diag.dtype), c_right[:-1]], axis=0)
+
+    big = jnp.zeros((kp, m, p, k + 2 * p), rhs.dtype)
+    big = big.at[:, :, :, :k].set(rhs.reshape(kp, m, p, k))
+    big = big.at[:, 0, :, k:k + p].set(jnp.swapaxes(c_left, -1, -2))
+    big = big.at[:, m - 1, :, k + p:].set(c_right)
+
+    sol = jax.vmap(block_tridiag_solve_thomas)(dd, uu, big)
+    g = sol[..., :k]            # (K, M, p, k)
+    v = sol[..., k:k + p]       # left spikes
+    w = sol[..., k + p:]        # right spikes
+
+    # interface system over z_s = [x_{s,first}; x_{s,last}] (2p each)
+    two_p = 2 * p
+    d_int = jnp.broadcast_to(jnp.eye(two_p, dtype=diag.dtype),
+                             (kp, two_p, two_p))
+    lower = jnp.zeros((kp - 1, two_p, two_p), diag.dtype)
+    upper_i = jnp.zeros((kp - 1, two_p, two_p), diag.dtype)
+    # L_s couples z_{s-1}: columns of x_{s-1,last} (second half)
+    lower = lower.at[:, :p, p:].set(v[1:, 0])
+    lower = lower.at[:, p:, p:].set(v[1:, m - 1])
+    # U_s couples z_{s+1}: columns of x_{s+1,first} (first half)
+    upper_i = upper_i.at[:, :p, :p].set(w[:-1, 0])
+    upper_i = upper_i.at[:, p:, :p].set(w[:-1, m - 1])
+    rhs_int = jnp.concatenate([g[:, 0], g[:, m - 1]], axis=1)  # (K, 2p, k)
+
+    z = _block_tridiag_solve_lu(d_int, lower, upper_i, rhs_int)  # (K, 2p, k)
+    xf = z[:, :p]  # x_{s,first}
+    xl = z[:, p:]  # x_{s,last}
+
+    xl_prev = jnp.concatenate(
+        [jnp.zeros((1, p, k), z.dtype), xl[:-1]], axis=0)
+    xf_next = jnp.concatenate(
+        [xf[1:], jnp.zeros((1, p, k), z.dtype)], axis=0)
+    x = g - jnp.einsum("smpq,sqk->smpk", v, xl_prev) \
+        - jnp.einsum("smpq,sqk->smpk", w, xf_next)
+    return x.reshape(kp * m, p, k)[:f]
 
 
 def banded_to_tridiag(diag: jnp.ndarray, offs: list[jnp.ndarray]):

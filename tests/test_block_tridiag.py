@@ -145,3 +145,26 @@ def test_cyclic_reduction_matches_thomas():
         np.testing.assert_allclose(np.asarray(x_c) / scale,
                                    np.asarray(x_t) / scale, atol=1e-5,
                                    err_msg=f"F={f} p={p} k={k}")
+
+
+def test_spike_partitioned_matches_thomas():
+    """Single-device SPIKE partitioning (the production dispatch for long
+    sequences) equals the sequential scan, including non-divisible chunk
+    sizes and multiple right-hand sides."""
+    from momentum_tpu.sequence.block_tridiag import (
+        block_tridiag_solve_partitioned, block_tridiag_solve_thomas)
+
+    rng = np.random.default_rng(11)
+    for f, p, k, parts in ((37, 5, 2, 4), (64, 4, 1, 8), (100, 3, 3, 8),
+                           (130, 6, 2, 16)):
+        m = rng.normal(0, 1, (f, p, p))
+        diag = jnp.asarray(m @ np.transpose(m, (0, 2, 1)) + 4 * p * np.eye(p),
+                           jnp.float32)
+        upper = jnp.asarray(rng.normal(0, 0.3, (f - 1, p, p)), jnp.float32)
+        rhs = jnp.asarray(rng.normal(0, 1, (f, p, k)), jnp.float32)
+        x_t = block_tridiag_solve_thomas(diag, upper, rhs)
+        x_s = block_tridiag_solve_partitioned(diag, upper, rhs, parts)
+        scale = float(jnp.max(jnp.abs(x_t)))
+        np.testing.assert_allclose(np.asarray(x_s) / scale,
+                                   np.asarray(x_t) / scale, atol=1e-5,
+                                   err_msg=f"F={f} p={p} K={parts}")
