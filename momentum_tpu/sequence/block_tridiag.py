@@ -8,8 +8,10 @@ the precedent is SequenceCholeskySolverT (sequence_cholesky_solver.h:20-60),
 which also forms banded normal equations.
 
 Pieces:
-  * block_tridiag_solve — block Thomas recursion via two lax.scan passes
-    (each step = a few p×p MXU matmuls + one p×p Cholesky).
+  * block_tridiag_solve — measured dispatch: SPIKE-partitioned solve for
+    long sequences (K batched local Thomas scans + small interface system),
+    the sequential scan for short ones; cyclic reduction available but
+    measured slower (see docs/BENCHMARKS.md).
   * banded_to_tridiag — aggregates a half-bandwidth-q block-banded system
     into a block-tridiagonal one with (q·p)-sized superblocks, so any
     window-(q+1) sequence error reduces to the tridiagonal case.
