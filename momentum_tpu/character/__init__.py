@@ -16,6 +16,7 @@ from momentum_tpu.character.character import (  # noqa: F401
     Character,
     CollisionGeometry,
     Locators,
+    PhysicalProperties,
     SkinnedLocators,
     Mesh,
 )

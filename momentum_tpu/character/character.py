@@ -22,7 +22,8 @@ from momentum_tpu.character.skinning import SkinWeights
 from momentum_tpu.character import fk
 from momentum_tpu.math import skel_state as ss
 
-__all__ = ["Mesh", "Locators", "SkinnedLocators", "Character", "CollisionGeometry"]
+__all__ = ["Mesh", "Locators", "SkinnedLocators", "Character", "CollisionGeometry",
+           "PhysicalProperties"]
 
 
 @jax.tree_util.register_dataclass
@@ -55,6 +56,15 @@ class Locators:
     offset: jnp.ndarray  # (L, 3)
     weight: jnp.ndarray  # (L,)
     names: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    # per-axis hard-lock flags + calibration limit pull (locator.h:21-46:
+    # limit_weight penalizes offset drift away from limit_origin during
+    # locator calibration; attached_to_skin/skin_offset mark skin-derived
+    # locators). All optional; None means all-zero defaults.
+    locked: Optional[jnp.ndarray] = None  # (L, 3) 0/1
+    limit_weight: Optional[jnp.ndarray] = None  # (L, 3)
+    limit_origin: Optional[jnp.ndarray] = None  # (L, 3)
+    attached_to_skin: Optional[jnp.ndarray] = None  # (L,) 0/1
+    skin_offset: Optional[jnp.ndarray] = None  # (L,)
 
     @property
     def num_locators(self) -> int:
@@ -95,6 +105,42 @@ class SkinnedLocators:
             rest = rest + rest_offset
         pts = _ss.transform_points(skin_t, rest[..., :, None, :])
         return jnp.einsum("...ck,...cki->...ci", self.skin_weights, pts)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PhysicalProperties:
+    """Per-joint physical mass properties in SoA form (character/joint.h:88-114
+    JointPhysicalProperties / character.h:66 physicalProperties). Momentum
+    units: mass in kg, center-of-mass offset in cm (joint frame), inertia in
+    kg·cm² about the body COM expressed in the local inertia frame,
+    inertia_rotation = quaternion (x,y,z,w) from the inertia frame to the
+    joint frame. `joint_names` is the source of truth for remapping;
+    `joint_index` is the resolved cache (joint.h:92-98)."""
+
+    joint_index: jnp.ndarray  # (B,) int32
+    mass: jnp.ndarray  # (B,) kg
+    center_of_mass_offset: jnp.ndarray  # (B, 3) cm, joint frame
+    inertia: jnp.ndarray  # (B, 3, 3) kg·cm², about COM in inertia frame
+    inertia_rotation: jnp.ndarray  # (B, 4) quaternion xyzw, inertia→joint
+    joint_names: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+
+    @property
+    def num_bodies(self) -> int:
+        return self.joint_index.shape[0]
+
+    def total_mass(self) -> jnp.ndarray:
+        return jnp.sum(self.mass)
+
+    def com_constraint(self, num_joints: int):
+        """Dense per-joint (masses, local offsets) for the center-of-mass
+        error (center_of_mass_error_function.cpp:46: com = Σ mᵢ·worldPosᵢ).
+        Joints without a body get zero mass."""
+        masses = jnp.zeros((num_joints,), self.mass.dtype).at[self.joint_index].add(self.mass)
+        weighted = jnp.zeros((num_joints, 3), self.mass.dtype).at[self.joint_index].add(
+            self.mass[:, None] * self.center_of_mass_offset)
+        offsets = weighted / jnp.maximum(masses, 1e-12)[:, None]
+        return masses, offsets
 
 
 # CollisionPrimitiveType (collision_geometry.h:22-26)
@@ -168,6 +214,8 @@ class Character:
     )
     # separate face-expression basis (character.h faceExpressionBlendShape;
     # addFaceExpressionParameters, parameter_transform.h:212-215)
+    # per-joint mass/inertia bodies loaded from model assets (character.h:66)
+    physical_properties: Optional[PhysicalProperties] = None
     face_expression_blend_shape: Optional[BlendShape] = None
     face_expression_param_index: Optional[tuple] = dataclasses.field(
         default=None, metadata=dict(static=True)

@@ -41,6 +41,9 @@ class ParameterTransform:
     # named parameter sets (reference: ParameterSets, bitsets by name) as static
     # dict name -> tuple of parameter indices
     parameter_sets: dict = dataclasses.field(default_factory=dict, metadata=dict(static=True))
+    # named pose presets (reference: PoseConstraints, parameter_transform.h
+    # poseConstraints) as static dict name -> ((param index, value), ...)
+    pose_constraints: dict = dataclasses.field(default_factory=dict, metadata=dict(static=True))
 
     @property
     def num_model_parameters(self) -> int:

@@ -40,9 +40,32 @@ __all__ = [
 ]
 
 
-def scale_character(character: Character, scale: float) -> Character:
+def scale_physical_properties(physical_properties, length_scale: float,
+                              mass_scale: str = "preserve_mass"):
+    """Scale per-joint mass bodies (character_utility.cpp:105-130):
+    COM offset × s; with "preserve_mass" mass × 1, inertia × s²; with
+    "preserve_density" mass × s³, inertia × s⁵ (character_utility.h:41-42)."""
+    if physical_properties is None:
+        return None
+    if mass_scale == "preserve_mass":
+        m = 1.0
+    elif mass_scale == "preserve_density":
+        m = length_scale ** 3
+    else:
+        raise ValueError(f"unknown mass-scale policy: {mass_scale!r}")
+    return dataclasses.replace(
+        physical_properties,
+        center_of_mass_offset=physical_properties.center_of_mass_offset * length_scale,
+        mass=physical_properties.mass * m,
+        inertia=physical_properties.inertia * (m * length_scale * length_scale),
+    )
+
+
+def scale_character(character: Character, scale: float,
+                    mass_scale: str = "preserve_mass") -> Character:
     """Uniformly scale a character (character_utility.cpp scaleCharacter):
-    translation offsets, locator offsets, mesh, capsule geometry scale."""
+    translation offsets, locator offsets, mesh, capsule geometry scale,
+    physical mass bodies per the `mass_scale` policy."""
     skel = character.skeleton
     new_skel = dataclasses.replace(
         skel, translation_offset=skel.translation_offset * scale
@@ -53,15 +76,24 @@ def scale_character(character: Character, scale: float) -> Character:
             out, mesh=dataclasses.replace(character.mesh,
                                           vertices=character.mesh.vertices * scale))
     if character.locators is not None:
+        loc = character.locators
         out = dataclasses.replace(
-            out, locators=dataclasses.replace(character.locators,
-                                              offset=character.locators.offset * scale))
+            out, locators=dataclasses.replace(
+                loc, offset=loc.offset * scale,
+                limit_origin=None if loc.limit_origin is None
+                else loc.limit_origin * scale,
+                skin_offset=None if loc.skin_offset is None
+                else loc.skin_offset * scale))
     if character.collision is not None:
         col = character.collision
         tf = col.transform.at[..., 0:3].multiply(scale)
         out = dataclasses.replace(
             out, collision=dataclasses.replace(
                 col, transform=tf, radius=col.radius * scale, length=col.length * scale))
+    if character.physical_properties is not None:
+        out = dataclasses.replace(
+            out, physical_properties=scale_physical_properties(
+                character.physical_properties, scale, mass_scale))
     out = dataclasses.replace(out, inverse_bind_pose=None)
     return out.with_inverse_bind_pose()
 
@@ -167,15 +199,42 @@ def remove_joints(character: Character, joints_to_remove) -> Character:
         character, skeleton=new_skel, parameter_transform=pt2, inverse_bind_pose=None,
         mesh=None, skin_weights=None, blend_shape=None, collision=None,
     )
+    if character.physical_properties is not None:
+        # drop bodies on removed joints, remap the rest
+        # (character_utility.cpp:143-170 mapPhysicalProperties)
+        pp = character.physical_properties
+        pj = np.asarray(pp.joint_index)
+        pkeep = ~remove[pj]
+        new_pp = None
+        if pkeep.any():
+            new_pp = dataclasses.replace(
+                pp,
+                joint_index=jnp.asarray(old_to_new[pj[pkeep]], jnp.int32),
+                mass=jnp.asarray(np.asarray(pp.mass)[pkeep]),
+                center_of_mass_offset=jnp.asarray(
+                    np.asarray(pp.center_of_mass_offset)[pkeep]),
+                inertia=jnp.asarray(np.asarray(pp.inertia)[pkeep]),
+                inertia_rotation=jnp.asarray(
+                    np.asarray(pp.inertia_rotation)[pkeep]),
+                joint_names=tuple(np.asarray(pp.joint_names)[pkeep].tolist()),
+            )
+        out = dataclasses.replace(out, physical_properties=new_pp)
     if character.locators is not None:
         loc = character.locators
         lp = np.asarray(loc.parent)
         lkeep = ~remove[lp]
+        def _sub(arr):
+            return None if arr is None else jnp.asarray(np.asarray(arr)[lkeep])
+
         out = dataclasses.replace(out, locators=Locators(
             parent=jnp.asarray(old_to_new[lp[lkeep]], jnp.int32),
             offset=jnp.asarray(np.asarray(loc.offset)[lkeep]),
             weight=jnp.asarray(np.asarray(loc.weight)[lkeep]),
             names=tuple(np.asarray(loc.names)[lkeep].tolist()),
+            locked=_sub(loc.locked), limit_weight=_sub(loc.limit_weight),
+            limit_origin=_sub(loc.limit_origin),
+            attached_to_skin=_sub(loc.attached_to_skin),
+            skin_offset=_sub(loc.skin_offset),
         ))
     if character.mesh is not None and character.skin_weights is not None:
         # keep mesh; re-point skinning at nearest kept ancestor

@@ -125,6 +125,18 @@ class CenterOfMassErrorFunction(ErrorFunction):
             project_to_plane=project_to_plane,
         )
 
+    @classmethod
+    def from_physical_properties(cls, character, target, **kw):
+        """COM constraint driven by the character's per-joint mass bodies
+        (character.h:66 physicalProperties; each body contributes its mass at
+        its local COM offset, center_of_mass_error_function.cpp:46)."""
+        pp = character.physical_properties
+        if pp is None or pp.num_bodies == 0:
+            raise ValueError("character has no physical properties")
+        return cls.create(np.asarray(pp.joint_index), np.asarray(pp.mass),
+                          target, offsets=np.asarray(pp.center_of_mass_offset),
+                          **kw)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

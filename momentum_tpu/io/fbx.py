@@ -254,6 +254,7 @@ def _load_fbx_impl(path):
     uid_to_idx = {u: i for i, u in enumerate(order)}
     names, parents, pre, offs = [], [], [], []
     rest_rot, rest_scale = [], []
+    phys_json = {}  # joint index → JSON string (openfbx_loader.cpp:138-143)
     for uid in order:
         node, _ = models[uid]
         raw_name = node.props[1] if len(node.props) > 1 else f"j{uid}"
@@ -277,6 +278,13 @@ def _load_fbx_impl(path):
                     pr = [float(x) for x in pn.props[4:7]]
                 elif key == "Lcl Scaling":
                     sc = [float(x) for x in pn.props[4:7]]
+                elif key == "physicalProperties" and len(pn.props) > 4:
+                    # custom string user property carrying the mass-body JSON
+                    v = pn.props[4]
+                    if isinstance(v, bytes):
+                        v = v.decode("utf-8", "replace")
+                    if isinstance(v, str):
+                        phys_json[len(names) - 1] = v
         rest_rot.append(r)
         rest_scale.append(sc[0])
         q_pre = _euler_xyz_deg_to_quat(*pr)
@@ -293,6 +301,22 @@ def _load_fbx_impl(path):
         offs.append(t)
 
     skeleton = make_skeleton(parents, np.asarray(pre), np.asarray(offs), names)
+
+    physical_properties = None
+    if phys_json:
+        import json as _json
+
+        from momentum_tpu.io._physical import (
+            body_from_json, rows_to_physical_properties,
+        )
+
+        rows = []
+        for j, s in sorted(phys_json.items()):
+            try:
+                rows.append((j,) + body_from_json(_json.loads(s)) + (names[j],))
+            except (ValueError, TypeError, KeyError, IndexError):
+                continue  # malformed entries skipped (openfbx_loader.cpp:133-136)
+        physical_properties = rows_to_physical_properties(rows)
 
     # mesh: first geometry
     mesh = None
@@ -349,6 +373,7 @@ def _load_fbx_impl(path):
         skeleton=skeleton,
         parameter_transform=make_identity_transform(skeleton.num_joints),
         mesh=mesh, skin_weights=skin_weights,
+        physical_properties=physical_properties,
     )
     if mesh is not None and skin_weights is not None:
         character = character.with_inverse_bind_pose()

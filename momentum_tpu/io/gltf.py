@@ -138,11 +138,27 @@ def save_character_glb(path, character, motion=None, fps=120.0, markers=None) ->
         (roots if p < 0 else children[p]).append(j)
     pre = np.asarray(skel.pre_rotation)
     offs = np.asarray(skel.translation_offset)
+    # per-joint physical bodies into the joint-node extension
+    # (gltf_builder.cpp:746-752 / json_utils.cpp:310-336 schema)
+    phys_by_joint = {}
+    if character.physical_properties is not None:
+        from momentum_tpu.io._physical import body_to_json
+
+        pp = character.physical_properties
+        pj = np.asarray(pp.joint_index)
+        pm = np.asarray(pp.mass)
+        pc = np.asarray(pp.center_of_mass_offset)
+        pi = np.asarray(pp.inertia)
+        pq = np.asarray(pp.inertia_rotation)
+        for b in range(pp.num_bodies):
+            phys_by_joint[int(pj[b])] = body_to_json(pm[b], pc[b], pi[b], pq[b])
     for j in range(nj):
         node = dict(name=skel.joint_names[j],
                     rotation=[float(x) for x in pre[j]],
                     translation=[float(x) for x in offs[j]])
         node["extensions"] = {"FB_momentum": {"type": "skeleton_joint"}}
+        if j in phys_by_joint:
+            node["extensions"]["FB_momentum"]["physicalProperties"] = phys_by_joint[j]
         if children[j]:
             node["children"] = list(children[j])
         nodes.append(node)
@@ -221,6 +237,17 @@ def save_character_glb(path, character, motion=None, fps=120.0, markers=None) ->
             k: [character.parameter_transform.names[i] for i in v]
             for k, v in character.parameter_transform.parameter_sets.items()
         }
+    # limits + pose presets in the document extension (gltf_builder.cpp:1005-1007)
+    from momentum_tpu.io.limits_json import (
+        limits_to_json, pose_constraints_to_json,
+    )
+
+    limits_json = limits_to_json(character)
+    if limits_json:
+        ext["parameterLimits"] = limits_json
+    pose_json = pose_constraints_to_json(character)
+    if pose_json:
+        ext["poseConstraints"] = pose_json
     if motion is not None:
         motion = np.asarray(motion, np.float32)
         poses_acc = w.add(motion.reshape(-1), "SCALAR")
@@ -348,6 +375,18 @@ def load_character_glb(path, return_markers=False):
         names.append(n.get("name", f"joint{j}"))
     skeleton = make_skeleton(parents, np.asarray(pre), np.asarray(offs), names)
 
+    # per-joint physical bodies (gltf_skeleton_io.cpp:151-153,
+    # json_utils.cpp:338-374 schema; inertiaRotation stored [w,x,y,z])
+    from momentum_tpu.io._physical import body_from_json, rows_to_physical_properties
+
+    phys_rows = []
+    for j, nid in enumerate(joint_ids):
+        e = node_ext(nodes[nid])
+        if "physicalProperties" in e:
+            phys_rows.append(
+                (j,) + body_from_json(e["physicalProperties"]) + (names[j],))
+    physical_properties = rows_to_physical_properties(phys_rows)
+
     ext = doc.get("extensions", {}).get("FB_momentum", {})
     if "transform" in ext:
         pt = _pt_from_json(ext["transform"], skeleton)
@@ -358,6 +397,10 @@ def load_character_glb(path, return_markers=False):
         psets = {k: tuple(name_idx[n] for n in v if n in name_idx)
                  for k, v in ext["parameterSet"].items()}
         pt = dataclasses.replace(pt, parameter_sets=psets)
+
+    from momentum_tpu.io.limits_json import (
+        limits_from_json, pose_constraints_from_json,
+    )
 
     # locators + collision from special nodes
     loc_rows = []
@@ -413,9 +456,17 @@ def load_character_glb(path, return_markers=False):
                     sw[:, 4 * g: 4 * g + 4] = _read_accessor(doc, blob, attrs[f"WEIGHTS_{g}"])
             skin_weights = SkinWeights(index=jnp.asarray(si), weight=jnp.asarray(sw))
 
+    stub = Character(skeleton=skeleton, parameter_transform=pt)
+    if "poseConstraints" in ext:
+        pt = dataclasses.replace(pt, pose_constraints=pose_constraints_from_json(
+            stub, ext["poseConstraints"]))
+    limits_kw = {}
+    if "parameterLimits" in ext:
+        limits_kw["limits"] = limits_from_json(stub, ext["parameterLimits"])
     character = Character(
         skeleton=skeleton, parameter_transform=pt, mesh=mesh,
         skin_weights=skin_weights, locators=locators, collision=collision,
+        physical_properties=physical_properties, **limits_kw,
     )
     if mesh is not None and skin_weights is not None:
         character = character.with_inverse_bind_pose()

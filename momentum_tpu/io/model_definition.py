@@ -316,10 +316,11 @@ def load_model_definition(source, skeleton: Skeleton):
     sections = load_momentum_model(source)
     pt = parse_parameter_transform(sections.get("ParameterTransform", ""), skeleton)
     psets = parse_parameter_sets(sections.get("ParameterSets", ""), pt)
-    if psets:
+    pcons = parse_pose_constraints(sections.get("PoseConstraints", ""), pt)
+    if psets or pcons:
         pt = ParameterTransform(
             transform=pt.transform, offsets=pt.offsets, names=pt.names,
-            parameter_sets=psets)
+            parameter_sets=psets, pose_constraints=pcons)
     limits = parse_parameter_limits(sections.get("ParameterLimits", ""), skeleton, pt)
     return pt, limits
 

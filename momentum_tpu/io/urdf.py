@@ -8,7 +8,9 @@ driving the joint parameter that matches the motion axis. Arbitrary
 (non-axis-aligned) axes are handled by folding an axis-alignment rotation
 into the preRotation so the motion happens about the local X axis (the
 reference performs the same alignment). Joint limits become MinMax parameter
-limits.
+limits. Link <inertial> elements become per-joint PhysicalProperties bodies
+(urdf_io.cpp:93-111); lengths are kept in the URDF's own units, consistent
+with this loader's handling of link origins.
 """
 
 from __future__ import annotations
@@ -100,12 +102,36 @@ def load_urdf(source):
     param_names = []
     limit_rows = []
     name_to_idx = {}
+    phys_rows = []  # per-link <inertial> bodies (urdf_io.cpp:93-111)
+
+    def _parse_inertial(link_name, idx):
+        link = links.get(link_name)
+        inertial = link.find("inertial") if link is not None else None
+        if inertial is None:
+            return
+        mass_el = inertial.find("mass")
+        mass = float(mass_el.get("value", "0")) if mass_el is not None else 0.0
+        if mass <= 0.0:
+            return
+        origin = inertial.find("origin")
+        com = _floats(origin.get("xyz") if origin is not None else None, (0, 0, 0))
+        rpy = _floats(origin.get("rpy") if origin is not None else None, (0, 0, 0))
+        ine = inertial.find("inertia")
+
+        def g(k):
+            return float(ine.get(k, "0")) if ine is not None else 0.0
+
+        m = np.asarray([[g("ixx"), g("ixy"), g("ixz")],
+                        [g("ixy"), g("iyy"), g("iyz")],
+                        [g("ixz"), g("iyz"), g("izz")]], np.float32)
+        phys_rows.append((idx, mass, com, m, list(_rpy_to_quat(rpy)), link_name))
 
     def visit(link_name, parent_idx, jelem):
         idx = len(names)
         names.append(link_name)
         name_to_idx[link_name] = idx
         parents.append(parent_idx)
+        _parse_inertial(link_name, idx)
         if jelem is None:
             pre.append([0.0, 0.0, 0.0, 1.0])
             offs.append([0.0, 0.0, 0.0])
@@ -158,5 +184,8 @@ def load_urdf(source):
         names=tuple(param_names),
     )
     limits = make_limits(minmax=limit_rows)
+    from momentum_tpu.io._physical import rows_to_physical_properties
+
     return Character(skeleton=skeleton, parameter_transform=pt, limits=limits,
+                     physical_properties=rows_to_physical_properties(phys_rows),
                      name=root.get("name", ""))

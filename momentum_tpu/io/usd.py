@@ -761,6 +761,31 @@ def _character_to_stage(character, motion=None, fps=24.0) -> Stage:
             scope.children.append(p)
         root.children.append(scope)
 
+    # per-joint mass bodies (usd_io.cpp:241-270 savePhysicalPropertiesToUsd:
+    # a PhysicalProperties scope, one prim per body with momentum:joint +
+    # momentum:physicalProperties JSON, tokens at usd_io.cpp:89-90)
+    if character.physical_properties is not None and \
+            character.physical_properties.num_bodies:
+        from momentum_tpu.io._physical import body_to_json
+
+        pp = character.physical_properties
+        scope = Prim(name="PhysicalProperties", type="Scope")
+        pj = np.asarray(pp.joint_index)
+        pm = np.asarray(pp.mass)
+        pc = np.asarray(pp.center_of_mass_offset)
+        pi = np.asarray(pp.inertia)
+        pq = np.asarray(pp.inertia_rotation)
+        for b in range(pp.num_bodies):
+            jname = pp.joint_names[b] if pp.joint_names else names[int(pj[b])]
+            p = Prim(name=_sanitize(f"{jname}_body_{b}"), attrs={
+                "momentum:joint": Attr("momentum:joint", "string", jname),
+                "momentum:physicalProperties": Attr(
+                    "momentum:physicalProperties", "string",
+                    json.dumps(body_to_json(pm[b], pc[b], pi[b], pq[b]))),
+            })
+            scope.children.append(p)
+        root.children.append(scope)
+
     return Stage(
         meta={"defaultPrim": "Root", "metersPerUnit": 1, "upAxis": "Y",
               "timeCodesPerSecond": float(fps)},
@@ -886,10 +911,20 @@ def _stage_to_character(stage: Stage):
                 skin = SkinWeights(index=jnp.asarray(si8),
                                    weight=jnp.asarray(sw8))
 
-    # locators / collision custom prims
+    # locators / collision / physical-body custom prims
     name_idx = {n: i for i, n in enumerate(names)}
-    loc_rows, col_rows = [], []
+    loc_rows, col_rows, phys_rows = [], [], []
     for prim in stage.walk():
+        pj_json = prim.attr("momentum:physicalProperties")
+        if pj_json:
+            from momentum_tpu.io._physical import body_from_json
+
+            jname = prim.attr("momentum:joint", "")
+            if jname in name_idx:
+                phys_rows.append(
+                    (name_idx[jname],) + body_from_json(json.loads(pj_json))
+                    + (jname,))
+            continue
         ptype = prim.attr("momentum:type")
         if ptype == "locator":
             loc_rows.append((
@@ -941,9 +976,12 @@ def _stage_to_character(stage: Stage):
     if pt is None:
         pt = make_identity_transform(nj)
 
+    from momentum_tpu.io._physical import rows_to_physical_properties
+
     character = Character(
         skeleton=skeleton, parameter_transform=pt, mesh=mesh,
         skin_weights=skin, locators=locators, collision=collision,
+        physical_properties=rows_to_physical_properties(phys_rows),
         name=cname or "usd_character")
     if mesh is not None and skin is not None:
         character = character.with_inverse_bind_pose()
