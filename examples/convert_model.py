@@ -89,6 +89,15 @@ def save_any(path, character, motion, fps):
 
         save_legacy_json(path, character)
         return
+    if ext == ".fbx":
+        from momentum_tpu.io.fbx_writer import save_fbx, save_fbx_with_joint_params
+
+        if motion is not None and \
+                motion.shape[-1] == character.skeleton.num_joint_parameters:
+            save_fbx_with_joint_params(path, character, motion, fps=fps)
+        else:
+            save_fbx(path, character, motion=motion, fps=fps)
+        return
     raise SystemExit(f"unsupported output format: {ext}")
 
 

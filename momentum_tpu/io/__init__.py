@@ -1,5 +1,11 @@
 from momentum_tpu.io.bvh import load_bvh, save_bvh  # noqa: F401
-from momentum_tpu.io.fbx import load_fbx  # noqa: F401
+from momentum_tpu.io.fbx import load_fbx, load_fbx_with_motion  # noqa: F401
+from momentum_tpu.io.fbx_writer import (  # noqa: F401
+    save_fbx,
+    save_fbx_model,
+    save_fbx_with_joint_params,
+)
+from momentum_tpu.io.locators import load_locators, save_locators  # noqa: F401
 from momentum_tpu.io.urdf import load_urdf  # noqa: F401
 from momentum_tpu.io.gltf import load_character_glb, save_character_glb  # noqa: F401
 from momentum_tpu.io.markers import RawMarkerData, load_c3d, load_trc, save_trc  # noqa: F401
