@@ -43,11 +43,12 @@ __all__ = ["block_tridiag_solve", "block_tridiag_solve_thomas",
 _CR_MIN_FRAMES = int(__import__("os").environ.get(
     "MOMENTUM_TPU_CR_MIN_FRAMES", str(1 << 30)))
 # SPIKE partitioning: batched local Thomas scans + small interface system.
-# Sync-timed v5e: F=2048/p=160 778→134 ms (K=32); F=10000/p=24 157→77 ms.
+# Sync-timed v5e F=2048/p=160: 778 ms scan → 134 (K=32) → 105 (K=64) →
+# 127 (K=128); F=10000/p=24: 157 → 77 ms. Knee at 32-frame chunks.
 _SPIKE_MIN_FRAMES = int(__import__("os").environ.get(
     "MOMENTUM_TPU_SPIKE_MIN_FRAMES", "128"))
 _SPIKE_PARTS = int(__import__("os").environ.get(
-    "MOMENTUM_TPU_SPIKE_PARTS", "32"))
+    "MOMENTUM_TPU_SPIKE_PARTS", "64"))
 
 
 def _chol_solve(a, b):
@@ -71,7 +72,7 @@ def block_tridiag_solve(diag: jnp.ndarray, upper: jnp.ndarray, rhs: jnp.ndarray)
     if f >= _CR_MIN_FRAMES:
         return block_tridiag_solve_cr(diag, upper, rhs)
     if f >= _SPIKE_MIN_FRAMES:
-        parts = min(_SPIKE_PARTS, max(2, f // 64))
+        parts = min(_SPIKE_PARTS, max(2, f // 32))
         return block_tridiag_solve_partitioned(diag, upper, rhs, parts)
     return block_tridiag_solve_thomas(diag, upper, rhs)
 
