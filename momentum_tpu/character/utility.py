@@ -37,6 +37,7 @@ __all__ = [
     "add_skinned_locator_parameters",
     "skinned_locator_rest_offsets",
     "resample_motion",
+    "extrapolate_model_parameters",
 ]
 
 
@@ -285,6 +286,28 @@ def resample_motion(poses: np.ndarray, src_fps: float, dst_fps: float) -> np.nda
     i0 = np.clip(np.floor(t_out).astype(np.int64), 0, f - 2)
     frac = (t_out - i0)[:, None]
     return poses[i0] * (1 - frac) + poses[i0 + 1] * frac
+
+
+def extrapolate_model_parameters(previous, current, active=None,
+                                 factor: float = 0.8,
+                                 max_delta: float = 0.4):
+    """Predict the next pose from two consecutive ones
+    (skeleton_utility.h:22-38 extrapolateModelParameters): clamp the
+    per-parameter step to [-max_delta, max_delta], scale by `factor`, and add
+    to `current`. With an `active` mask, inactive parameters pass through
+    `current` unchanged. Returns `current` when sizes mismatch (reference
+    size-mismatch fallback). Batched over leading dims."""
+    import jax.numpy as jnp
+
+    previous = jnp.asarray(previous)
+    current = jnp.asarray(current)
+    if previous.shape != current.shape:
+        return current
+    delta = jnp.clip(current - previous, -max_delta, max_delta)
+    out = current + factor * delta
+    if active is not None:
+        out = jnp.where(jnp.asarray(active, bool), out, current)
+    return out
 
 
 def add_blend_shape_parameters(character: Character, blend_shape, num_shapes=None) -> Character:
