@@ -53,8 +53,11 @@ def main():
     # warm start: previous-frame initialization (tracking scenario)
     x0 = gt + jnp.asarray(rng.normal(0, 0.05, gt.shape), jnp.float32)
     reg = float(os.environ.get("MOMENTUM_TPU_BENCH_REG", "1e-5"))
+    lam0 = float(os.environ.get("MOMENTUM_TPU_BENCH_LAMBDA0", "0.01"))
+    lam_down = float(os.environ.get("MOMENTUM_TPU_BENCH_LAMBDA_DOWN", "0.1"))
     opts = SolverOptions(max_iterations=iters, regularization=reg,
-                         energy_from_residual=True)
+                         energy_from_residual=True, lambda_init=lam0,
+                         lambda_down=lam_down)
 
     method = os.environ.get("MOMENTUM_TPU_BENCH_METHOD", "lm")
 
