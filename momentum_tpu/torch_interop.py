@@ -13,7 +13,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["Skeleton", "LinearBlendSkinning", "ParameterTransformModule",
-           "InverseParameterTransformModule", "solve_ik_torch"]
+           "InverseParameterTransformModule", "solve_ik_torch",
+           "BlendShapeModule", "ParameterLimitsModule", "SdfColliderModule"]
 
 
 def _to_jax(t):
@@ -49,6 +50,29 @@ def _autograd_wrap(jax_fn):
         def backward(ctx, g):
             (gx,) = ctx.vjp(_to_jax(g))
             return _to_torch(gx, like=ctx.like)
+
+    return _Fn.apply
+
+
+def _autograd_wrap_n(jax_fn):
+    """n-ary variant: every positional arg is a differentiable tensor."""
+    import jax
+    import torch
+
+    class _Fn(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, *args):
+            aj = tuple(_to_jax(a) for a in args)
+            y, vjp = jax.vjp(jax_fn, *aj)
+            ctx.vjp = vjp
+            ctx.like = args
+            return _to_torch(y, like=args[0])
+
+        @staticmethod
+        def backward(ctx, g):
+            grads = ctx.vjp(_to_jax(g))
+            return tuple(_to_torch(gx, like=a)
+                         for gx, a in zip(grads, ctx.like))
 
     return _Fn.apply
 
@@ -176,3 +200,116 @@ class InverseParameterTransformModule:
         return self._fn(joint_parameters)
 
     __call__ = forward
+
+
+class BlendShapeModule:
+    """Blend-shape coefficients → vertices (torch in/out). Mirrors
+    pymomentum.torch.character.BlendShape."""
+
+    def __init__(self, blend_shape):
+        import jax
+
+        self.blend_shape = blend_shape
+        self._fn = _autograd_wrap(jax.jit(lambda c: blend_shape.apply(c)))
+
+    def forward(self, coefficients):
+        return self._fn(coefficients)
+
+    __call__ = forward
+
+
+class ParameterLimitsModule:
+    """Differentiable parameter-limit penalties (torch in/out). Mirrors
+    pymomentum/torch/parameter_limits.py: forward() returns the total limit
+    error; evaluate_by_type() splits it per record type in the same fixed
+    order as the reference's evaluate_*_error methods."""
+
+    _TYPE_ORDER = ("minmax", "minmax_joint", "linear", "linear_joint",
+                   "halfplane", "ellipsoid")
+
+    def __init__(self, character, weight: float = 1.0):
+        import jax
+
+        from momentum_tpu.errors import LimitErrorFunction
+        from momentum_tpu.solver import SkeletonSolverFunction
+
+        self.character = character
+        ef = LimitErrorFunction.create(weight=weight)
+        fn = SkeletonSolverFunction(character, (ef,))
+        self._error = _autograd_wrap(jax.jit(fn.error))
+
+        lim = character.limits
+        present = []
+        if lim is not None:
+            if lim.minmax_index.shape[0]:
+                present.append("minmax")
+            if lim.minmax_joint_index.shape[0]:
+                present.append("minmax_joint")
+            if lim.linear_ref.shape[0]:
+                present.append("linear")
+            if lim.linear_joint_ref.shape[0]:
+                present.append("linear_joint")
+            if lim.halfplane_idx1.shape[0]:
+                present.append("halfplane")
+            if lim.ellipsoid_parent.shape[0]:
+                present.append("ellipsoid")
+        self._present = tuple(present)
+
+        def by_type(mp):
+            import jax.numpy as jnp
+
+            from momentum_tpu.errors.limit import K_LIMIT_WEIGHT
+
+            ctx = fn.context(mp)
+            pieces = ef._pieces(character, ctx)
+            # same scaling as LimitErrorFunction.error: kLimitWeight · weight
+            # · Σ w_rec · loss(‖f‖²) (limit_error_function.h:91)
+            return jnp.stack([
+                K_LIMIT_WEIGHT * ef.weight
+                * jnp.sum(w * ef.loss.value(jnp.sum(f * f, axis=-1)), axis=-1)
+                for f, w in pieces])
+
+        self._by_type = _autograd_wrap(jax.jit(by_type)) if present else None
+
+    def forward(self, model_parameters):
+        return self._error(model_parameters)
+
+    __call__ = forward
+
+    def evaluate_by_type(self, model_parameters) -> dict:
+        """dict type-name → weighted squared-residual sum (torch tensors)."""
+        if self._by_type is None:
+            return {}
+        vals = self._by_type(model_parameters)
+        return {name: vals[i] for i, name in enumerate(self._present)}
+
+
+class SdfColliderModule:
+    """Differentiable SDF evaluation of world points against a collider
+    rigidly attached to a joint (torch in/out). Mirrors
+    pymomentum/torch/sdf_collision.py SDFCollider: points are mapped into
+    the collider's joint-local frame through the skeleton state, then
+    trilinearly sampled; fully autograd-capable through both inputs."""
+
+    def __init__(self, sdf, parent: int = -1):
+        import jax
+
+        from momentum_tpu.math import skel_state as _ss
+
+        self.sdf = sdf
+        self.parent = parent
+
+        def evaluate(skel_states, points):
+            if parent >= 0:
+                local = _ss.transform_points(
+                    _ss.inverse(skel_states[..., parent, :]), points)
+            else:
+                local = points
+            return sdf.sample(local)
+
+        self._fn = _autograd_wrap_n(jax.jit(evaluate))
+
+    def evaluate(self, skel_states, points):
+        return self._fn(skel_states, points)
+
+    __call__ = evaluate
