@@ -21,7 +21,7 @@ from momentum_tpu.math import skel_state as ss
 
 MAX_SKIN_JOINTS = 8  # reference kMaxSkinJoints (skin_weights.h:19)
 
-__all__ = ["SkinWeights", "MAX_SKIN_JOINTS", "skinning_matrices", "apply_ssd", "skin_points"]
+__all__ = ["SkinWeights", "MAX_SKIN_JOINTS", "skinning_matrices", "apply_ssd", "skin_points", "skin_points_coo"]
 
 
 @jax.tree_util.register_dataclass
@@ -95,3 +95,49 @@ def update_normals(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
         out = out.at[..., faces[:, k], :].add(fn)
     n = jnp.linalg.norm(out, axis=-1, keepdims=True)
     return out / jnp.maximum(n, 1e-12)
+
+
+def skin_points_coo(
+    rest_points: jnp.ndarray,
+    global_states: jnp.ndarray,
+    inverse_bind_pose: jnp.ndarray,
+    skin_indices: jnp.ndarray,
+    skin_weights: jnp.ndarray,
+    vert_indices: jnp.ndarray,
+) -> jnp.ndarray:
+    """Flattened-COO linear blend skinning for heterogeneous topologies
+    (pymomentum/backend/trs_backend.py:603 multi_topology_skinning).
+
+    Instead of the fixed (V, 8) influence table, influences arrive as three
+    flat arrays of length N: `vert_indices[n]` receives
+    `skin_weights[n] ·  M[skin_indices[n]] · rest`, accumulated by
+    segment-sum (deterministic scatter-add on TPU). With a batch dimension,
+    `skin_indices` flattens batch·joint (index = b·nJ + j) and `vert_indices`
+    flattens batch·vertex — letting ONE call skin a batch of characters with
+    different topologies/influence counts.
+
+    rest_points: (V, 3) or (B, V, 3); global_states: (nJ, 8) or (B, nJ, 8);
+    inverse_bind_pose: (nJ, 8). Returns (V, 3) / (B, V, 3).
+    """
+    batched = global_states.ndim == 3
+    mats = skinning_matrices(global_states, inverse_bind_pose)  # (..., nJ, 3, 4)
+    if batched:
+        b, nj = mats.shape[0], mats.shape[1]
+        v = rest_points.shape[-2]
+        if rest_points.ndim == 2:
+            rest_points = jnp.broadcast_to(rest_points, (b, v, 3))
+        mats_flat = mats.reshape(b * nj, 3, 4)
+        rest_flat = rest_points.reshape(b * v, 3)
+        out_size = b * v
+    else:
+        mats_flat = mats
+        rest_flat = rest_points
+        out_size = rest_points.shape[0]
+    m = jnp.take(mats_flat, skin_indices, axis=0)  # (N, 3, 4)
+    p = jnp.take(rest_flat, vert_indices, axis=0)  # (N, 3)
+    contrib = (jnp.einsum("nij,nj->ni", m[..., :3], p) + m[..., 3]) \
+        * skin_weights[:, None]
+    out = jax.ops.segment_sum(contrib, vert_indices, num_segments=out_size)
+    if batched:
+        return out.reshape(b, v, 3)
+    return out

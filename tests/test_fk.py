@@ -160,3 +160,51 @@ def test_skinning_rigid_translation():
     np.testing.assert_allclose(
         np.asarray(posed), np.asarray(char.mesh.vertices) + np.array([2.5, 0, 0]), atol=1e-5
     )
+
+
+def test_skin_points_coo_matches_dense():
+    """COO multi-topology skinning equals the dense (V, 8) path
+    (trs_backend.py:603 multi_topology_skinning equivalence)."""
+    import numpy as np
+
+    from momentum_tpu.character.skinning import skin_points, skin_points_coo
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(4).with_inverse_bind_pose()
+    rng = np.random.default_rng(12345)
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, char.num_model_parameters),
+                    jnp.float32)
+    states = char.skeleton_states(x)
+    dense = skin_points(char.skin_weights, states, char.inverse_bind_pose,
+                        char.mesh.vertices)
+
+    sw_i = np.asarray(char.skin_weights.index)
+    sw_w = np.asarray(char.skin_weights.weight)
+    v_idx, k_idx = np.nonzero(sw_w > 0)
+    coo = skin_points_coo(
+        char.mesh.vertices, states, char.inverse_bind_pose,
+        jnp.asarray(sw_i[v_idx, k_idx]), jnp.asarray(sw_w[v_idx, k_idx]),
+        jnp.asarray(v_idx))
+    np.testing.assert_allclose(np.asarray(coo), np.asarray(dense), atol=1e-5)
+
+    # batched, with flattened batch-major indices (two identical topologies)
+    b = 3
+    xs = jnp.asarray(rng.uniform(-0.3, 0.3,
+                                 (b, char.num_model_parameters)), jnp.float32)
+    states_b = jax.vmap(char.skeleton_states)(xs)
+    dense_b = jax.vmap(lambda s: skin_points(
+        char.skin_weights, s, char.inverse_bind_pose,
+        char.mesh.vertices))(states_b)
+    nj = char.skeleton.num_joints
+    nv = char.mesh.num_vertices
+    si, swv, vi = [], [], []
+    for bi in range(b):
+        si.append(sw_i[v_idx, k_idx] + bi * nj)
+        swv.append(sw_w[v_idx, k_idx])
+        vi.append(v_idx + bi * nv)
+    coo_b = skin_points_coo(
+        char.mesh.vertices, states_b, char.inverse_bind_pose,
+        jnp.asarray(np.concatenate(si)), jnp.asarray(np.concatenate(swv)),
+        jnp.asarray(np.concatenate(vi)))
+    np.testing.assert_allclose(np.asarray(coo_b), np.asarray(dense_b),
+                               atol=1e-5)
