@@ -1,3 +1,8 @@
+from momentum_tpu.io.character_io import (  # noqa: F401
+    character_format,
+    load_full_character,
+    save_character,
+)
 from momentum_tpu.io.bvh import load_bvh, save_bvh  # noqa: F401
 from momentum_tpu.io.fbx import load_fbx, load_fbx_with_motion  # noqa: F401
 from momentum_tpu.io.fbx_writer import (  # noqa: F401
