@@ -24,6 +24,7 @@ import numpy as np
 
 __all__ = [
     "rerun_available", "make_recording", "FallbackRecording",
+    "log_marker_locator_correspondence",
     "log_mesh", "log_joints", "log_locators", "log_markers",
     "log_collision_geometry", "log_character", "log_model_params",
     "log_animation", "log_motion", "replay",
@@ -204,6 +205,35 @@ def log_markers(rec, path: str, positions, occluded=None, names=()):
     if occluded is not None:
         pos = pos[~np.asarray(occluded)]
     rec.log(path, "points3d", {"positions": pos, "labels": list(names)})
+
+
+def log_marker_locator_correspondence(rec, path: str, character,
+                                      skel_states, marker_positions,
+                                      marker_names, occluded=None,
+                                      error_threshold: float = float("inf")):
+    """Line segments from each visible marker to its same-named locator
+    (logMarkerLocatorCorrespondence, logger.h:79-86). Pairs whose distance
+    exceeds `error_threshold` are colored as outliers; unmatched names are
+    skipped."""
+    loc = character.locators
+    if loc is None or loc.num_locators == 0:
+        return
+    lookup = {n: i for i, n in enumerate(loc.names)}
+    world = np.asarray(loc.world_positions(skel_states))
+    pos = _np(marker_positions)
+    occ = np.zeros(len(pos), bool) if occluded is None \
+        else np.asarray(occluded, bool)
+    strips, colors = [], []
+    for m, name in enumerate(marker_names):
+        i = lookup.get(name)
+        if i is None or occ[m]:
+            continue
+        strips.append(np.stack([pos[m], world[i]]))
+        err = float(np.linalg.norm(pos[m] - world[i]))
+        colors.append((255, 64, 64) if err > error_threshold
+                      else (64, 200, 64))
+    if strips:
+        rec.log(path, "linestrips3d", {"strips": strips, "colors": colors})
 
 
 def log_collision_geometry(rec, path: str, character, skel_states,

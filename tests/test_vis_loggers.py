@@ -105,3 +105,34 @@ class TestViserLogger:
         assert frames == [0, 1, 2]
         # 3 frames × (joints+bones+locators) updates
         assert len(scene.updates) >= 9
+
+
+def test_log_marker_locator_correspondence():
+    """Segments pair same-named markers and locators; occluded and unmatched
+    markers are skipped; far pairs get the outlier color
+    (logMarkerLocatorCorrespondence, logger.h:79-86)."""
+    import numpy as np
+
+    char, motion = _char_and_motion()
+    rec = rv.make_recording()
+    states = char.skeleton_states(motion[0])
+    world = np.asarray(char.locators.world_positions(states))
+    names = list(char.locators.names) + ["unmatched"]
+    markers = np.concatenate([world + 0.01, [[9.0, 9.0, 9.0]]])
+    occluded = np.zeros(len(names), bool)
+    occluded[1] = True
+    rv.log_marker_locator_correspondence(
+        rec, "world/corr", char, states, markers, names,
+        occluded=occluded, error_threshold=0.1)
+    entry = [e for e in rec.entries if e.path == "world/corr"][0]
+    # all locators except the occluded one; the unmatched name is skipped
+    assert len(entry.payload["strips"]) == char.locators.num_locators - 1
+    assert all(c == (64, 200, 64) for c in entry.payload["colors"])
+
+    rec2 = rv.make_recording()
+    far = world + np.asarray([5.0, 0.0, 0.0])
+    rv.log_marker_locator_correspondence(
+        rec2, "world/corr", char, states, far, list(char.locators.names),
+        error_threshold=0.1)
+    entry2 = [e for e in rec2.entries if e.path == "world/corr"][0]
+    assert all(c == (255, 64, 64) for c in entry2.payload["colors"])
