@@ -10,6 +10,10 @@ from momentum_tpu.io.fbx_writer import (  # noqa: F401
     save_fbx_model,
     save_fbx_with_joint_params,
 )
+from momentum_tpu.io.gltf_builder import (  # noqa: F401
+    GltfBuilder,
+    load_all_characters_glb,
+)
 from momentum_tpu.io.locators import load_locators, save_locators  # noqa: F401
 from momentum_tpu.io.urdf import load_urdf  # noqa: F401
 from momentum_tpu.io.gltf import load_character_glb, save_character_glb  # noqa: F401
