@@ -484,6 +484,17 @@ def load_character_glb(path, return_markers=False):
         nf = int(m.get("nframes", 0)) or (
             len(flat) // max(1, len(m.get("parameterNames", pt.names))))
         motion = jnp.asarray(flat.reshape(nf, -1))
+    elif doc.get("animations"):
+        # standard glTF animation fallback (Blender-style exports): sample
+        # the node TRS channels and invert into momentum joint parameters
+        jp = _animation_to_joint_params(
+            doc, blob, joint_ids, skeleton, fps)
+        if jp is not None:
+            # joint params → model params through the rig pseudo-inverse
+            # (inverse_parameter_transform.h precedent)
+            pinv = np.asarray(pt.pinv())
+            offsets = np.asarray(pt.offsets)
+            motion = jnp.asarray((jp - offsets[None, :]) @ pinv.T)
     if not return_markers:
         return character, motion, fps
     markers = None
@@ -502,3 +513,78 @@ def load_character_glb(path, return_markers=False):
             names=names,
         )
     return character, motion, fps, markers
+
+
+def _animation_to_joint_params(doc, blob, joint_ids, skeleton, fps):
+    """Standard glTF animation channels → (F, nJ·7) momentum joint params.
+
+    Channels are linearly resampled onto a uniform clock at `fps`. Per
+    momentum's joint model (joint_state.h:17-163): translation params =
+    node translation − rest translationOffset; rotation params solve
+    preRotation ⊗ R(rz,ry,rx) = node rotation (the loader folded the rest
+    rotation into preRotation, so the euler extraction is against it);
+    scale param = log2(uniform node scale). Returns None when no channel
+    targets a joint node."""
+    from momentum_tpu.math import quaternion as quat
+    from momentum_tpu.math.euler import quaternion_to_euler_zyx
+
+    node_to_joint = {n: j for j, n in enumerate(joint_ids)}
+    nj = skeleton.num_joints
+
+    # gather (joint, path) → (times, values)
+    tracks = {}
+    t_max = 0.0
+    for anim in doc["animations"]:
+        samplers = anim.get("samplers", [])
+        for ch in anim.get("channels", []):
+            tgt = ch.get("target", {})
+            j = node_to_joint.get(tgt.get("node"))
+            path = tgt.get("path")
+            if j is None or path not in ("translation", "rotation", "scale"):
+                continue
+            s = samplers[ch["sampler"]]
+            times = _read_accessor(doc, blob, s["input"]).astype(
+                np.float64).reshape(-1)
+            vals = _read_accessor(doc, blob, s["output"]).astype(np.float32)
+            if times.size == 0:
+                continue
+            t_max = max(t_max, float(times[-1]))
+            tracks[(j, path)] = (times, vals.reshape(times.size, -1))
+    if not tracks:
+        return None
+
+    num_frames = int(round(t_max * fps)) + 1
+    sample_t = np.arange(num_frames, dtype=np.float64) / fps
+
+    rest_pre = np.asarray(skeleton.pre_rotation)
+    rest_off = np.asarray(skeleton.translation_offset)
+    jp = np.zeros((num_frames, nj * 7), np.float32)
+
+    def resample(times, vals):
+        out = np.empty((num_frames, vals.shape[1]), np.float64)
+        for c in range(vals.shape[1]):
+            out[:, c] = np.interp(sample_t, times, vals[:, c].astype(np.float64))
+        return out
+
+    import jax.numpy as jnp
+
+    for j in range(nj):
+        base = j * 7
+        tr = tracks.get((j, "translation"))
+        if tr is not None:
+            jp[:, base:base + 3] = (resample(*tr)
+                                    - rest_off[j][None, :]).astype(np.float32)
+        rot = tracks.get((j, "rotation"))
+        if rot is not None:
+            q = resample(*rot)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            rel = quat.multiply(
+                quat.conjugate(jnp.asarray(rest_pre[j], jnp.float32)),
+                jnp.asarray(q, jnp.float32))
+            jp[:, base + 3:base + 6] = np.asarray(
+                quaternion_to_euler_zyx(rel), np.float32)
+        sc = tracks.get((j, "scale"))
+        if sc is not None:
+            s = resample(*sc).mean(axis=1)
+            jp[:, base + 6] = np.log2(np.maximum(s, 1e-12)).astype(np.float32)
+    return jp

@@ -125,3 +125,32 @@ def test_builder_errors():
         b.add_character(create_test_character(3), "x")
     with pytest.raises(ValueError, match="unknown character"):
         b.add_motion(np.zeros((1, 3)), "nope")
+
+
+def test_standard_gltf_animation_loads_back_as_motion():
+    """A GLB whose motion is ONLY standard glTF animation channels (no
+    FB_momentum motion) loads back through the joint-param inversion +
+    rig pseudo-inverse, reproducing the original skeleton states."""
+    import tempfile
+
+    char = create_test_character(4)
+    rng = np.random.default_rng(3)
+    frames = 5
+    fps = 120.0  # loader default clock
+    mp = jnp.asarray(rng.uniform(-0.3, 0.3,
+                                 (frames, char.num_model_parameters)),
+                     jnp.float32)
+    states = jax.vmap(char.skeleton_states)(mp)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/anim_only.glb"
+        GltfBuilder().set_fps(fps).add_character(char, "hero") \
+            .add_skeleton_states(np.asarray(states)).save(path)
+        doc = _read_doc(path)
+        assert "motion" not in doc["extensions"]["FB_momentum"]
+        loaded, motion, _ = load_character_glb(path)
+
+    assert motion is not None and motion.shape[0] == frames
+    states2 = jax.vmap(loaded.skeleton_states)(jnp.asarray(motion))
+    np.testing.assert_allclose(np.asarray(states2), np.asarray(states),
+                               atol=2e-3)
