@@ -21,9 +21,17 @@ import time
 
 def _select_backend():
     """Prefer the accelerator; fall back to CPU when the plugin can't init
-    (busy tunnel, missing hardware) instead of dying."""
+    (busy tunnel, missing hardware) instead of dying. Set
+    MOMENTUM_TPU_FORCE_CPU=1 to skip the accelerator entirely (the device
+    probe can HANG rather than raise while another process holds the
+    tunnel)."""
+    import os
+
     import jax
 
+    if os.environ.get("MOMENTUM_TPU_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+        return
     try:
         jax.devices()
     except RuntimeError:
