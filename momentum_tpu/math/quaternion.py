@@ -29,6 +29,12 @@ __all__ = [
     "blend",
     "blend_nlerp",
     "from_two_vectors",
+    "multiply_assume_normalized",
+    "rotate_vector_assume_normalized",
+    "to_rotation_matrix_assume_normalized",
+    "euler_xyz_to_quaternion",
+    "euler_zyx_to_quaternion",
+    "quaternion_to_xyz_euler",
 ]
 
 _EPS = 1e-12
@@ -244,3 +250,34 @@ def from_two_vectors(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     q_anti = jnp.concatenate([ortho, jnp.zeros_like(w)], axis=-1)
     q = jnp.where(w < 1e-6, q_anti, q)
     return normalize(q)
+
+
+# ---------------------------------------------------------------------------
+# pymomentum/quaternion.py API-parity aliases (quaternion_np.py:332-420).
+# The base ops here never re-normalize, so the *_assume_normalized variants
+# are the same functions — kept as named aliases for drop-in migration.
+# ---------------------------------------------------------------------------
+
+multiply_assume_normalized = multiply
+rotate_vector_assume_normalized = rotate_vector
+to_rotation_matrix_assume_normalized = to_rotation_matrix
+
+
+def euler_xyz_to_quaternion(euler_xyz: jnp.ndarray) -> jnp.ndarray:
+    """[rx, ry, rz] applied X first, then Y, then Z → q = qz ⊗ qy ⊗ qx
+    (quaternion_np.py:332-358)."""
+    return euler_to_quaternion(euler_xyz, "ZYX")
+
+
+def euler_zyx_to_quaternion(euler_zyx: jnp.ndarray) -> jnp.ndarray:
+    """[yaw, pitch, roll] applied Z first, then Y, then X → q = qx ⊗ qy ⊗ qz
+    (quaternion_np.py:361-390)."""
+    return euler_to_quaternion(euler_zyx[..., ::-1], "XYZ")
+
+
+def quaternion_to_xyz_euler(q: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of euler_xyz_to_quaternion: (rx, ry, rz) with
+    Rz(rz)·Ry(ry)·Rx(rx) == R(q) (quaternion_np.py quaternion_to_xyz_euler)."""
+    from momentum_tpu.math.euler import quaternion_to_euler_zyx
+
+    return quaternion_to_euler_zyx(q)

@@ -150,3 +150,42 @@ def test_blend_nlerp_close_quats_agrees_with_blend(rng):
     a = np.asarray(quat.blend(qj))
     b = np.asarray(quat.blend_nlerp(qj))
     assert min(np.abs(a - b).max(), np.abs(a + b).max()) < 1e-3
+
+
+def test_euler_quaternion_parity_aliases():
+    """pymomentum euler↔quaternion conversions match the reference numpy
+    formulas bit-for-bit (quaternion_np.py:332-390)."""
+    rng = np.random.RandomState(5)
+    e = jnp.asarray(rng.uniform(-1.2, 1.2, (16, 3)), jnp.float32)
+    roll, pitch, yaw = np.asarray(e).T
+    cy, sy = np.cos(yaw * .5), np.sin(yaw * .5)
+    cp, sp = np.cos(pitch * .5), np.sin(pitch * .5)
+    cr, sr = np.cos(roll * .5), np.sin(roll * .5)
+    ref_xyz = np.stack([sr * cp * cy - cr * sp * sy,
+                        cr * sp * cy + sr * cp * sy,
+                        cr * cp * sy - sr * sp * cy,
+                        cr * cp * cy + sr * sp * sy], -1)
+    np.testing.assert_allclose(
+        np.asarray(quat.euler_xyz_to_quaternion(e)), ref_xyz, atol=1e-6)
+
+    yaw, pitch, roll = np.asarray(e).T
+    cy, sy = np.cos(yaw * .5), np.sin(yaw * .5)
+    cp, sp = np.cos(pitch * .5), np.sin(pitch * .5)
+    cr, sr = np.cos(roll * .5), np.sin(roll * .5)
+    ref_zyx = np.stack([sr * cp * cy + cr * sp * sy,
+                        cr * sp * cy - sr * cp * sy,
+                        cr * cp * sy + sr * sp * cy,
+                        cr * cp * cy - sr * sp * sy], -1)
+    np.testing.assert_allclose(
+        np.asarray(quat.euler_zyx_to_quaternion(e)), ref_zyx, atol=1e-6)
+
+    # xyz extraction inverts the xyz composition (up to recomposition)
+    q = quat.euler_xyz_to_quaternion(e)
+    q2 = quat.euler_xyz_to_quaternion(quat.quaternion_to_xyz_euler(q))
+    flip = np.minimum(np.abs(np.asarray(q - q2)), np.abs(np.asarray(q + q2)))
+    assert flip.max() < 1e-5
+
+    # assume_normalized aliases are the same (never-normalizing) functions
+    assert quat.multiply_assume_normalized is quat.multiply
+    assert quat.rotate_vector_assume_normalized is quat.rotate_vector
+    assert quat.to_rotation_matrix_assume_normalized is quat.to_rotation_matrix
