@@ -17,5 +17,6 @@ from momentum_tpu.parallel.batch import (  # noqa: F401
     default_mesh,
     shard_batch,
     solve_ik_sharded,
+    track_poses_sharded,
 )
 from momentum_tpu.sequence.sharded import solve_sequence_sharded  # noqa: F401

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["default_mesh", "shard_batch", "solve_ik_sharded"]
+__all__ = ["default_mesh", "shard_batch", "solve_ik_sharded", "track_poses_sharded"]
 
 
 def default_mesh(n_devices: Optional[int] = None, axis: str = "data"):
@@ -87,3 +87,34 @@ def solve_ik_sharded(solver_fn, x0, mesh=None, enabled_mask=None,
         return solve_ik(solver_fn, x0, enabled_mask, opts, method)
 
     return step(x0)
+
+
+def track_poses_sharded(character, markers, mesh=None, config=None,
+                        initial=None, enabled_mask=None, axis: str = "data"):
+    """Frame-parallel marker tracking with frames sharded over a device mesh
+    (the multi-chip shape of BASELINE config 3: trackPosesForFrames's
+    thread-parallel frame loop becomes pure data parallelism over ICI).
+
+    Frames must divide the mesh size; pad the clip (e.g. repeat the last
+    frame) otherwise. Returns a TrackingResult with device-sharded outputs.
+    """
+    import dataclasses as _dc
+
+    from momentum_tpu.tracking.config import TrackingConfig
+    from momentum_tpu.tracking.tracker import track_poses_batched
+
+    config = config or TrackingConfig()
+    if mesh is None:
+        mesh = default_mesh(axis=axis)
+    n = mesh.devices.size
+    f = markers.num_frames
+    if f % n:
+        raise ValueError(
+            f"frame count {f} not divisible by mesh size {n}; pad the clip")
+    markers = _dc.replace(
+        markers,
+        positions=shard_batch(jnp.asarray(markers.positions), mesh, axis, f),
+        occluded=shard_batch(jnp.asarray(markers.occluded), mesh, axis, f),
+    )
+    return track_poses_batched(character, markers, config,
+                               initial=initial, enabled_mask=enabled_mask)

@@ -60,3 +60,43 @@ def test_batch_not_divisible_raises(problem):
     mesh = default_mesh(8)
     with pytest.raises(ValueError):
         solve_ik_sharded(fn, x0[:10], mesh)
+
+
+def test_track_poses_sharded_matches_unsharded():
+    """Frame-sharded tracking equals the single-device batched tracker."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    from momentum_tpu.parallel import track_poses_sharded
+    from momentum_tpu.tracking import MarkerSequence
+    from momentum_tpu.tracking.config import TrackingConfig
+    from momentum_tpu.tracking.tracker import track_poses_batched
+
+    char = create_test_character(4)
+    rng = np.random.default_rng(12345)
+    frames = 8 * 2  # divisible by the 8-device mesh
+    gt = jnp.asarray(rng.uniform(-0.2, 0.2,
+                                 (frames, char.num_model_parameters)),
+                     jnp.float32)
+    states = jax.vmap(char.skeleton_states)(gt)
+    pos = jax.vmap(char.locators.world_positions)(states)
+    markers = MarkerSequence(
+        positions=pos,
+        occluded=jnp.zeros(pos.shape[:2], bool),
+        names=char.locators.names)
+    cfg = TrackingConfig(max_iter=10)
+
+    base = track_poses_batched(char, markers, cfg)
+    sharded = track_poses_sharded(char, markers, config=cfg)
+    np.testing.assert_allclose(np.asarray(sharded.motion),
+                               np.asarray(base.motion), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sharded.errors),
+                               np.asarray(base.errors), atol=1e-6)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        import dataclasses as _dc
+
+        track_poses_sharded(
+            char, _dc.replace(markers, positions=markers.positions[:9],
+                              occluded=markers.occluded[:9]), config=cfg)
