@@ -22,7 +22,6 @@ mirrored here:
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import struct
 
