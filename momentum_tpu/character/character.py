@@ -12,12 +12,11 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from momentum_tpu.character.blend_shape import BlendShape
 from momentum_tpu.character.limits import ParameterLimits, make_empty_limits
 from momentum_tpu.character.parameter_transform import ParameterTransform
-from momentum_tpu.character.skeleton import PARAMS_PER_JOINT, Skeleton
+from momentum_tpu.character.skeleton import Skeleton
 from momentum_tpu.character.skinning import SkinWeights
 from momentum_tpu.character import fk
 from momentum_tpu.math import skel_state as ss
