@@ -21,7 +21,7 @@ from momentum_tpu.math import skel_state as ss
 
 MAX_SKIN_JOINTS = 8  # reference kMaxSkinJoints (skin_weights.h:19)
 
-__all__ = ["SkinWeights", "MAX_SKIN_JOINTS", "skinning_matrices", "apply_ssd", "skin_points", "skin_points_coo"]
+__all__ = ["SkinWeights", "MAX_SKIN_JOINTS", "skinning_matrices", "apply_ssd", "skin_points", "skin_points_coo", "apply_inverse_ssd", "unskin_points", "blended_vertex_matrices"]
 
 
 @jax.tree_util.register_dataclass
@@ -141,3 +141,39 @@ def skin_points_coo(
     if batched:
         return out.reshape(b, v, 3)
     return out
+
+
+def blended_vertex_matrices(
+    skin: SkinWeights, matrices: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-vertex blended skinning matrices (..., V, 3, 4)."""
+    gathered = jnp.take(matrices, skin.index, axis=-3)
+    return jnp.einsum("...vk,...vkij->...vij", skin.weight, gathered)
+
+
+def apply_inverse_ssd(
+    skin: SkinWeights,
+    matrices: jnp.ndarray,
+    posed_points: jnp.ndarray,
+) -> jnp.ndarray:
+    """Map posed points back to rest space through the inverse of each
+    vertex's blended skinning matrix (linear_skinning.h:200-240
+    getInverseSSDTransformation / applyInverseSSD): rest = B⁻¹·(p − t) with
+    B the blended 3×3 block and t its translation column. The blended
+    affine is invertible for any convex blend of rigid(+uniform scale)
+    transforms in practice; a batched LU solve keeps this jittable."""
+    blended = blended_vertex_matrices(skin, matrices)  # (..., V, 3, 4)
+    rhs = posed_points - blended[..., 3]
+    return jnp.linalg.solve(blended[..., :3], rhs[..., None])[..., 0]
+
+
+def unskin_points(
+    skin: SkinWeights,
+    global_states: jnp.ndarray,
+    inverse_bind_pose: jnp.ndarray,
+    posed_points: jnp.ndarray,
+) -> jnp.ndarray:
+    """Convenience inverse of skin_points: posed world points → rest points."""
+    return apply_inverse_ssd(
+        skin, skinning_matrices(global_states, inverse_bind_pose),
+        posed_points)

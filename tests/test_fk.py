@@ -208,3 +208,37 @@ def test_skin_points_coo_matches_dense():
         jnp.asarray(np.concatenate(vi)))
     np.testing.assert_allclose(np.asarray(coo_b), np.asarray(dense_b),
                                atol=1e-5)
+
+
+def test_inverse_ssd_round_trip():
+    """unskin_points inverts skin_points per vertex
+    (linear_skinning.h:200-240 applyInverseSSD)."""
+    import numpy as np
+
+    from momentum_tpu.character.skinning import skin_points, unskin_points
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    char = create_test_character(5).with_inverse_bind_pose()
+    rng = np.random.default_rng(12345)
+    x = jnp.asarray(rng.uniform(-0.4, 0.4, char.num_model_parameters),
+                    jnp.float32)
+    states = char.skeleton_states(x)
+    posed = skin_points(char.skin_weights, states, char.inverse_bind_pose,
+                        char.mesh.vertices)
+    rest = unskin_points(char.skin_weights, states, char.inverse_bind_pose,
+                         posed)
+    np.testing.assert_allclose(np.asarray(rest),
+                               np.asarray(char.mesh.vertices), atol=2e-5)
+
+    # batched poses
+    xs = jnp.asarray(rng.uniform(-0.3, 0.3,
+                                 (3, char.num_model_parameters)), jnp.float32)
+    states_b = jax.vmap(char.skeleton_states)(xs)
+    posed_b = skin_points(char.skin_weights, states_b,
+                          char.inverse_bind_pose, char.mesh.vertices)
+    rest_b = unskin_points(char.skin_weights, states_b,
+                           char.inverse_bind_pose, posed_b)
+    np.testing.assert_allclose(
+        np.asarray(rest_b),
+        np.broadcast_to(np.asarray(char.mesh.vertices), rest_b.shape),
+        atol=2e-5)
