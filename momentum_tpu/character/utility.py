@@ -38,6 +38,7 @@ __all__ = [
     "skinned_locator_rest_offsets",
     "resample_motion",
     "extrapolate_model_parameters",
+    "add_rigid_transform_node",
 ]
 
 
@@ -542,3 +543,45 @@ def skinned_locator_rest_offsets(character: Character, model_params):
     gathered = jnp.take(model_params, jnp.asarray(np.maximum(idx, 0)), axis=-1)
     mask = jnp.asarray((idx >= 0).astype(np.float32))
     return (gathered * mask).reshape(model_params.shape[:-1] + (sl.num_locators, 3))
+
+
+def add_rigid_transform_node(character: Character, name: str,
+                             translation_offset=(0.0, 0.0, 0.0),
+                             pre_rotation=(0.0, 0.0, 0.0, 1.0)):
+    """Append a new root-level joint with 6 rigid DOF model parameters
+    (character_utility.cpp:862-940 addRigidTransformNode): the joint has no
+    parent, and parameters {name}_tx..{name}_rz map 1:1 onto its
+    translation/rotation joint parameters. Useful for attaching cameras or
+    other rigid frames without touching the original hierarchy.
+
+    → (new_character, bone_index, parameter_start_index)."""
+    skel = character.skeleton
+    bone_index = skel.num_joints
+    parents = np.asarray(skel.joint_parent).tolist() + [INVALID_INDEX]
+    pre = np.concatenate([np.asarray(skel.pre_rotation),
+                          np.asarray(pre_rotation, np.float32)[None, :]])
+    offs = np.concatenate([np.asarray(skel.translation_offset),
+                           np.asarray(translation_offset, np.float32)[None, :]])
+    names = tuple(skel.joint_names) + (name,)
+    new_skel = make_skeleton(parents, pre, offs, names)
+
+    pt = character.parameter_transform
+    old_rows, old_cols = np.asarray(pt.transform).shape
+    parameter_start = old_cols
+    mat = np.zeros((old_rows + PARAMS_PER_JOINT, old_cols + 6), np.float32)
+    mat[:old_rows, :old_cols] = np.asarray(pt.transform)
+    for k in range(6):  # tx ty tz rx ry rz → 1:1 columns
+        mat[bone_index * PARAMS_PER_JOINT + k, parameter_start + k] = 1.0
+    offsets = np.zeros(old_rows + PARAMS_PER_JOINT, np.float32)
+    offsets[:old_rows] = np.asarray(pt.offsets)
+    new_pt = ParameterTransform(
+        transform=jnp.asarray(mat), offsets=jnp.asarray(offsets),
+        names=pt.names + tuple(f"{name}_{s}"
+                               for s in ("tx", "ty", "tz", "rx", "ry", "rz")),
+        parameter_sets=pt.parameter_sets,
+        pose_constraints=pt.pose_constraints,
+    )
+    out = dataclasses.replace(
+        character, skeleton=new_skel, parameter_transform=new_pt,
+        inverse_bind_pose=None)
+    return out.with_inverse_bind_pose(), bone_index, parameter_start

@@ -157,3 +157,34 @@ def test_transform_character_rigid():
         moved.skeleton_states(jnp.zeros_like(x))))
     expected = np.asarray(ss.transform_points(xf, jnp.asarray(pos_old)))
     np.testing.assert_allclose(pos_new, expected, atol=1e-5)
+
+
+def test_add_rigid_transform_node():
+    """New root-level joint with 6 rigid DOF parameters
+    (character_utility.cpp:862 addRigidTransformNode)."""
+    from momentum_tpu.character.utility import add_rigid_transform_node
+
+    char = create_test_character(4)
+    q = np.asarray([0.0, 0.0, np.sin(0.3), np.cos(0.3)], np.float32)
+    out, bone, pstart = add_rigid_transform_node(
+        char, "camera", translation_offset=(1.0, 2.0, 3.0), pre_rotation=q)
+    assert bone == char.skeleton.num_joints
+    assert pstart == char.num_model_parameters
+    assert out.num_model_parameters == char.num_model_parameters + 6
+    assert out.parameter_transform.names[pstart:] == (
+        "camera_tx", "camera_ty", "camera_tz",
+        "camera_rx", "camera_ry", "camera_rz")
+    assert int(np.asarray(out.skeleton.joint_parent)[bone]) < 0
+
+    # new parameters drive ONLY the new joint; original FK is unchanged
+    rng = np.random.default_rng(12345)
+    x_old = jnp.asarray(rng.uniform(-0.3, 0.3, char.num_model_parameters),
+                        jnp.float32)
+    x_new = jnp.concatenate([x_old, jnp.asarray([0.5, 0, 0, 0, 0, 0.7])])
+    states_old = char.skeleton_states(x_old)
+    states_new = out.skeleton_states(x_new)
+    np.testing.assert_allclose(np.asarray(states_new[:bone]),
+                               np.asarray(states_old), atol=1e-6)
+    # the node's world translation = offset + its tx parameter
+    np.testing.assert_allclose(np.asarray(states_new[bone, :3]),
+                               [1.5, 2.0, 3.0], atol=1e-6)
