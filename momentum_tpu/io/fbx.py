@@ -160,13 +160,15 @@ def _euler_xyz_deg_to_quat(rx, ry, rz):
     return qmul(axis_q(r[2], 2), qmul(axis_q(r[1], 1), axis_q(r[0], 0)))
 
 
-def load_fbx(path):
-    """→ Character (skeleton + optional skinned mesh)."""
-    character, _ctx = _load_fbx_impl(path)
+def load_fbx(path, strip_namespaces: bool = True):
+    """→ Character (skeleton + optional skinned mesh). `strip_namespaces`
+    drops FBX "ns:" prefixes from joint names (character_pybind.cpp:743,
+    default true like the reference loader)."""
+    character, _ctx = _load_fbx_impl(path, strip_namespaces)
     return character
 
 
-def _load_fbx_impl(path):
+def _load_fbx_impl(path, strip_namespaces: bool = True):
     import jax.numpy as jnp
 
     from momentum_tpu.character import (
@@ -259,6 +261,8 @@ def _load_fbx_impl(path):
         node, _ = models[uid]
         raw_name = node.props[1] if len(node.props) > 1 else f"j{uid}"
         name = raw_name.split("\x00")[0] or f"j{uid}"
+        if strip_namespaces and ":" in name:
+            name = name.rsplit(":", 1)[1] or name
         names.append(name)
         p = parent_of.get(uid, 0)
         parents.append(uid_to_idx.get(p, -1))
@@ -420,7 +424,8 @@ def _curve_defaults(node):
     return d
 
 
-def load_fbx_with_motion(path, fps: float = 120.0):
+def load_fbx_with_motion(path, fps: float = 120.0,
+                         strip_namespaces: bool = True):
     """→ (Character, motion (F, nJ·7) float32, fps).
 
     Reference: io/fbx/fbx_io.h:49-63 loadFbxCharacterWithMotion +
@@ -431,7 +436,7 @@ def load_fbx_with_motion(path, fps: float = 120.0):
     without curves keep the rest pose (rotation/scale only — rest translation
     lives in the skeleton's translationOffset).
     """
-    character, ctx = _load_fbx_impl(path)
+    character, ctx = _load_fbx_impl(path, strip_namespaces)
     nj = character.skeleton.num_joints
     uid_to_idx = ctx["uid_to_idx"]
 

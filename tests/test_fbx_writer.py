@@ -164,3 +164,19 @@ def test_writer_output_loads_without_motion_api(tmp_path):
     save_fbx(path, char)
     _, motion, _ = load_fbx_with_motion(path, fps=60.0)
     assert motion.shape == (1, char.skeleton.num_joints * 7)
+
+
+def test_namespace_stripping_on_load(tmp_path):
+    """FBX "ns:" joint-name prefixes are stripped by default
+    (character_pybind.cpp:743 strip_namespaces)."""
+    char = create_test_character(3)
+    ns_names = tuple(f"rig:skel:{n}" for n in char.skeleton.joint_names)
+    skel = dataclasses.replace(char.skeleton, joint_names=ns_names)
+    char_ns = dataclasses.replace(char, skeleton=skel, mesh=None,
+                                  skin_weights=None, inverse_bind_pose=None)
+    path = str(tmp_path / "ns.fbx")
+    save_fbx_model(path, char_ns)
+    stripped = load_fbx(path)
+    assert stripped.skeleton.joint_names == char.skeleton.joint_names
+    kept = load_fbx(path, strip_namespaces=False)
+    assert kept.skeleton.joint_names == ns_names
