@@ -26,7 +26,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["save_character_glb", "load_character_glb"]
+__all__ = ["save_character_glb", "load_character_glb",
+           "load_character_glb_with_skel_states"]
 
 _COMPONENT_DTYPES = {
     5120: np.int8, 5121: np.uint8, 5122: np.int16, 5123: np.uint16,
@@ -588,3 +589,57 @@ def _animation_to_joint_params(doc, blob, joint_ids, skeleton, fps):
             s = resample(*sc).mean(axis=1)
             jp[:, base + 6] = np.log2(np.maximum(s, 1e-12)).astype(np.float32)
     return jp
+
+
+def load_character_glb_with_skel_states(path, fps: float = 120.0):
+    """→ (Character, skel_states (F, nJ, 8) or None, fps) — the
+    save_gltf_from_skel_states counterpart (character_pybind
+    load_gltf_with_skel_states): motion reconstructed as GLOBAL skeleton
+    states. Exact for standard glTF animation channels (no rig
+    pseudo-inverse round trip: the sampled joint parameters feed FK
+    directly); FB_momentum model-parameter motion goes through the rig."""
+    import jax
+    import jax.numpy as jnp
+
+    from momentum_tpu.character import fk as _fk
+
+    character, motion, file_fps = load_character_glb(path)
+
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 12
+    doc, blob = None, b""
+    while off < len(data):
+        clen, ctype = struct.unpack_from("<II", data, off)
+        off += 8
+        chunk = data[off: off + clen]
+        off += clen
+        if ctype == 0x4E4F534A:
+            doc = json.loads(chunk.decode())
+        elif ctype == 0x004E4942:
+            blob = chunk
+
+    ext = doc.get("extensions", {}).get("FB_momentum", {})
+    if "motion" not in ext and doc.get("animations"):
+        # exact path: sampled joint params → FK
+        nodes = doc.get("nodes", [])
+
+        def node_ext(n):
+            return n.get("extensions", {}).get("FB_momentum", {})
+
+        if doc.get("skins"):
+            joint_ids = list(doc["skins"][0]["joints"])
+        else:
+            joint_ids = [i for i, n in enumerate(nodes)
+                         if node_ext(n).get("type") == "skeleton_joint"]
+        jp = _animation_to_joint_params(doc, blob, joint_ids,
+                                        character.skeleton, fps)
+        if jp is not None:
+            states = jax.vmap(
+                lambda p: _fk.global_skel_states(character.skeleton, p)
+            )(jnp.asarray(jp))
+            return character, states, fps
+    if motion is None:
+        return character, None, file_fps
+    states = jax.vmap(character.skeleton_states)(jnp.asarray(motion))
+    return character, states, file_fps

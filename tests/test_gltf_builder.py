@@ -154,3 +154,24 @@ def test_standard_gltf_animation_loads_back_as_motion():
     states2 = jax.vmap(loaded.skeleton_states)(jnp.asarray(motion))
     np.testing.assert_allclose(np.asarray(states2), np.asarray(states),
                                atol=2e-3)
+
+
+def test_load_with_skel_states_exact():
+    """load_character_glb_with_skel_states reproduces the saved GLOBAL
+    states exactly through the direct joint-parameter path."""
+    import tempfile
+
+    from momentum_tpu.io.gltf import load_character_glb_with_skel_states
+
+    char = create_test_character(4)
+    rng = np.random.default_rng(9)
+    mp = jnp.asarray(rng.uniform(-0.3, 0.3,
+                                 (4, char.num_model_parameters)), jnp.float32)
+    states = jax.vmap(char.skeleton_states)(mp)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/ss.glb"
+        GltfBuilder().set_fps(120.0).add_character(char, "x") \
+            .add_skeleton_states(np.asarray(states)).save(path)
+        _, states2, _ = load_character_glb_with_skel_states(path)
+    np.testing.assert_allclose(np.asarray(states2), np.asarray(states),
+                               atol=5e-5)
