@@ -359,12 +359,34 @@ def load_character_glb(path, return_markers=False):
                          if node_ext(n).get("type") not in special
                          and "mesh" not in n]
 
-    node_to_joint = {n: j for j, n in enumerate(joint_ids)}
     parent_of = {}
     for i, n in enumerate(nodes):
         for c in n.get("children", []):
             parent_of[c] = i
 
+    # topologically sort the joints: glTF imposes no parent-before-child
+    # node order (the reference re-sorts on load, tested by sort_joints.glb /
+    # test_24fps.glb), and the Skeleton invariant requires it
+    joint_set = set(joint_ids)
+    order = []
+    seen = set()
+
+    def _visit(nid):
+        if nid in seen or nid not in joint_set:
+            return
+        p = parent_of.get(nid)
+        if p is not None and p in joint_set:
+            _visit(p)
+        seen.add(nid)
+        order.append(nid)
+
+    for nid in joint_ids:
+        _visit(nid)
+    joint_perm = np.asarray([order.index(nid) for nid in joint_ids],
+                            np.int64)  # old joint slot → sorted slot
+    joint_ids = order
+
+    node_to_joint = {n: j for j, n in enumerate(joint_ids)}
     parents = []
     pre, offs, names = [], [], []
     for j, nid in enumerate(joint_ids):
@@ -455,6 +477,9 @@ def load_character_glb(path, return_markers=False):
                 if f"JOINTS_{g}" in attrs:
                     si[:, 4 * g: 4 * g + 4] = _read_accessor(doc, blob, attrs[f"JOINTS_{g}"])
                     sw[:, 4 * g: 4 * g + 4] = _read_accessor(doc, blob, attrs[f"WEIGHTS_{g}"])
+            # skin joints index the ORIGINAL skins[0].joints order; remap
+            # through the topological-sort permutation
+            si = joint_perm[np.clip(si, 0, len(joint_perm) - 1)].astype(np.int32)
             skin_weights = SkinWeights(index=jnp.asarray(si), weight=jnp.asarray(sw))
 
     stub = Character(skeleton=skeleton, parameter_transform=pt)

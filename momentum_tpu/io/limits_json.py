@@ -36,7 +36,7 @@ def limits_to_json(character) -> list:
     for k in range(mm_i.shape[0]):
         out.append({"type": "minmax", "weight": float(mm_w[k]),
                     "parameter": pnames[int(mm_i[k])],
-                    "limits": [float(mm_b[k, 0]), float(mm_b[k, 1])]})
+                    "limits": [[float(mm_b[k, 0]), float(mm_b[k, 1])]]})
 
     mj_i = np.asarray(lm.minmax_joint_index)
     mj_b = np.asarray(lm.minmax_joint_bounds)
@@ -49,7 +49,7 @@ def limits_to_json(character) -> list:
             "weight": float(mj_w[k]),
             "jointIndex": jnames[flat // 7],
             "jointParameter": _JOINT_PARAM_NAMES[flat % 7],
-            "limits": [float(mj_b[k, 0]), float(mj_b[k, 1])]})
+            "limits": [[float(mj_b[k, 0]), float(mj_b[k, 1])]]})
 
     def _linear(ref, tgt, scale, offset, rng, weight, typ, ref_key, tgt_key,
                 names, param_key=None):
@@ -112,6 +112,16 @@ def limits_to_json(character) -> list:
     return out
 
 
+def _limits_pair(el):
+    """Vector2f "limits" field: the reference serializes Eigen vectors in a
+    nested form ([[lo, hi]], json_utils.cpp:409; observed in
+    model_with_motion.glb); accept flat [lo, hi] too."""
+    import numpy as _np
+
+    arr = _np.asarray(el.get("limits", [0.0, 0.0]), _np.float64).reshape(-1)
+    return float(arr[0]), float(arr[1])
+
+
 def limits_from_json(character, j) -> ParameterLimits:
     """The reference's parameterLimits JSON array → ParameterLimits
     (json_utils.cpp:640-676; unknown names are skipped rather than thrown
@@ -125,11 +135,11 @@ def limits_from_json(character, j) -> ParameterLimits:
         typ = el.get("type", "")
         w = float(el.get("weight", 0.0))
         if typ == "minmax" and el.get("parameter") in pidx:
-            lo, hi = el.get("limits", [0.0, 0.0])
+            lo, hi = _limits_pair(el)
             minmax.append((pidx[el["parameter"]], lo, hi, w))
         elif typ in ("minmax_joint", "minmax_joint_passive") and \
                 el.get("jointIndex") in jidx:
-            lo, hi = el.get("limits", [0.0, 0.0])
+            lo, hi = _limits_pair(el)
             attr = jp_idx.get(el.get("jointParameter", "rx"), 3)
             minmax_joint.append((jidx[el["jointIndex"]], attr, lo, hi, w,
                                  typ.endswith("passive")))

@@ -3,6 +3,7 @@ resources; real reference assets are read from /root/reference when present)."""
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -551,3 +552,45 @@ class TestShapeIO:
             jnp.zeros(char.num_model_parameters).at[1].set(0.4))
         np.testing.assert_allclose(np.asarray(back.compute(states)),
                                    np.asarray(ps.compute(states)), atol=1e-5)
+
+
+from momentum_tpu.io import load_character_glb
+
+
+class TestReferenceWrittenGlbs:
+    """Assets written by the reference itself (momentum/test/resources) —
+    the interop direction our own round trips can't cover."""
+
+    def test_model_with_motion(self):
+        """The canonical reference character+motion GLB: rig, nested
+        Vector2f limits, and the embedded motion all load."""
+        path = f"{REF}/model_with_motion.glb"
+        if not os.path.exists(path):
+            pytest.skip("reference asset unavailable")
+        char, motion, fps = load_character_glb(path)
+        assert char.skeleton.num_joints == 3
+        assert char.num_model_parameters == 10
+        assert motion is not None and motion.shape == (5, 10)
+        # the reference writes Vector2f minmax limits in nested form
+        assert char.limits is not None
+        assert char.limits.minmax_index.shape[0] == 1
+        np.testing.assert_allclose(
+            np.asarray(char.limits.minmax_bounds[0]), [-0.1, 0.1], atol=1e-6)
+        # FK on the embedded motion runs and is finite
+        states = jax.vmap(char.skeleton_states)(jnp.asarray(motion))
+        assert bool(jnp.all(jnp.isfinite(states)))
+
+    @pytest.mark.parametrize("name", ["animations/test_24fps.glb",
+                                      "sort_joints.glb"])
+    def test_unsorted_joint_orders(self, name):
+        """glTF does not require parent-before-child node order; the loader
+        must topologically re-sort (reference sort_joints.glb test)."""
+        path = f"{REF}/{name}"
+        if not os.path.exists(path):
+            pytest.skip("reference asset unavailable")
+        char, motion, _ = load_character_glb(path)
+        par = np.asarray(char.skeleton.joint_parent)
+        assert all(par[j] < j for j in range(len(par)) if par[j] >= 0)
+        if motion is not None:
+            states = jax.vmap(char.skeleton_states)(jnp.asarray(motion[:3]))
+            assert bool(jnp.all(jnp.isfinite(states)))
