@@ -594,3 +594,26 @@ class TestReferenceWrittenGlbs:
         if motion is not None:
             states = jax.vmap(char.skeleton_states)(jnp.asarray(motion[:3]))
             assert bool(jnp.all(jnp.isfinite(states)))
+
+
+def test_c3d_manufacturer_variants():
+    """All four manufacturer-exported C3Ds from the reference suite parse
+    with sane shapes (test/io manufacture readme)."""
+    import glob
+
+    files = sorted(glob.glob(f"{REF}/manufacture/*.c3d"))
+    if not files:
+        pytest.skip("reference assets unavailable")
+    expected = {
+        "manufacture_test_codamotion.c3d": (512, 24),
+        "manufacture_test_innovative_sports_training.c3d": (134, 24),
+        "manufacture_test_motion_analysis_corporation.c3d": (151, 49),
+        "manufacture_test_nextgen_ergonomics.c3d": (721, 40),
+    }
+    for f in files:
+        data = mio.load_c3d(f)
+        want = expected.get(os.path.basename(f))
+        if want:
+            assert data.positions.shape[:2] == want, f
+        assert bool(jnp.all(jnp.isfinite(
+            jnp.where(data.occluded[..., None], 0.0, data.positions))))
