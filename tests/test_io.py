@@ -455,8 +455,12 @@ class TestC3dCompatibilitySuite:
             f"{base}/compatibility_test/TESTDPI.c3d",
             f"{base}/data_format_variant/int/dec_int.c3d",
             f"{base}/data_format_variant/real/dec_real.c3d",
+            f"{base}/data_format_variant/int/pc_int.c3d",
+            f"{base}/data_format_variant/real/pc_real.c3d",
             f"{base}/file_format_variant/int/Eb015pi.c3d",
             f"{base}/file_format_variant/real/Eb015pr.c3d",
+            f"{base}/file_format_variant/int/Eb015vi.c3d",
+            f"{base}/file_format_variant/real/Eb015vr.c3d",
         ]
         files = [f for f in files if f and os.path.exists(f)]
         if len(files) < 4:
