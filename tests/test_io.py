@@ -621,3 +621,24 @@ def test_c3d_manufacturer_variants():
             assert data.positions.shape[:2] == want, f
         assert bool(jnp.all(jnp.isfinite(
             jnp.where(data.occluded[..., None], 0.0, data.positions))))
+
+
+def test_reference_bvh_and_fbx_animation_assets():
+    """The bundled simple.bvh and simple_anim.fbx parse with hierarchy and
+    motion intact."""
+    bvh = f"{REF}/bvh/simple.bvh"
+    if os.path.exists(bvh):
+        char, jp, fps = mio.load_bvh(bvh)
+        assert char.skeleton.num_joints == 6
+        assert jp.shape == (3, char.skeleton.num_joint_parameters)
+        assert fps == pytest.approx(30.0, rel=1e-3)
+        par = np.asarray(char.skeleton.joint_parent)
+        assert all(par[j] < j for j in range(len(par)) if par[j] >= 0)
+
+    fbx = f"{REF}/animations/simple_anim.fbx"
+    if os.path.exists(fbx):
+        char, motion, fps = mio.load_fbx_with_motion(fbx)
+        assert char.skeleton.num_joints == 159
+        assert motion.shape[1] == char.skeleton.num_joint_parameters
+        assert motion.shape[0] > 1
+        assert bool(np.all(np.isfinite(motion)))
