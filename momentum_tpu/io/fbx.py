@@ -176,8 +176,11 @@ def _load_fbx_impl(path, strip_namespaces: bool = True):
     )
     from momentum_tpu.character.parameter_transform import make_identity_transform
 
-    with open(path, "rb") as f:
-        data = f.read()
+    if isinstance(path, (bytes, bytearray, memoryview)):
+        data = bytes(path)  # *_from_bytes variant (character_pybind.cpp:744)
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
     root, _version = _parse(data)
 
     objects = None

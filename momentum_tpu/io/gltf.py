@@ -118,6 +118,15 @@ def _pt_from_json(j, skeleton):
     )
 
 
+def _read_binary_source(source) -> bytes:
+    """Accept a filesystem path or raw bytes (the reference's *_from_bytes
+    loader variants, character_pybind.cpp load_gltf_from_bytes etc.)."""
+    if isinstance(source, (bytes, bytearray, memoryview)):
+        return bytes(source)
+    with open(source, "rb") as f:
+        return f.read()
+
+
 def save_character_glb(path, character, motion=None, fps=120.0, markers=None) -> None:
     """Write character (+ optional (F, P) model-parameter motion, + optional
     marker sequence) as .glb. `markers` is a tracking.MarkerSequence or a
@@ -322,8 +331,7 @@ def load_character_glb(path, return_markers=False):
     )
     from momentum_tpu.character.parameter_transform import make_identity_transform
 
-    with open(path, "rb") as f:
-        data = f.read()
+    data = _read_binary_source(path)
     magic, version, _ = struct.unpack_from("<III", data, 0)
     if magic != 0x46546C67:
         raise ValueError("not a GLB file")
@@ -630,8 +638,7 @@ def load_character_glb_with_skel_states(path, fps: float = 120.0):
 
     character, motion, file_fps = load_character_glb(path)
 
-    with open(path, "rb") as f:
-        data = f.read()
+    data = _read_binary_source(path)
     off = 12
     doc, blob = None, b""
     while off < len(data):

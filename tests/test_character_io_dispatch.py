@@ -68,3 +68,22 @@ def test_unknown_formats_raise(tmp_path):
         load_full_character(str(tmp_path / "nope.xyz"))
     with pytest.raises(ValueError, match="unsupported"):
         save_character(str(tmp_path / "nope.xyz"), char)
+
+
+def test_loaders_accept_bytes(tmp_path):
+    """GLB/FBX loaders take raw bytes too (the reference's *_from_bytes
+    variants, character_pybind.cpp)."""
+    from momentum_tpu.io import (
+        load_character_glb, load_fbx, save_character_glb, save_fbx,
+    )
+
+    char = create_test_character(3)
+    g = tmp_path / "c.glb"
+    save_character_glb(str(g), char)
+    from_bytes, _, _ = load_character_glb(g.read_bytes())
+    assert from_bytes.skeleton.joint_names == char.skeleton.joint_names
+
+    f = tmp_path / "c.fbx"
+    save_fbx(str(f), char)
+    assert load_fbx(f.read_bytes()).skeleton.joint_names \
+        == char.skeleton.joint_names
