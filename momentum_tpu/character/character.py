@@ -400,10 +400,7 @@ class Character:
         vals = jnp.take(model_params, idx, axis=-1)
         clamped = jnp.clip(vals, lim.minmax_bounds[..., 0],
                            lim.minmax_bounds[..., 1])
-        out = model_params
-        for k in range(idx.shape[0]):
-            out = out.at[..., idx[k]].set(clamped[..., k])
-        return out
+        return model_params.at[..., idx].set(clamped)
 
     def find_locators(self, names) -> jnp.ndarray:
         """Indices of the named locators (character_pybind find_locators);

@@ -218,7 +218,9 @@ def remove_joints(character: Character, joints_to_remove) -> Character:
                 inertia=jnp.asarray(np.asarray(pp.inertia)[pkeep]),
                 inertia_rotation=jnp.asarray(
                     np.asarray(pp.inertia_rotation)[pkeep]),
-                joint_names=tuple(np.asarray(pp.joint_names)[pkeep].tolist()),
+                joint_names=tuple(
+                    n for n, k in zip(pp.joint_names, pkeep) if k
+                ) if pp.joint_names else (),
             )
         out = dataclasses.replace(out, physical_properties=new_pp)
     if character.locators is not None:

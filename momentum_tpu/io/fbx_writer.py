@@ -160,8 +160,9 @@ def _ser_document(top_nodes) -> bytes:
 
 def _prop70(name, type_name, flags, *values, value_type="D"):
     props = [_p_str(name), _p_str(type_name), _p_str(""), _p_str(flags)]
+    make = {"S": _p_str, "L": _p_long, "I": _p_int}.get(value_type, _p_double)
     for v in values:
-        props.append(_p_str(v) if value_type == "S" else _p_double(v))
+        props.append(make(v))
     return _N("P", props)
 
 
@@ -279,6 +280,16 @@ def _build_scene(character, joint_params=None, fps: float = 120.0):
                 _p_long(su), _p_str("\x00\x01Deformer"), _p_str("Skin"),
             ], [_N("Version", [_p_int(101)])]))
             connections.append(_N("C", [_p_str("OO"), _p_long(su), _p_long(gu)]))
+            # Bind matrices: TransformLink = joint world rest transform,
+            # Transform = its inverse × mesh world (identity here). Standard
+            # importers (Maya/Blender/Autodesk SDK) reconstruct the bind pose
+            # from these; without them skinning collapses to identity.
+            from momentum_tpu.character import fk as _fk
+            from momentum_tpu.math import skel_state as _ss
+
+            rest = _fk.global_skel_states(
+                skel, np.zeros(nj * 7, np.float32))
+            bind = np.asarray(_ss.to_matrix(rest), np.float64)  # (nJ, 4, 4)
             for j in range(nj):
                 mask = (sw_i == j) & (sw_w > 0)
                 vi = np.nonzero(mask.any(axis=1))[0]
@@ -286,6 +297,10 @@ def _build_scene(character, joint_params=None, fps: float = 120.0):
                     continue
                 wv = np.where(mask[vi], sw_w[vi], 0.0).sum(axis=1)
                 cu = uid()
+                # FBX matrices are flattened column-by-column (translation at
+                # flat indices 12-14), i.e. M.T in row-major
+                link = bind[j]
+                inv = np.linalg.inv(link)
                 objects.append(_N("Deformer", [
                     _p_long(cu),
                     _p_str(f"cluster_{skel.joint_names[j]}\x00\x01SubDeformer"),
@@ -294,18 +309,35 @@ def _build_scene(character, joint_params=None, fps: float = 120.0):
                     _N("Version", [_p_int(100)]),
                     _N("Indexes", [_p_arr("i", vi.astype(np.int64))]),
                     _N("Weights", [_p_arr("d", wv)]),
+                    _N("Transform", [_p_arr("d", inv.T.reshape(-1))]),
+                    _N("TransformLink", [_p_arr("d", link.T.reshape(-1))]),
                 ]))
                 connections.append(
                     _N("C", [_p_str("OO"), _p_long(cu), _p_long(su)]))
                 connections.append(_N("C", [
                     _p_str("OO"), _p_long(int(joint_uid[j])), _p_long(cu)]))
 
-    # motion → T/R/S AnimationCurveNodes + curves
+    # motion → T/R/S AnimationCurveNodes + curves, bound to a stack/layer
+    # (standard importers resolve curves through AnimationLayer→Stack)
     if joint_params is not None:
         motion = np.asarray(joint_params, np.float64).reshape(-1, nj * 7)
         num_frames = motion.shape[0]
         ktimes = np.round(np.arange(num_frames, dtype=np.float64)
                           / float(fps) * _KTIME_PER_SECOND).astype(np.int64)
+        stop = int(ktimes[-1]) if num_frames else 0
+
+        stack_u, layer_u = uid(), uid()
+        objects.append(_N("AnimationStack", [
+            _p_long(stack_u), _p_str("Take 001\x00\x01AnimStack"), _p_str(""),
+        ], [_N("Properties70", children=[
+            _prop70("LocalStop", "KTime", "", stop, value_type="L"),
+            _prop70("ReferenceStop", "KTime", "", stop, value_type="L"),
+        ])]))
+        objects.append(_N("AnimationLayer", [
+            _p_long(layer_u), _p_str("BaseLayer\x00\x01AnimLayer"), _p_str(""),
+        ]))
+        connections.append(_N("C", [_p_str("OO"), _p_long(layer_u),
+                                    _p_long(stack_u)]))
 
         def add_curve_node(j, prop_name, label, values3):
             cn = uid()
@@ -317,6 +349,8 @@ def _build_scene(character, joint_params=None, fps: float = 120.0):
                 _prop70("d|Y", "Number", "A", float(values3[0, 1])),
                 _prop70("d|Z", "Number", "A", float(values3[0, 2])),
             ])]))
+            connections.append(_N("C", [_p_str("OO"), _p_long(cn),
+                                        _p_long(layer_u)]))
             connections.append(_N("C", [
                 _p_str("OP"), _p_long(cn), _p_long(int(joint_uid[j])),
                 _p_str(prop_name)]))
@@ -349,12 +383,46 @@ def _build_scene(character, joint_params=None, fps: float = 120.0):
     return objects, connections
 
 
+def _definitions_node(objects):
+    """ObjectType count templates — importers that honor Definitions refuse
+    documents whose object counts are absent (fbx_builder.cpp scene setup
+    delegates this to the SDK)."""
+    counts = {}
+    for o in objects:
+        counts[o.name] = counts.get(o.name, 0) + 1
+    children = [_N("Version", [_p_int(100)]),
+                _N("Count", [_p_int(1 + sum(counts.values()))]),
+                _N("ObjectType", [_p_str("GlobalSettings")],
+                   [_N("Count", [_p_int(1)])])]
+    for name, cnt in sorted(counts.items()):
+        children.append(_N("ObjectType", [_p_str(name)],
+                           [_N("Count", [_p_int(cnt)])]))
+    return _N("Definitions", children=children)
+
+
+def _documents_node():
+    return _N("Documents", children=[
+        _N("Count", [_p_int(1)]),
+        _N("Document", [_p_long(999999), _p_str("Scene"), _p_str("Scene")], [
+            _N("Properties70", children=[
+                _prop70("SourceObject", "object", ""),
+                _prop70("ActiveAnimStackName", "KString", "", "",
+                        value_type="S"),
+            ]),
+            _N("RootNode", [_p_long(0)]),
+        ]),
+    ])
+
+
 def save_fbx_with_joint_params(path, character, joint_params=None,
                                fps: float = 120.0) -> None:
     """Save character (+ optional per-frame joint parameters, (F, nJ·7)) as
     binary FBX (fbx_io.h:100 saveFbxWithJointParams)."""
     objects, connections = _build_scene(character, joint_params, fps)
     doc = _header_nodes(fps) + [
+        _documents_node(),
+        _N("References"),
+        _definitions_node(objects),
         _N("Objects", children=objects),
         _N("Connections", children=connections),
     ]

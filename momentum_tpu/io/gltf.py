@@ -321,23 +321,13 @@ def _read_accessor(doc, blob, idx):
     return arr if n_comp > 1 else arr[:, 0]
 
 
-def load_character_glb(path, return_markers=False):
-    """→ (Character, motion (F, P) float32 or None, fps)
-    [+ MarkerSequence or None when return_markers]."""
-    import jax.numpy as jnp
-
-    from momentum_tpu.character import (
-        Character, CollisionGeometry, Locators, Mesh, SkinWeights, make_skeleton,
-    )
-    from momentum_tpu.character.parameter_transform import make_identity_transform
-
-    data = _read_binary_source(path)
-    magic, version, _ = struct.unpack_from("<III", data, 0)
+def _parse_glb(data: bytes):
+    """GLB container → (doc, blob). Shared by every loader entry point."""
+    magic, _version, _ = struct.unpack_from("<III", data, 0)
     if magic != 0x46546C67:
         raise ValueError("not a GLB file")
     off = 12
-    doc = None
-    blob = b""
+    doc, blob = None, b""
     while off < len(data):
         clen, ctype = struct.unpack_from("<II", data, off)
         off += 8
@@ -347,34 +337,39 @@ def load_character_glb(path, return_markers=False):
             doc = json.loads(chunk.decode())
         elif ctype == 0x004E4942:
             blob = chunk
+    return doc, blob
+
+
+def _node_ext(n):
+    return n.get("extensions", {}).get("FB_momentum", {})
+
+
+def _discover_joint_ids(doc):
+    """Joint node ids: skins[0].joints, or skeleton_joint-tagged nodes, or
+    every non-special hierarchy node."""
     nodes = doc.get("nodes", [])
-
-    def node_ext(n):
-        return n.get("extensions", {}).get("FB_momentum", {})
-
-    # joints = nodes in a skin, or nodes marked skeleton_joint, or all
-    # non-special nodes in hierarchy order
-    joint_ids = []
     if doc.get("skins"):
-        joint_ids = list(doc["skins"][0]["joints"])
-    else:
+        return list(doc["skins"][0]["joints"])
+    joint_ids = [i for i, n in enumerate(nodes)
+                 if _node_ext(n).get("type") == "skeleton_joint"]
+    if not joint_ids:
+        special = {"locator", "marker", "collision_capsule",
+                   "collision_ellipsoid", "collision_box"}
         joint_ids = [i for i, n in enumerate(nodes)
-                     if node_ext(n).get("type") == "skeleton_joint"]
-        if not joint_ids:
-            special = {"locator", "marker", "collision_capsule",
-                       "collision_ellipsoid", "collision_box"}
-            joint_ids = [i for i, n in enumerate(nodes)
-                         if node_ext(n).get("type") not in special
-                         and "mesh" not in n]
+                     if _node_ext(n).get("type") not in special
+                     and "mesh" not in n]
+    return joint_ids
 
+
+def _sorted_joint_ids(doc, joint_ids):
+    """Topologically sort joint node ids (glTF imposes no parent-first node
+    order; the reference re-sorts on load, sort_joints.glb). Returns
+    (sorted_ids, perm) with perm[old_slot] = sorted_slot."""
+    nodes = doc.get("nodes", [])
     parent_of = {}
     for i, n in enumerate(nodes):
         for c in n.get("children", []):
             parent_of[c] = i
-
-    # topologically sort the joints: glTF imposes no parent-before-child
-    # node order (the reference re-sorts on load, tested by sort_joints.glb /
-    # test_24fps.glb), and the Skeleton invariant requires it
     joint_set = set(joint_ids)
     order = []
     seen = set()
@@ -390,9 +385,27 @@ def load_character_glb(path, return_markers=False):
 
     for nid in joint_ids:
         _visit(nid)
-    joint_perm = np.asarray([order.index(nid) for nid in joint_ids],
-                            np.int64)  # old joint slot → sorted slot
-    joint_ids = order
+    perm = np.asarray([order.index(nid) for nid in joint_ids], np.int64)
+    return order, perm, parent_of
+
+
+def load_character_glb(path, return_markers=False):
+    """→ (Character, motion (F, P) float32 or None, fps)
+    [+ MarkerSequence or None when return_markers]."""
+    import jax.numpy as jnp
+
+    from momentum_tpu.character import (
+        Character, CollisionGeometry, Locators, Mesh, SkinWeights, make_skeleton,
+    )
+    from momentum_tpu.character.parameter_transform import make_identity_transform
+
+    data = _read_binary_source(path)
+    doc, blob = _parse_glb(data)
+    nodes = doc.get("nodes", [])
+    node_ext = _node_ext
+    joint_ids = _discover_joint_ids(doc)
+
+    joint_ids, joint_perm, parent_of = _sorted_joint_ids(doc, joint_ids)
 
     node_to_joint = {n: j for j, n in enumerate(joint_ids)}
     parents = []
@@ -582,8 +595,13 @@ def _animation_to_joint_params(doc, blob, joint_ids, skeleton, fps):
             vals = _read_accessor(doc, blob, s["output"]).astype(np.float32)
             if times.size == 0:
                 continue
+            vals = vals.reshape(times.size, -1)
+            if s.get("interpolation") == "CUBICSPLINE":
+                # 3 output elements per key: [in-tangent, value, out-tangent]
+                # — keep the value, resampled linearly below
+                vals = vals.reshape(times.size, 3, -1)[:, 1, :]
             t_max = max(t_max, float(times[-1]))
-            tracks[(j, path)] = (times, vals.reshape(times.size, -1))
+            tracks[(j, path)] = (times, vals)
     if not tracks:
         return None
 
@@ -639,31 +657,13 @@ def load_character_glb_with_skel_states(path, fps: float = 120.0):
     character, motion, file_fps = load_character_glb(path)
 
     data = _read_binary_source(path)
-    off = 12
-    doc, blob = None, b""
-    while off < len(data):
-        clen, ctype = struct.unpack_from("<II", data, off)
-        off += 8
-        chunk = data[off: off + clen]
-        off += clen
-        if ctype == 0x4E4F534A:
-            doc = json.loads(chunk.decode())
-        elif ctype == 0x004E4942:
-            blob = chunk
+    doc, blob = _parse_glb(data)
 
     ext = doc.get("extensions", {}).get("FB_momentum", {})
     if "motion" not in ext and doc.get("animations"):
-        # exact path: sampled joint params → FK
-        nodes = doc.get("nodes", [])
-
-        def node_ext(n):
-            return n.get("extensions", {}).get("FB_momentum", {})
-
-        if doc.get("skins"):
-            joint_ids = list(doc["skins"][0]["joints"])
-        else:
-            joint_ids = [i for i, n in enumerate(nodes)
-                         if node_ext(n).get("type") == "skeleton_joint"]
+        # exact path: sampled joint params → FK. Joint ids must be in the
+        # same topologically-sorted order the skeleton was built with.
+        joint_ids, _, _ = _sorted_joint_ids(doc, _discover_joint_ids(doc))
         jp = _animation_to_joint_params(doc, blob, joint_ids,
                                         character.skeleton, fps)
         if jp is not None:

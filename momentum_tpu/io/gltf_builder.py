@@ -339,25 +339,12 @@ def load_all_characters_glb(path):
         body_from_json, rows_to_physical_properties,
     )
     from momentum_tpu.io.gltf import (
-        _pt_from_json, _read_accessor, load_character_glb,
+        _parse_glb, _pt_from_json, _read_accessor, load_character_glb,
     )
 
     with open(path, "rb") as f:
         data = f.read()
-    magic, _, _ = struct.unpack_from("<III", data, 0)
-    if magic != 0x46546C67:
-        raise ValueError("not a GLB file")
-    off = 12
-    doc, blob = None, b""
-    while off < len(data):
-        clen, ctype = struct.unpack_from("<II", data, off)
-        off += 8
-        chunk = data[off: off + clen]
-        off += clen
-        if ctype == 0x4E4F534A:
-            doc = json.loads(chunk.decode())
-        elif ctype == 0x004E4942:
-            blob = chunk
+    doc, blob = _parse_glb(data)
 
     ext = doc.get("extensions", {}).get("FB_momentum", {})
     metas = ext.get("characters")
@@ -396,8 +383,16 @@ def load_all_characters_glb(path):
         pt = _pt_from_json(meta["transform"], skeleton) \
             if "transform" in meta else \
             make_identity_transform(skeleton.num_joints)
+        if "parameterSet" in meta:
+            name_idx = {n: i for i, n in enumerate(pt.names)}
+            import dataclasses as _dc
+
+            pt = _dc.replace(pt, parameter_sets={
+                k: tuple(name_idx[n] for n in v if n in name_idx)
+                for k, v in meta["parameterSet"].items()})
 
         loc_rows = []
+        cap_rows = []
         joint_set = set(joint_ids)
         for i, n in enumerate(nodes):
             e = node_ext(n)
@@ -407,6 +402,13 @@ def load_all_characters_glb(path):
                                  n.get("translation", [0, 0, 0]),
                                  e.get("weight", 1.0),
                                  n.get("name", f"l{i}")))
+            elif e.get("type") == "collision_capsule" and p in joint_set:
+                tf = (n.get("translation", [0, 0, 0])
+                      + n.get("rotation", [0, 0, 0, 1])
+                      + [n.get("scale", [1, 1, 1])[0]])
+                cap_rows.append((node_to_joint[p], tf,
+                                 e.get("radius", [1.0, 1.0]),
+                                 e.get("length", 1.0)))
         locators = None
         if loc_rows:
             locators = Locators(
@@ -414,6 +416,15 @@ def load_all_characters_glb(path):
                 offset=jnp.asarray([r[1] for r in loc_rows], jnp.float32),
                 weight=jnp.asarray([r[2] for r in loc_rows], jnp.float32),
                 names=tuple(r[3] for r in loc_rows))
+        collision = None
+        if cap_rows:
+            from momentum_tpu.character import CollisionGeometry
+
+            collision = CollisionGeometry(
+                parent=jnp.asarray([r[0] for r in cap_rows], jnp.int32),
+                transform=jnp.asarray([r[1] for r in cap_rows], jnp.float32),
+                radius=jnp.asarray([r[2] for r in cap_rows], jnp.float32),
+                length=jnp.asarray([r[3] for r in cap_rows], jnp.float32))
 
         mesh = None
         skin_weights = None
@@ -439,11 +450,25 @@ def load_all_characters_glb(path):
                 skin_weights = SkinWeights(index=jnp.asarray(si),
                                            weight=jnp.asarray(sw))
 
+        import dataclasses as _dc
+
+        from momentum_tpu.io.limits_json import (
+            limits_from_json, pose_constraints_from_json,
+        )
+
+        stub = Character(skeleton=skeleton, parameter_transform=pt)
+        if "poseConstraints" in meta:
+            pt = _dc.replace(pt, pose_constraints=pose_constraints_from_json(
+                stub, meta["poseConstraints"]))
+        limits_kw = {}
+        if "parameterLimits" in meta:
+            limits_kw["limits"] = limits_from_json(stub,
+                                                   meta["parameterLimits"])
         character = Character(
             skeleton=skeleton, parameter_transform=pt, mesh=mesh,
-            skin_weights=skin_weights, locators=locators,
+            skin_weights=skin_weights, locators=locators, collision=collision,
             physical_properties=rows_to_physical_properties(phys_rows),
-            name=meta["name"])
+            name=meta["name"], **limits_kw)
         if mesh is not None and skin_weights is not None:
             character = character.with_inverse_bind_pose()
 

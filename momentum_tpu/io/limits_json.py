@@ -170,9 +170,10 @@ def limits_from_json(character, j) -> ParameterLimits:
         elif typ in ("ellipsoid", "elipsoid"):
             key = "ellipsoidParent" if typ == "ellipsoid" else "elipsoidParent"
             mkey = "ellipsoid" if typ == "ellipsoid" else "elipsoid"
-            if el.get("parent") not in jidx or el.get(key) not in jidx:
+            if el.get("parent") not in jidx or el.get(key) not in jidx \
+                    or el.get(mkey) is None:
                 continue
-            mat = np.asarray(el.get(mkey), np.float64)
+            mat = np.asarray(el[mkey], np.float64)
             mat[:3, 3] /= _TO_M
             off = np.asarray(el.get("offset", [0, 0, 0]), np.float64) / _TO_M
             ellipsoid.append((jidx[el["parent"]], jidx[el[key]],

@@ -180,3 +180,73 @@ def test_namespace_stripping_on_load(tmp_path):
     assert stripped.skeleton.joint_names == char.skeleton.joint_names
     kept = load_fbx(path, strip_namespaces=False)
     assert kept.skeleton.joint_names == ns_names
+
+
+def test_standard_consumer_sections(tmp_path):
+    """The written document carries what standard FBX importers require:
+    Definitions object-count templates, a Documents/RootNode section, an
+    AnimationStack/Layer binding the curve nodes, and per-cluster
+    Transform/TransformLink bind matrices (without which importers
+    reconstruct an identity bind pose and collapse the skinning)."""
+    import jax.numpy as jnp
+
+    from momentum_tpu.character import fk as _fk
+    from momentum_tpu.io.fbx import _parse
+    from momentum_tpu.math import skel_state as _ss
+
+    char = create_test_character(4)
+    nj = char.skeleton.num_joints
+    motion = np.zeros((3, nj * 7), np.float32)
+    motion[:, 7 * 1 + 3] = [0.0, 0.2, 0.4]
+    path = str(tmp_path / "std.fbx")
+    save_fbx_with_joint_params(path, char, motion, fps=30.0)
+
+    with open(path, "rb") as f:
+        root, _ = _parse(f.read())
+    top = {n.name: n for n in root.children}
+    assert {"Documents", "References", "Definitions", "Objects",
+            "Connections"} <= set(top)
+
+    # Definitions counts match the objects actually present
+    counts = {}
+    for ot in top["Definitions"].children:
+        if ot.name == "ObjectType":
+            cnt = [c for c in ot.children if c.name == "Count"][0]
+            counts[ot.props[0]] = cnt.props[0]
+    objs = top["Objects"].children
+    by_type = {}
+    for o in objs:
+        by_type[o.name] = by_type.get(o.name, 0) + 1
+    for name, cnt in by_type.items():
+        assert counts[name] == cnt, name
+    assert counts["GlobalSettings"] == 1
+
+    # animation stack + layer exist and every curve node is OO-wired to the
+    # layer
+    stacks = [o for o in objs if o.name == "AnimationStack"]
+    layers = [o for o in objs if o.name == "AnimationLayer"]
+    assert len(stacks) == 1 and len(layers) == 1
+    layer_uid = layers[0].props[0]
+    conns = [c.props for c in top["Connections"].children]
+    cn_uids = {o.props[0] for o in objs if o.name == "AnimationCurveNode"}
+    oo_to_layer = {p[1] for p in conns
+                   if p[0] == "OO" and p[2] == layer_uid}
+    assert cn_uids and cn_uids <= oo_to_layer
+
+    # cluster bind matrices: TransformLink == joint world rest transform
+    rest = _fk.global_skel_states(char.skeleton,
+                                  jnp.zeros(nj * 7, jnp.float32))
+    bind = np.asarray(_ss.to_matrix(rest), np.float64)
+    clusters = [o for o in objs
+                if o.name == "Deformer" and o.props[2] == "Cluster"]
+    assert clusters
+    jname_of = {f"cluster_{n}": i
+                for i, n in enumerate(char.skeleton.joint_names)}
+    for cl in clusters:
+        kids = {c.name: c for c in cl.children}
+        assert "Transform" in kids and "TransformLink" in kids
+        j = jname_of[cl.props[1].split("\x00")[0]]
+        link = np.asarray(kids["TransformLink"].props[0]).reshape(4, 4).T
+        np.testing.assert_allclose(link, bind[j], atol=1e-6)
+        tr = np.asarray(kids["Transform"].props[0]).reshape(4, 4).T
+        np.testing.assert_allclose(tr @ link, np.eye(4), atol=1e-6)

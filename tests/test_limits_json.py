@@ -114,3 +114,17 @@ poseconstraint bind {pnames[0]} 0.5
 """
     pt, _ = load_model_definition(text, char.skeleton)
     assert pt.pose_constraints == {"bind": ((0, 0.5),)}
+
+
+def test_limits_from_json_skips_ellipsoid_without_matrix():
+    """Partial/hand-edited ellipsoid entries missing the matrix are skipped,
+    per the documented skip-malformed-entries behavior, not thrown."""
+    char = create_test_character(3)
+    jn = char.skeleton.joint_names
+    lim = limits_from_json(char, [
+        {"type": "ellipsoid", "parent": jn[1], "ellipsoidParent": jn[0]},
+        {"type": "minmax", "parameter": char.parameter_transform.names[0],
+         "limits": [-1.0, 1.0], "weight": 1.0},
+    ])
+    assert lim.ellipsoid_parent.shape[0] == 0
+    assert lim.minmax_index.shape[0] == 1

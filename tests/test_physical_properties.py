@@ -209,3 +209,17 @@ def test_com_error_from_physical_properties():
     with pytest.raises(ValueError):
         CenterOfMassErrorFunction.from_physical_properties(
             create_test_character(3), target)
+
+
+def test_remove_joints_with_default_joint_names():
+    """PhysicalProperties with the default empty joint_names tuple must
+    survive remove_joints (the joint_index remap path needs no names)."""
+    char = _char()
+    pp = dataclasses.replace(char.physical_properties, joint_names=())
+    char = dataclasses.replace(char, physical_properties=pp)
+    out = remove_joints(char, [char.skeleton.joint_names[1]])
+    pp2 = out.physical_properties
+    assert pp2.joint_names == ()
+    # only the body on the root joint survives (1 and 3 are in the subtree)
+    assert pp2.num_bodies == 1
+    assert int(pp2.joint_index[0]) == 0
