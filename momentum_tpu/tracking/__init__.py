@@ -9,12 +9,19 @@ from momentum_tpu.tracking.tracker import (  # noqa: F401
     TrackingResult,
     calibrate_locators,
     calibrate_model,
+    get_locator_error,
     refine_motion,
     track_poses_batched,
+    track_poses_for_frames,
     track_poses_per_frame,
     track_sequence,
 )
 from momentum_tpu.tracking.gap_fill import fill_marker_gaps  # noqa: F401
+from momentum_tpu.tracking.process_markers import (  # noqa: F401
+    calibrate_markers,
+    process_marker_file,
+    process_markers,
+)
 from momentum_tpu.tracking.tracker_utils import (  # noqa: F401
     average_triangle_skin_weights,
     closest_point_on_mesh_matching_parent,

@@ -42,7 +42,8 @@ from momentum_tpu.solver.gauss_newton import solve_gauss_newton
 from momentum_tpu.tracking.config import CalibrationConfig, TrackingConfig
 
 __all__ = ["MarkerSequence", "TrackingResult", "track_poses_per_frame",
-           "track_sequence", "calibrate_model", "calibrate_locators"]
+           "track_poses_for_frames", "track_sequence", "calibrate_model",
+           "calibrate_locators", "get_locator_error"]
 
 
 @jax.tree_util.register_dataclass
@@ -137,10 +138,24 @@ def track_poses_per_frame(
     config: TrackingConfig = TrackingConfig(),
     initial: Optional[jnp.ndarray] = None,
     enabled_mask: Optional[jnp.ndarray] = None,
+    frame_stride: int = 1,
 ) -> TrackingResult:
     """Frame-by-frame tracking with warm starts (trackPosesPerframe,
-    marker_tracker.cpp:754-930). One jitted scan over the clip."""
+    marker_tracker.cpp:754-930). One jitted scan over the clip.
+
+    `frame_stride` > 1 solves every Nth frame and repeats the solved pose
+    within each stride (marker_tracker.cpp:753-790: stride < 5 keeps
+    temporal coherence between the solved frames)."""
     p = character.num_model_parameters
+    if frame_stride > 1:
+        f = markers.num_frames
+        x_init = jnp.zeros(p) if initial is None else jnp.asarray(initial)
+        init_motion = (jnp.broadcast_to(x_init, (f, p))
+                       if x_init.ndim == 1 else x_init)
+        return track_poses_for_frames(
+            character, markers, init_motion, config,
+            np.arange(0, f, frame_stride),
+            is_continuous=frame_stride < 5, enabled_mask=enabled_mask)
     markers = _mask_low_visibility(markers, config.min_vis_percent)
     ef0, per_frame = _marker_error_template(character, markers, config)
     limits = LimitErrorFunction.create()
@@ -193,6 +208,131 @@ def track_poses_batched(
 
     motion, errors = jax.vmap(solve_one)(markers.positions, markers.occluded)
     return TrackingResult(motion=motion, errors=errors)
+
+
+def track_poses_for_frames(
+    character: Character,
+    markers: MarkerSequence,
+    initial_motion: jnp.ndarray,
+    config: TrackingConfig = TrackingConfig(),
+    frame_indices=None,
+    is_continuous: bool = False,
+    enabled_mask: Optional[jnp.ndarray] = None,
+) -> TrackingResult:
+    """Solve only the given frames (trackPosesForFrames,
+    marker_tracker.cpp:848-1068): with `is_continuous` the solved frames warm
+    start each other in order; otherwise each starts from its own
+    `initial_motion` row. The returned motion spans ALL frames — every
+    unsolved frame repeats the pose of the NEXT solved frame at or after it
+    (the reference's outputIndex fill, :1040-1049), with the tail carrying
+    the last solve."""
+    f_all = markers.num_frames
+    initial_motion = jnp.asarray(initial_motion)
+    if frame_indices is None:
+        frame_indices = np.arange(f_all)
+    sorted_idx = np.unique(np.asarray(frame_indices, np.int64))
+    markers = _mask_low_visibility(markers, config.min_vis_percent)
+    sub = MarkerSequence(positions=markers.positions[sorted_idx],
+                         occluded=markers.occluded[sorted_idx],
+                         names=markers.names)
+    ef0, per_frame = _marker_error_template(character, sub, config)
+    limits = LimitErrorFunction.create()
+    opts = SolverOptions(max_iterations=config.max_iter,
+                         regularization=config.regularization)
+    enabled_mask = _pose_mask(character, config, enabled_mask)
+    solver = _solver_for(config)
+    inits = initial_motion[sorted_idx]
+
+    if is_continuous:
+        def step(carry, inputs):
+            pos_f, occ_f = inputs
+            ef = per_frame(ef0, pos_f, occ_f)
+            fn = SkeletonSolverFunction(character, (ef, limits))
+            res = solver(fn.residual, fn.error, carry, enabled_mask, opts)
+            bad = ~jnp.all(jnp.isfinite(res.params))
+            x = jnp.where(bad, carry, res.params)
+            return x, (x, res.error)
+
+        _, (solved, errors) = jax.lax.scan(
+            step, inits[0], (sub.positions, sub.occluded))
+    else:
+        def solve_one(x0, pos_f, occ_f):
+            ef = per_frame(ef0, pos_f, occ_f)
+            fn = SkeletonSolverFunction(character, (ef, limits))
+            res = solver(fn.residual, fn.error, x0, enabled_mask, opts)
+            bad = ~jnp.all(jnp.isfinite(res.params))
+            return jnp.where(bad, x0, res.params), res.error
+
+        solved, errors = jax.vmap(solve_one)(
+            inits, sub.positions, sub.occluded)
+
+    # fill: frame t takes the pose of the first solved frame >= t, the tail
+    # carries the last solve (matches the reference's column fill)
+    seg = np.minimum(np.searchsorted(sorted_idx, np.arange(f_all), "left"),
+                     len(sorted_idx) - 1)
+    return TrackingResult(motion=solved[seg], errors=errors[seg])
+
+
+def _match_names(names, markers: MarkerSequence):
+    """marker column index per named item (namespace-stripped like
+    _match_locators) → (item rows, marker cols)."""
+    name_to_col = {n: i for i, n in enumerate(markers.names)}
+    for i, n in enumerate(markers.names):
+        if ":" in n:
+            name_to_col.setdefault(n.rsplit(":", 1)[-1], i)
+    rows = [(i, name_to_col[n]) for i, n in enumerate(names)
+            if n in name_to_col]
+    return (np.asarray([r[0] for r in rows], np.int32),
+            np.asarray([r[1] for r in rows], np.int32))
+
+
+def get_locator_error(character: Character, markers: MarkerSequence,
+                      motion: jnp.ndarray):
+    """(average per-frame marker error, max marker error) of a motion vs the
+    markers (getLocatorError, marker_tracker.cpp:1978-2082): per frame the
+    mean distance over visible matched markers — regular locators first,
+    skinned locators for names not covered by them — averaged over frames
+    that have at least one valid marker."""
+    from momentum_tpu.math import skel_state as ss
+
+    f = markers.num_frames
+    states = jax.vmap(character.skeleton_states)(jnp.asarray(motion)[:f])
+
+    norm_parts, vis_parts = [], []
+    covered = set()
+    if character.locators is not None:
+        loc = character.locators
+        li, mi = _match_names(loc.names, markers)
+        if li.size:
+            covered = {loc.names[i] for i in li}
+            world = ss.transform_points(
+                jnp.take(states, jnp.asarray(np.asarray(loc.parent)[li]),
+                         axis=-2),
+                jnp.asarray(np.asarray(loc.offset)[li]))
+            norm_parts.append(jnp.linalg.norm(
+                world - markers.positions[:, mi], axis=-1))
+            vis_parts.append(1.0 - markers.occluded[:, mi].astype(jnp.float32))
+    if character.skinned_locators is not None:
+        sl = character.skinned_locators
+        names = tuple(n for n in sl.names)
+        sli, smi = _match_names(names, markers)
+        keep = [k for k in range(sli.size) if names[sli[k]] not in covered]
+        if keep:
+            sli, smi = sli[keep], smi[keep]
+            world_all = sl.world_positions(character, states)  # (F, L, 3)
+            norm_parts.append(jnp.linalg.norm(
+                world_all[:, sli] - markers.positions[:, smi], axis=-1))
+            vis_parts.append(1.0 - markers.occluded[:, smi].astype(jnp.float32))
+    if not norm_parts:
+        return 0.0, 0.0
+    norms = jnp.concatenate(norm_parts, axis=-1)
+    vis = jnp.concatenate(vis_parts, axis=-1)
+    norms = norms * vis
+    count = jnp.sum(vis, axis=-1)
+    frame_err = jnp.sum(norms, axis=-1) / jnp.maximum(count, 1.0)
+    n_valid = jnp.maximum(jnp.sum((count > 0).astype(jnp.float32)), 1.0)
+    avg = jnp.sum(jnp.where(count > 0, frame_err, 0.0)) / n_valid
+    return float(avg), float(jnp.max(norms))
 
 
 def track_sequence(

@@ -196,3 +196,65 @@ def test_tracking_config_options():
     assert len(out) == 3
     ident2, motion2, char2 = out
     assert char2.locators.offset.shape == char.locators.offset.shape
+
+
+class TestForFrames:
+    def test_stride_repeats_solved_pose(self, char):
+        """frame_stride solves every Nth frame; unsolved frames repeat the
+        next solved pose (trackPosesForFrames outputIndex fill)."""
+        rng = _rng()
+        thetas, markers = _synthetic_markers(char, 9, rng)
+        cfg = TrackingConfig(max_iter=30, regularization=1e-5)
+        res = track_poses_per_frame(char, markers, cfg, frame_stride=3)
+        assert res.motion.shape == (9, char.num_model_parameters)
+        m = np.asarray(res.motion)
+        # frames 1,2 repeat the solve of frame 3; 4,5 of 6; 7,8 tail-carry 6
+        np.testing.assert_allclose(m[1], m[3], atol=0)
+        np.testing.assert_allclose(m[2], m[3], atol=0)
+        np.testing.assert_allclose(m[4], m[6], atol=0)
+        np.testing.assert_allclose(m[7], m[6], atol=0)
+        np.testing.assert_allclose(m[8], m[6], atol=0)
+        # solved frames fit their markers
+        from momentum_tpu.tracking import get_locator_error
+
+        sub = MarkerSequence(positions=markers.positions[::3],
+                             occluded=markers.occluded[::3],
+                             names=markers.names)
+        avg, _ = get_locator_error(char, sub, res.motion[::3])
+        assert avg < 1e-3
+
+    def test_explicit_frame_indices_non_continuous(self, char):
+        from momentum_tpu.tracking import track_poses_for_frames
+
+        rng = _rng()
+        thetas, markers = _synthetic_markers(char, 6, rng)
+        cfg = TrackingConfig(max_iter=30, regularization=1e-5)
+        init = jnp.zeros((6, char.num_model_parameters))
+        res = track_poses_for_frames(char, markers, init, cfg,
+                                     frame_indices=[0, 2, 5],
+                                     is_continuous=False)
+        assert res.motion.shape == (6, char.num_model_parameters)
+        m = np.asarray(res.motion)
+        np.testing.assert_allclose(m[1], m[2], atol=0)
+        np.testing.assert_allclose(m[3], m[5], atol=0)
+        np.testing.assert_allclose(m[4], m[5], atol=0)
+
+
+def test_get_locator_error_matches_ground_truth(char):
+    """Ground-truth motion → ~0 error; perturbed motion → positive error,
+    and a fully-occluded marker does not contribute."""
+    from momentum_tpu.tracking import get_locator_error
+
+    rng = _rng()
+    thetas, markers = _synthetic_markers(char, 5, rng)
+    avg, mx = get_locator_error(char, markers, thetas)
+    assert avg < 1e-5 and mx < 1e-4
+
+    off = jnp.asarray(thetas).at[:, 0].add(0.05)
+    avg2, mx2 = get_locator_error(char, markers, off)
+    assert avg2 > 1e-3 and mx2 >= avg2
+
+    occluded = jnp.ones_like(markers.occluded)
+    dead = dataclasses.replace(markers, occluded=occluded)
+    avg3, mx3 = get_locator_error(char, dead, off)
+    assert avg3 == 0.0 and mx3 == 0.0
