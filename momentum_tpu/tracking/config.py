@@ -46,6 +46,22 @@ class CalibrationConfig(BaseConfig):
     locators_only: bool = False  # solve only locator offsets
     greedy_sampling: int = 0  # stride-based frame sampling when > 0
     calib_shape: bool = False  # calibrate blendshape params too
+    # Force Floor_-prefixed locators to the ground plane on the first sampled
+    # frame with high weight (marker_tracker.h enforceFloorInFirstFrame);
+    # exclusive with adaptive_floor_contact
+    enforce_floor_in_first_frame: bool = False
+    # Detect per-locator contact frames (heights at or below the percentile)
+    # and apply soft equality floor constraints on those frames
+    # (marker_tracker.h adaptiveFloorContact / floorContactPercentile)
+    adaptive_floor_contact: bool = False
+    floor_contact_percentile: float = 1.0 / 3.0
+    # Name of a pose-constraint set applied as first-frame minmax limits
+    # (marker_tracker.h firstFramePoseConstraintSet →
+    # getPoseConstraintParameterLimits, parameter_limits.cpp:66-84)
+    first_frame_pose_constraint_set: str = ""
+    # Target character height in cm; 0 disables the height constraint
+    # (marker_tracker.h targetHeightCm → HeightErrorFunction on frame 0)
+    target_height_cm: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +71,14 @@ class TrackingConfig(BaseConfig):
     smoothing: float = 0.0  # model-parameter smoothness weight
     collision_error_weight: float = 0.0
     smoothing_weights: tuple = ()  # optional per-parameter smoothness
+    # Multiplier on the marker position constraint weight; 0 disables marker
+    # constraints (marker_tracker.h markerWeight)
+    marker_weight: float = 1.0
+    # Half-plane floor (non-penetration) constraints on Floor_-prefixed
+    # locators during tracking (trackPosesForFrames adds them
+    # unconditionally, marker_tracker.cpp:932-943); rigs without Floor_
+    # locators are unaffected, matching the reference's empty constraint list
+    floor_constraints: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

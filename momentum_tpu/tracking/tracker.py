@@ -95,6 +95,8 @@ def _marker_error_template(character: Character, markers: MarkerSequence, config
         np.asarray(loc.offset)[li],
         np.zeros((len(li), 3), np.float32),
         cweight=np.asarray(loc.weight)[li],
+        # markerWeight multiplier (marker_tracker.h; 0 disables markers)
+        weight=getattr(config, "marker_weight", 1.0),
         loss=GeneralizedLoss(alpha=config.loss_alpha, c=config.loss_c),
     )
     base_w = jnp.asarray(np.asarray(loc.weight)[li])
@@ -105,6 +107,42 @@ def _marker_error_template(character: Character, markers: MarkerSequence, config
         return dataclasses.replace(ef, target=targets, cweight=w)
 
     return ef0, per_frame
+
+
+def _floor_rows(character: Character, prefix: str = "Floor_"):
+    """Floor-locator constraint rows (plane_error_function.cpp:15
+    createFloorConstraints): locators whose names start with `prefix`,
+    weighted loc.weight × 5 against a y-up plane at y=0. → (parents,
+    offsets, cweights) or None when the rig has no floor locators."""
+    loc = character.locators
+    if loc is None:
+        return None
+    idx = [i for i, n in enumerate(loc.names) if n.startswith(prefix)]
+    if not idx:
+        return None
+    return (np.asarray(loc.parent)[idx], np.asarray(loc.offset)[idx],
+            np.asarray(loc.weight)[idx] * 5.0)
+
+
+def _floor_error(character: Character, half_plane: bool = True,
+                 weight: float = 1.0, cweight_scale=None):
+    """PlaneErrorFunction over the Floor_ locators (y-up plane at 0), or
+    None. Half-plane = non-penetration (tracking); equality = pin to floor
+    (enforceFloorInFirstFrame / adaptive contacts)."""
+    from momentum_tpu.errors import PlaneErrorFunction
+
+    rows = _floor_rows(character)
+    if rows is None:
+        return None
+    parents, offsets, cw = rows
+    if cweight_scale is not None:
+        cw = cw * np.asarray(cweight_scale, np.float32)
+    n = len(parents)
+    return PlaneErrorFunction.create(
+        parents, offsets, np.tile(np.asarray([[0.0, 1.0, 0.0]], np.float32),
+                                  (n, 1)),
+        np.zeros(n, np.float32), cweight=cw, weight=weight,
+        half_plane=half_plane)
 
 
 def _pose_mask(character: Character, config, enabled_mask):
@@ -159,6 +197,9 @@ def track_poses_per_frame(
     markers = _mask_low_visibility(markers, config.min_vis_percent)
     ef0, per_frame = _marker_error_template(character, markers, config)
     limits = LimitErrorFunction.create()
+    fl = (_floor_error(character)
+          if getattr(config, "floor_constraints", True) else None)
+    floor = () if fl is None else (fl,)
     opts = SolverOptions(max_iterations=config.max_iter,
                          regularization=config.regularization)
     x_init = jnp.zeros(p) if initial is None else initial
@@ -169,7 +210,7 @@ def track_poses_per_frame(
         x_prev = carry
         pos_f, occ_f = inputs
         ef = per_frame(ef0, pos_f, occ_f)
-        fn = SkeletonSolverFunction(character, (ef, limits))
+        fn = SkeletonSolverFunction(character, (ef, limits) + floor)
         res = solver(fn.residual, fn.error, x_prev, enabled_mask, opts)
         # NaN guard (tensor_ik.cpp:168-175): revert to warm start
         bad = ~jnp.all(jnp.isfinite(res.params))
@@ -194,6 +235,9 @@ def track_poses_batched(
     markers = _mask_low_visibility(markers, config.min_vis_percent)
     ef0, per_frame = _marker_error_template(character, markers, config)
     limits = LimitErrorFunction.create()
+    fl = (_floor_error(character)
+          if getattr(config, "floor_constraints", True) else None)
+    floor = () if fl is None else (fl,)
     opts = SolverOptions(max_iterations=config.max_iter,
                          regularization=config.regularization)
     x0 = jnp.zeros(p) if initial is None else initial
@@ -202,7 +246,7 @@ def track_poses_batched(
 
     def solve_one(pos_f, occ_f):
         ef = per_frame(ef0, pos_f, occ_f)
-        fn = SkeletonSolverFunction(character, (ef, limits))
+        fn = SkeletonSolverFunction(character, (ef, limits) + floor)
         res = solver(fn.residual, fn.error, x0, enabled_mask, opts)
         return res.params, res.error
 
@@ -237,6 +281,9 @@ def track_poses_for_frames(
                          names=markers.names)
     ef0, per_frame = _marker_error_template(character, sub, config)
     limits = LimitErrorFunction.create()
+    fl = (_floor_error(character)
+          if getattr(config, "floor_constraints", True) else None)
+    floor = () if fl is None else (fl,)
     opts = SolverOptions(max_iterations=config.max_iter,
                          regularization=config.regularization)
     enabled_mask = _pose_mask(character, config, enabled_mask)
@@ -247,7 +294,7 @@ def track_poses_for_frames(
         def step(carry, inputs):
             pos_f, occ_f = inputs
             ef = per_frame(ef0, pos_f, occ_f)
-            fn = SkeletonSolverFunction(character, (ef, limits))
+            fn = SkeletonSolverFunction(character, (ef, limits) + floor)
             res = solver(fn.residual, fn.error, carry, enabled_mask, opts)
             bad = ~jnp.all(jnp.isfinite(res.params))
             x = jnp.where(bad, carry, res.params)
@@ -258,7 +305,7 @@ def track_poses_for_frames(
     else:
         def solve_one(x0, pos_f, occ_f):
             ef = per_frame(ef0, pos_f, occ_f)
-            fn = SkeletonSolverFunction(character, (ef, limits))
+            fn = SkeletonSolverFunction(character, (ef, limits) + floor)
             res = solver(fn.residual, fn.error, x0, enabled_mask, opts)
             bad = ~jnp.all(jnp.isfinite(res.params))
             return jnp.where(bad, x0, res.params), res.error
@@ -341,9 +388,16 @@ def track_sequence(
     config: TrackingConfig = TrackingConfig(),
     universal: Optional[np.ndarray] = None,
     initial: Optional[jnp.ndarray] = None,
+    extra_per_frame_errors: tuple = (),
+    extra_sequence_errors: tuple = (),
 ):
     """Whole-sequence solve with smoothness (trackSequence,
-    marker_tracker.cpp:228-700). Returns (TrackingResult, universal values)."""
+    marker_tracker.cpp:228-700). Returns (TrackingResult, universal values).
+
+    `extra_per_frame_errors` are frame-stacked error pytrees appended to the
+    built-in marker/limit/collision set — the calibration pipeline passes its
+    first-frame height/floor/pose constraints through here (the reference's
+    addSequenceErrorFunctions extras, marker_tracker.cpp:374-476)."""
     f = markers.num_frames
     markers = _mask_low_visibility(markers, config.min_vis_percent)
     ef0, per_frame = _marker_error_template(character, markers, config)
@@ -352,11 +406,11 @@ def track_sequence(
     from momentum_tpu.sequence.solver_function import broadcast_frames
 
     limits = broadcast_frames(LimitErrorFunction.create(), f)
-    seq_errors = ()
+    seq_errors = tuple(extra_sequence_errors)
     if config.smoothing > 0:
         pweight = (np.asarray(config.smoothing_weights, np.float32)
                    if config.smoothing_weights else None)
-        seq_errors = (ModelParametersSequenceErrorFunction.create(
+        seq_errors = seq_errors + (ModelParametersSequenceErrorFunction.create(
             character.num_model_parameters, pweight=pweight,
             weight=config.smoothing),)
 
@@ -367,6 +421,11 @@ def track_sequence(
         coll = CollisionErrorFunction.create(
             character, weight=config.collision_error_weight)
         per_frame_errors.append(broadcast_frames(coll, f))
+    if getattr(config, "floor_constraints", True):
+        fl = _floor_error(character)
+        if fl is not None:
+            per_frame_errors.append(broadcast_frames(fl, f))
+    per_frame_errors.extend(extra_per_frame_errors)
 
     fn = SequenceSolverFunction.create(
         character, f, universal=universal,
@@ -402,6 +461,74 @@ def _mask_low_visibility(markers: MarkerSequence, min_vis_percent: float):
     skip = frac * 100.0 < min_vis_percent
     occ = jnp.where(skip[:, None], True, markers.occluded)
     return dataclasses.replace(markers, occluded=occ)
+
+
+def _calibration_extras(character: Character, config, f: int) -> tuple:
+    """Frame-stacked first-frame calibration constraints
+    (addSequenceErrorFunctions, marker_tracker.cpp:392-463): each is active
+    only on frame 0 with weight × solvedFrames — the reference's way of
+    making a shared constraint count once rather than per frame.
+
+    - target_height_cm → HeightErrorFunction (:422-428)
+    - enforce_floor_in_first_frame → equality floor pin (:431-438)
+    - first_frame_pose_constraint_set → pose-constraint values as hard
+      targets (:454-461; minmax limits with lo == hi ≡ a model-parameter
+      target error on those entries)
+    """
+    extras = []
+    first = np.zeros(f, np.float32)
+    first[0] = float(f)
+    first = jnp.asarray(first)
+    if config.target_height_cm > 0 and character.mesh is not None:
+        from momentum_tpu.errors import HeightErrorFunction
+
+        h0 = HeightErrorFunction.create(config.target_height_cm)
+        extras.append(jax.vmap(
+            lambda w: dataclasses.replace(h0, weight=w))(first))
+    if config.enforce_floor_in_first_frame:
+        fl = _floor_error(character, half_plane=False)
+        if fl is not None:
+            extras.append(jax.vmap(
+                lambda w: dataclasses.replace(fl, weight=w))(first))
+    pcs = config.first_frame_pose_constraint_set
+    if pcs:
+        pc = getattr(character.parameter_transform, "pose_constraints",
+                     None) or {}
+        if pcs in pc:
+            from momentum_tpu.errors import ModelParametersErrorFunction
+
+            p = character.num_model_parameters
+            target = np.zeros(p, np.float32)
+            mask = np.zeros(p, np.float32)
+            for i, v in pc[pcs]:
+                target[i] = v
+                mask[i] = 1.0
+            m0 = ModelParametersErrorFunction.create(target, pweight=mask)
+            extras.append(jax.vmap(
+                lambda w: dataclasses.replace(m0, weight=w))(first))
+    return tuple(extras)
+
+
+def _adaptive_floor_contacts(character: Character, config, motion):
+    """Soft equality floor constraints on detected contact frames
+    (marker_tracker.cpp:449-453 perFrameFloorContacts, detection at
+    tracker_utils.cpp:944-1002): per floor locator, frames at or below the
+    height percentile get pinned to the floor with 3× weight. Returns a
+    frame-stacked PlaneErrorFunction (contact mask → cweight) or None."""
+    from momentum_tpu.tracking.tracker_utils import (
+        compute_floor_contact_constraints,
+    )
+
+    rows = _floor_rows(character)
+    if rows is None:
+        return None
+    parents, offsets, cw = rows
+    contact, _ = compute_floor_contact_constraints(
+        character, motion, parents, offsets,
+        percentile=config.floor_contact_percentile)
+    fl = _floor_error(character, half_plane=False, weight=3.0)
+    cw_frames = contact.astype(jnp.float32) * jnp.asarray(cw)  # (F, L)
+    return jax.vmap(lambda c: dataclasses.replace(fl, cweight=c))(cw_frames)
 
 
 def calibrate_model(
@@ -466,6 +593,11 @@ def calibrate_model(
         method=config.method, freeze_scaling=config.freeze_scaling,
         line_search=True)
 
+    if config.enforce_floor_in_first_frame and config.adaptive_floor_contact:
+        raise ValueError("enforce_floor_in_first_frame and "
+                         "adaptive_floor_contact are exclusive")
+    extras_static = _calibration_extras(character, config, len(idx))
+
     identity = jnp.zeros(p) if initial is None else jnp.asarray(initial)
     motion = None
     for _ in range(config.major_iter):
@@ -478,9 +610,14 @@ def calibrate_model(
                 character, sampled, tracked.motion, config)
             motion = tracked.motion
             continue
+        extras = extras_static
+        if config.adaptive_floor_contact:
+            ad = _adaptive_floor_contacts(character, config, tracked.motion)
+            if ad is not None:
+                extras = extras_static + (ad,)
         seq_res, u = track_sequence(
             character, sampled, track_cfg, universal=universal,
-            initial=tracked.motion)
+            initial=tracked.motion, extra_per_frame_errors=extras)
         u_idx = np.nonzero(universal)[0]
         identity = identity.at[u_idx].set(u)
         motion = seq_res.motion

@@ -258,3 +258,116 @@ def test_get_locator_error_matches_ground_truth(char):
     dead = dataclasses.replace(markers, occluded=occluded)
     avg3, mx3 = get_locator_error(char, dead, off)
     assert avg3 == 0.0 and mx3 == 0.0
+
+
+class TestCalibrationHeuristics:
+    """Floor/height/pose-constraint calibration options
+    (marker_tracker.cpp addSequenceErrorFunctions:392-463)."""
+
+    def _with_floor(self, char, offset=(0.0, -0.5, 0.0)):
+        from momentum_tpu.character.character import Locators
+
+        loc = char.locators
+        return dataclasses.replace(char, locators=Locators(
+            parent=jnp.concatenate([loc.parent, jnp.asarray([0], jnp.int32)]),
+            offset=jnp.concatenate([loc.offset,
+                                    jnp.asarray([list(offset)])]),
+            weight=jnp.concatenate([loc.weight, jnp.asarray([1.0])]),
+            names=tuple(loc.names) + ("Floor_root",)))
+
+    def test_floor_half_plane_blocks_penetration(self, char):
+        """Markers pulling the rig below the floor: with floor constraints
+        the solved root stays higher than without."""
+        from momentum_tpu.tracking.tracker import _floor_error
+
+        fchar = self._with_floor(char)
+        assert _floor_error(fchar) is not None
+        rng = _rng()
+        _, markers = _synthetic_markers(char, 3, rng)
+        # push every marker target 3 units below the original pose
+        sunk = dataclasses.replace(
+            markers, positions=markers.positions - jnp.asarray([0, 3.0, 0]))
+        cfg_floor = TrackingConfig(max_iter=20, regularization=1e-4)
+        cfg_nofloor = dataclasses.replace(cfg_floor, floor_constraints=False)
+        lo = track_poses_batched(fchar, sunk, cfg_nofloor)
+        hi = track_poses_batched(fchar, sunk, cfg_floor)
+        y_lo = float(np.asarray(lo.motion)[:, 1].mean())
+        y_hi = float(np.asarray(hi.motion)[:, 1].mean())
+        assert y_hi > y_lo + 0.1
+
+    def test_marker_weight_zero_disables_markers(self, char):
+        rng = _rng()
+        _, markers = _synthetic_markers(char, 3, rng)
+        cfg = TrackingConfig(max_iter=10, regularization=1e-4,
+                             marker_weight=0.0)
+        res = track_poses_batched(char, markers, cfg)
+        # nothing pulls the pose away from zero
+        assert float(jnp.max(jnp.abs(res.motion))) < 1e-5
+
+    def test_calibration_extras_first_frame_weights(self, char):
+        from momentum_tpu.tracking.tracker import _calibration_extras
+
+        pt = dataclasses.replace(char.parameter_transform,
+                                 pose_constraints={"bind": ((0, 0.25),)})
+        fchar = self._with_floor(dataclasses.replace(
+            char, parameter_transform=pt))
+        cfg = CalibrationConfig(target_height_cm=120.0,
+                                enforce_floor_in_first_frame=True,
+                                first_frame_pose_constraint_set="bind")
+        extras = _calibration_extras(fchar, cfg, 5)
+        assert len(extras) == 3
+        for e in extras:
+            w = np.asarray(e.weight)
+            assert w.shape == (5,)
+            assert w[0] == 5.0 and np.all(w[1:] == 0.0)
+
+    def test_adaptive_contacts_mask(self, char):
+        from momentum_tpu.tracking.tracker import _adaptive_floor_contacts
+
+        fchar = self._with_floor(char)
+        cfg = CalibrationConfig(adaptive_floor_contact=True,
+                                floor_contact_percentile=0.3)
+        motion = np.zeros((5, char.num_model_parameters), np.float32)
+        motion[:, 1] = [0.0, 1.0, 2.0, 3.0, 4.0]  # root rises over time
+        ad = _adaptive_floor_contacts(fchar, cfg, jnp.asarray(motion))
+        cw = np.asarray(ad.cweight)  # (F, L=1): only the 2 lowest frames
+        assert cw.shape == (5, 1)
+        assert cw[0, 0] > 0 and cw[1, 0] > 0
+        assert np.all(cw[2:, 0] == 0)
+
+    def test_exclusive_floor_flags_raise(self, char):
+        rng = _rng()
+        _, markers = _synthetic_markers(char, 4, rng)
+        cfg = CalibrationConfig(enforce_floor_in_first_frame=True,
+                                adaptive_floor_contact=True)
+        with pytest.raises(ValueError, match="exclusive"):
+            calibrate_model(char, markers, cfg)
+
+    def test_calibration_with_floor_extras_still_recovers_scale(self, char):
+        """End-to-end: floor extras CONSISTENT with the data (the Floor_
+        locator rides the root, which stays on y=0 in the ground truth)
+        don't perturb scale calibration."""
+        # floor locator exactly at the root joint; ground truth keeps the
+        # root translation at zero so the locator is on the floor all clip
+        fchar = self._with_floor(char, offset=(0.0, 0.0, 0.0))
+        rng = _rng()
+        gt_scale = 0.1
+        p = char.num_model_parameters
+        t = np.linspace(0, 1, 8)[:, None]
+        phase = rng.uniform(0, 2 * np.pi, p)
+        amp = rng.uniform(0.05, 0.3, p)
+        thetas = amp * np.sin(2 * np.pi * t + phase)
+        thetas[:, :3] = 0.0  # root pinned to the floor plane
+        si = char.parameter_transform.parameter_index("scale_global")
+        thetas[:, si] = gt_scale
+        thetas = jnp.asarray(thetas, jnp.float32)
+        states = jax.vmap(char.skeleton_states)(thetas)
+        markers = MarkerSequence(
+            positions=jax.vmap(char.locators.world_positions)(states),
+            occluded=jnp.zeros((8, char.locators.num_locators), bool),
+            names=tuple(char.locators.names))
+        cfg = CalibrationConfig(calib_frames=8, major_iter=2, max_iter=30,
+                                regularization=1e-4,
+                                adaptive_floor_contact=True)
+        identity, _ = calibrate_model(fchar, markers, cfg)
+        assert abs(float(identity[si]) - gt_scale) < 0.03
