@@ -44,3 +44,8 @@ from momentum_tpu.rasterizer.text import (  # noqa: F401
     rasterize_text,
     rasterize_text_2d,
 )
+from momentum_tpu.rasterizer.overlays import (  # noqa: F401
+    rasterize_circles,
+    rasterize_lines,
+    rasterize_splats,
+)
