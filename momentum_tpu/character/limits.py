@@ -219,3 +219,127 @@ def remap_limits_model_parameters(limits: ParameterLimits, keep) -> ParameterLim
         halfplane_idx1=jnp.asarray(h1), halfplane_idx2=jnp.asarray(h2),
         halfplane_weight=jnp.asarray(hw2),
     )
+
+
+def map_limits(limits: ParameterLimits, joint_map, param_map) -> ParameterLimits:
+    """Remap limit records through a joint mapping and a model-parameter
+    mapping, dropping records whose indices map to nothing — the reference's
+    mapParameterLimits (character_utility.cpp:193-254). `joint_map` and
+    `param_map` are old→new index arrays with -1 for dropped entries.
+    MinMaxJoint/LinearJoint flat joint-param indices remap through
+    `joint_map` on their joint part (the reference routes LinearJoint through
+    the parameter mapping, which its own storage contradicts; we remap the
+    joint index the record actually holds)."""
+    import numpy as np
+
+    joint_map = np.asarray(joint_map, np.int64)
+    param_map = np.asarray(param_map, np.int64)
+
+    def _np(x):
+        return np.asarray(x)
+
+    def filt(keep, **named):
+        return {k: v[keep] for k, v in named.items()}
+
+    out = {}
+
+    # minmax: model-parameter indexed
+    mm = _np(limits.minmax_index)
+    mapped = param_map[mm] if mm.size else mm
+    keep = mapped >= 0 if mm.size else np.zeros(0, bool)
+    out.update(
+        minmax_index=mapped[keep].astype(np.int32),
+        minmax_bounds=_np(limits.minmax_bounds)[keep],
+        minmax_weight=_np(limits.minmax_weight)[keep])
+
+    # minmax_joint: flat joint-param indexed
+    mj = _np(limits.minmax_joint_index)
+    jmapped = (joint_map[mj // 7] * 7 + mj % 7) if mj.size else mj
+    keep = (joint_map[mj // 7] >= 0) if mj.size else np.zeros(0, bool)
+    out.update(
+        minmax_joint_index=jmapped[keep].astype(np.int32),
+        minmax_joint_bounds=_np(limits.minmax_joint_bounds)[keep],
+        minmax_joint_weight=_np(limits.minmax_joint_weight)[keep],
+        minmax_joint_passive=_np(limits.minmax_joint_passive)[keep])
+
+    # linear: model-parameter indexed pair
+    lr, lt = _np(limits.linear_ref), _np(limits.linear_tgt)
+    if lr.size:
+        mr, mt2 = param_map[lr], param_map[lt]
+        keep = (mr >= 0) & (mt2 >= 0)
+    else:
+        mr = mt2 = lr
+        keep = np.zeros(0, bool)
+    out.update(
+        linear_ref=mr[keep].astype(np.int32),
+        linear_tgt=mt2[keep].astype(np.int32),
+        linear_scale=_np(limits.linear_scale)[keep],
+        linear_offset=_np(limits.linear_offset)[keep],
+        linear_range=_np(limits.linear_range)[keep],
+        linear_weight=_np(limits.linear_weight)[keep])
+
+    # linear_joint: flat joint-param indexed pair
+    ljr, ljt = _np(limits.linear_joint_ref), _np(limits.linear_joint_tgt)
+    if ljr.size:
+        mjr = joint_map[ljr // 7] * 7 + ljr % 7
+        mjt = joint_map[ljt // 7] * 7 + ljt % 7
+        keep = (joint_map[ljr // 7] >= 0) & (joint_map[ljt // 7] >= 0)
+    else:
+        mjr = mjt = ljr
+        keep = np.zeros(0, bool)
+    out.update(
+        linear_joint_ref=mjr[keep].astype(np.int32),
+        linear_joint_tgt=mjt[keep].astype(np.int32),
+        linear_joint_scale=_np(limits.linear_joint_scale)[keep],
+        linear_joint_offset=_np(limits.linear_joint_offset)[keep],
+        linear_joint_range=_np(limits.linear_joint_range)[keep],
+        linear_joint_weight=_np(limits.linear_joint_weight)[keep])
+
+    # halfplane: model-parameter indexed pair
+    h1, h2 = _np(limits.halfplane_idx1), _np(limits.halfplane_idx2)
+    if h1.size:
+        m1, m2 = param_map[h1], param_map[h2]
+        keep = (m1 >= 0) & (m2 >= 0)
+    else:
+        m1 = m2 = h1
+        keep = np.zeros(0, bool)
+    out.update(
+        halfplane_idx1=m1[keep].astype(np.int32),
+        halfplane_idx2=m2[keep].astype(np.int32),
+        halfplane_normal=_np(limits.halfplane_normal)[keep],
+        halfplane_offset=_np(limits.halfplane_offset)[keep],
+        halfplane_weight=_np(limits.halfplane_weight)[keep])
+
+    # ellipsoid: joint indexed pair
+    ep, ef = _np(limits.ellipsoid_parent), _np(limits.ellipsoid_frame_parent)
+    if ep.size:
+        mp_, mf = joint_map[ep], joint_map[ef]
+        keep = (mp_ >= 0) & (mf >= 0)
+    else:
+        mp_ = mf = ep
+        keep = np.zeros(0, bool)
+    out.update(
+        ellipsoid_parent=mp_[keep].astype(np.int32),
+        ellipsoid_frame_parent=mf[keep].astype(np.int32),
+        ellipsoid_point_offset=_np(limits.ellipsoid_point_offset)[keep],
+        ellipsoid_mat=_np(limits.ellipsoid_mat)[keep],
+        ellipsoid_inv=_np(limits.ellipsoid_inv)[keep],
+        ellipsoid_weight=_np(limits.ellipsoid_weight)[keep])
+
+    import dataclasses as _dc
+
+    return _dc.replace(limits, **{k: jnp.asarray(v) for k, v in out.items()})
+
+
+def concat_limits(a: ParameterLimits, b: ParameterLimits) -> ParameterLimits:
+    """Concatenate two limit tables record-wise (the reference's mergeVectors
+    over ParameterLimits, character_utility.cpp:274-280)."""
+    import dataclasses as _dc
+
+    import numpy as np
+
+    out = {}
+    for f in _dc.fields(ParameterLimits):
+        va, vb = np.asarray(getattr(a, f.name)), np.asarray(getattr(b, f.name))
+        out[f.name] = jnp.asarray(np.concatenate([va, vb], axis=0))
+    return ParameterLimits(**out)

@@ -13,7 +13,8 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from momentum_tpu.character.character import Character, Locators, Mesh
+from momentum_tpu.character.character import (
+    Character, CollisionGeometry, Locators, Mesh, PhysicalProperties)
 from momentum_tpu.character.parameter_transform import ParameterTransform
 from momentum_tpu.character.skeleton import INVALID_INDEX, PARAMS_PER_JOINT, Skeleton, make_skeleton
 from momentum_tpu.character.skinning import SkinWeights
@@ -39,6 +40,9 @@ __all__ = [
     "resample_motion",
     "extrapolate_model_parameters",
     "add_rigid_transform_node",
+    "replace_skeleton_hierarchy",
+    "vertices_to_faces",
+    "faces_to_vertices",
 ]
 
 
@@ -587,3 +591,369 @@ def add_rigid_transform_node(character: Character, name: str,
         character, skeleton=new_skel, parameter_transform=new_pt,
         inverse_bind_pose=None)
     return out.with_inverse_bind_pose(), bone_index, parameter_start
+
+
+def _map_locators(loc: Locators, joint_map: np.ndarray):
+    """Remap locator parents through an old→new joint map, dropping locators
+    whose parent was removed (character_utility.cpp:173-191 mapParents)."""
+    if loc is None:
+        return None
+    lp = np.asarray(loc.parent)
+    mapped = joint_map[lp]
+    keep = mapped >= 0
+
+    def _sub(arr):
+        return None if arr is None else jnp.asarray(np.asarray(arr)[keep])
+
+    return Locators(
+        parent=jnp.asarray(mapped[keep], jnp.int32),
+        offset=jnp.asarray(np.asarray(loc.offset)[keep]),
+        weight=jnp.asarray(np.asarray(loc.weight)[keep]),
+        names=tuple(np.asarray(loc.names)[keep].tolist()),
+        locked=_sub(loc.locked), limit_weight=_sub(loc.limit_weight),
+        limit_origin=_sub(loc.limit_origin),
+        attached_to_skin=_sub(loc.attached_to_skin),
+        skin_offset=_sub(loc.skin_offset),
+    )
+
+
+def _concat_locators(a: Locators, b: Locators) -> Locators:
+    if a is None or a.parent.shape[0] == 0:
+        return b
+    if b is None or b.parent.shape[0] == 0:
+        return a
+
+    def _opt(x, y, shape_fn):
+        """Concatenate optional per-locator arrays, zero-filling a missing side."""
+        na, nb = a.parent.shape[0], b.parent.shape[0]
+        if x is None and y is None:
+            return None
+        xa = np.zeros(shape_fn(na), np.float32) if x is None else np.asarray(x)
+        yb = np.zeros(shape_fn(nb), np.float32) if y is None else np.asarray(y)
+        return jnp.asarray(np.concatenate([xa, yb], axis=0))
+
+    return Locators(
+        parent=jnp.concatenate([a.parent, b.parent]),
+        offset=jnp.concatenate([a.offset, b.offset]),
+        weight=jnp.concatenate([a.weight, b.weight]),
+        names=tuple(a.names) + tuple(b.names),
+        locked=_opt(a.locked, b.locked, lambda n: (n, 3)),
+        limit_weight=_opt(a.limit_weight, b.limit_weight, lambda n: (n, 3)),
+        limit_origin=_opt(a.limit_origin, b.limit_origin, lambda n: (n, 3)),
+        attached_to_skin=_opt(a.attached_to_skin, b.attached_to_skin,
+                              lambda n: (n,)),
+        skin_offset=_opt(a.skin_offset, b.skin_offset, lambda n: (n, 3)),
+    )
+
+
+def _filter_locators(loc: Locators, keep: np.ndarray) -> Locators:
+    def _sub(arr):
+        return None if arr is None else jnp.asarray(np.asarray(arr)[keep])
+
+    return Locators(
+        parent=jnp.asarray(np.asarray(loc.parent)[keep], jnp.int32),
+        offset=jnp.asarray(np.asarray(loc.offset)[keep]),
+        weight=jnp.asarray(np.asarray(loc.weight)[keep]),
+        names=tuple(np.asarray(loc.names)[keep].tolist()),
+        locked=_sub(loc.locked), limit_weight=_sub(loc.limit_weight),
+        limit_origin=_sub(loc.limit_origin),
+        attached_to_skin=_sub(loc.attached_to_skin),
+        skin_offset=_sub(loc.skin_offset),
+    )
+
+
+def replace_skeleton_hierarchy(
+    src_character: Character,
+    tgt_character: Character,
+    src_root: str,
+    tgt_root: str,
+) -> Character:
+    """Replace the part of `tgt_character`'s skeleton rooted at `tgt_root`
+    with the part of `src_character`'s skeleton rooted at `src_root` — e.g.
+    swap one character's hand hierarchy onto another body
+    (character_utility.cpp:572-758 replaceSkeletonHierarchy; bound as
+    pymomentum.geometry.replace_skeleton_hierarchy).
+
+    Semantics mirrored from the reference:
+      * combined joints = target joints outside the tgt_root subtree, with
+        the source joints strictly under src_root spliced in right after
+        tgt_root (source parents resolve by name; src_root's own children
+        attach to tgt_root);
+      * locators/collision/physical bodies remap through the joint maps;
+        duplicate locator and body entries prefer the SOURCE side;
+      * model parameters merge by name (duplicates raise), limits remap per
+        record type; the target's mesh/blendshapes are kept, with skinning
+        re-pointed at each joint's nearest surviving ancestor by name.
+    """
+    from momentum_tpu.character.limits import concat_limits, map_limits
+
+    src_skel, tgt_skel = src_character.skeleton, tgt_character.skeleton
+    s_names = list(src_skel.joint_names)
+    t_names = list(tgt_skel.joint_names)
+    if src_root not in s_names:
+        raise ValueError(f"source root joint '{src_root}' not found")
+    if tgt_root not in t_names:
+        raise ValueError(f"target root joint '{tgt_root}' not found")
+    src_root_i, tgt_root_i = s_names.index(src_root), t_names.index(tgt_root)
+    s_par = np.asarray(src_skel.joint_parent)
+    t_par = np.asarray(tgt_skel.joint_parent)
+
+    def strict_descendants(parents, root):
+        n = len(parents)
+        d = np.zeros(n, bool)
+        d[root] = True
+        for j in range(n):  # topological order: parent < child
+            p = parents[j]
+            if p != INVALID_INDEX and d[p]:
+                d[j] = True
+        d[root] = False
+        return d
+
+    s_desc = strict_descendants(s_par, src_root_i)
+    t_desc = strict_descendants(t_par, tgt_root_i)
+
+    comb_names, comb_parent, comb_pre, comb_off = [], [], [], []
+    name_to_comb: dict = {}
+    src_to_comb = np.full(len(s_par), INVALID_INDEX, np.int64)
+    tgt_to_comb = np.full(len(t_par), INVALID_INDEX, np.int64)
+
+    def add(names, parents, pre, off, j, mapping, fallback_parent=None):
+        nm = names[j]
+        if nm in name_to_comb:
+            raise ValueError(f"duplicate joint '{nm}' while reparenting")
+        ci = len(comb_names)
+        mapping[j] = ci
+        name_to_comb[nm] = ci
+        p = parents[j]
+        if p == INVALID_INDEX:
+            cp = INVALID_INDEX
+        else:
+            pnm = names[p]
+            if pnm in name_to_comb:
+                cp = name_to_comb[pnm]
+            elif fallback_parent is not None:
+                # src_root's children attach to tgt_root even when the two
+                # roots are named differently (the reference asserts the name
+                # resolves, which requires matching root names)
+                cp = fallback_parent
+            else:
+                raise ValueError(
+                    f"parent '{pnm}' of joint '{nm}' not in combined skeleton")
+        comb_names.append(nm)
+        comb_parent.append(cp)
+        comb_pre.append(np.asarray(pre)[j])
+        comb_off.append(np.asarray(off)[j])
+
+    for i in range(len(t_par)):
+        if i == tgt_root_i:
+            add(t_names, t_par, tgt_skel.pre_rotation,
+                tgt_skel.translation_offset, i, tgt_to_comb)
+            root_ci = name_to_comb[tgt_root]
+            for k in range(src_root_i + 1, len(s_par)):
+                if s_desc[k]:
+                    add(s_names, s_par, src_skel.pre_rotation,
+                        src_skel.translation_offset, k, src_to_comb,
+                        fallback_parent=root_ci)
+        elif not t_desc[i]:
+            add(t_names, t_par, tgt_skel.pre_rotation,
+                tgt_skel.translation_offset, i, tgt_to_comb)
+
+    comb_skel = make_skeleton(
+        comb_parent, pre_rotations=np.asarray(comb_pre),
+        translation_offsets=np.asarray(comb_off), names=comb_names)
+    n_comb = len(comb_names)
+
+    # ---- merged parameter transform (character_utility.cpp:293-360
+    # addMappedParameters: keep parameters driving surviving joints, merge by
+    # name, scatter rows into the combined joint layout; offsets reset) ----
+    cols, names = [], []
+
+    def add_mapped(pt: ParameterTransform, jmap: np.ndarray) -> np.ndarray:
+        tf = np.asarray(pt.transform)
+        n_p = tf.shape[1]
+        valid = np.zeros(n_p, bool)
+        for j, cj in enumerate(jmap):
+            if cj < 0:
+                continue
+            rows = tf[j * PARAMS_PER_JOINT:(j + 1) * PARAMS_PER_JOINT]
+            valid |= (np.abs(rows) > 0).any(axis=0)
+        pmap = np.full(n_p, INVALID_INDEX, np.int64)
+        existing = set(names)
+        for p in np.nonzero(valid)[0]:
+            nm = pt.names[p]
+            if nm in existing:
+                raise ValueError(
+                    f"duplicate parameter '{nm}' while merging transforms")
+            col = np.zeros(n_comb * PARAMS_PER_JOINT, np.float32)
+            for j, cj in enumerate(jmap):
+                if cj >= 0:
+                    col[cj * PARAMS_PER_JOINT:(cj + 1) * PARAMS_PER_JOINT] = \
+                        tf[j * PARAMS_PER_JOINT:(j + 1) * PARAMS_PER_JOINT, p]
+            pmap[p] = len(names)
+            names.append(nm)
+            cols.append(col)
+        return pmap
+
+    tgt_pmap = add_mapped(tgt_character.parameter_transform, tgt_to_comb)
+    src_pmap = add_mapped(src_character.parameter_transform, src_to_comb)
+    comb_pt = ParameterTransform(
+        transform=jnp.asarray(np.stack(cols, axis=1) if cols
+                              else np.zeros((n_comb * PARAMS_PER_JOINT, 0),
+                                            np.float32)),
+        offsets=jnp.zeros(n_comb * PARAMS_PER_JOINT, jnp.float32),
+        names=tuple(names),
+    )
+
+    # ---- limits ----
+    comb_limits = concat_limits(
+        map_limits(tgt_character.limits, tgt_to_comb, tgt_pmap),
+        map_limits(src_character.limits, src_to_comb, src_pmap))
+
+    # ---- locators: duplicates prefer the source side
+    # (character_utility.cpp:644-655) ----
+    src_loc = _map_locators(src_character.locators, src_to_comb)
+    tgt_loc = _map_locators(tgt_character.locators, tgt_to_comb)
+    if tgt_loc is not None and src_loc is not None:
+        src_names = set(src_loc.names)
+        keep = np.asarray([nm not in src_names for nm in tgt_loc.names], bool)
+        tgt_loc = _filter_locators(tgt_loc, keep)
+    comb_loc = _concat_locators(tgt_loc, src_loc)
+
+    # ---- collision: both sides merged (character_utility.cpp:663-671) ----
+    def map_collision(col, jmap):
+        if col is None:
+            return None
+        cp = np.asarray(col.parent)
+        mapped = jmap[cp]
+        keep = mapped >= 0
+        if not keep.any():
+            return None
+
+        def _sub(arr):
+            return None if arr is None else jnp.asarray(np.asarray(arr)[keep])
+
+        return CollisionGeometry(
+            parent=jnp.asarray(mapped[keep], jnp.int32),
+            transform=jnp.asarray(np.asarray(col.transform)[keep]),
+            radius=jnp.asarray(np.asarray(col.radius)[keep]),
+            length=jnp.asarray(np.asarray(col.length)[keep]),
+            ptype=_sub(col.ptype),
+            ellipsoid_radii=_sub(col.ellipsoid_radii),
+            box_half_extents=_sub(col.box_half_extents),
+        )
+
+    def concat_collision(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        na, nb = a.parent.shape[0], b.parent.shape[0]
+
+        def _opt(x, y, default_a, default_b):
+            if x is None and y is None:
+                return None
+            xa = default_a if x is None else np.asarray(x)
+            yb = default_b if y is None else np.asarray(y)
+            return jnp.asarray(np.concatenate([xa, yb], axis=0))
+
+        return CollisionGeometry(
+            parent=jnp.concatenate([a.parent, b.parent]),
+            transform=jnp.concatenate([a.transform, b.transform]),
+            radius=jnp.concatenate([a.radius, b.radius]),
+            length=jnp.concatenate([a.length, b.length]),
+            ptype=_opt(a.ptype, b.ptype, np.zeros(na, np.int32),
+                       np.zeros(nb, np.int32)),
+            ellipsoid_radii=_opt(a.ellipsoid_radii, b.ellipsoid_radii,
+                                 np.zeros((na, 3), np.float32),
+                                 np.zeros((nb, 3), np.float32)),
+            box_half_extents=_opt(a.box_half_extents, b.box_half_extents,
+                                  np.zeros((na, 3), np.float32),
+                                  np.zeros((nb, 3), np.float32)),
+        )
+
+    comb_col = concat_collision(
+        map_collision(tgt_character.collision, tgt_to_comb),
+        map_collision(src_character.collision, src_to_comb))
+
+    # ---- skinning: keep the target mesh; each target joint maps to itself
+    # if it survived, else the nearest ancestor whose name survives
+    # (character_utility.cpp:691-717 tgtToCombinedWithParents) ----
+    comb_skin = None
+    if tgt_character.mesh is not None and tgt_character.skin_weights is not None:
+        walk = np.zeros(len(t_par), np.int64)
+        for j in range(len(t_par)):
+            a = j
+            while a != INVALID_INDEX and t_names[a] not in name_to_comb:
+                a = t_par[a]
+            if a == INVALID_INDEX:
+                raise ValueError(
+                    f"no surviving ancestor for target joint '{t_names[j]}'")
+            walk[j] = name_to_comb[t_names[a]]
+        si = np.asarray(tgt_character.skin_weights.index)
+        comb_skin = SkinWeights(
+            index=jnp.asarray(walk[si], jnp.int32),
+            weight=tgt_character.skin_weights.weight)
+
+    # ---- physical bodies: duplicates (same combined joint) prefer source
+    # (character_utility.cpp:720-738) ----
+    comb_pp = None
+    pieces = []
+    for char_, jmap in ((tgt_character, tgt_to_comb),
+                        (src_character, src_to_comb)):
+        pp = char_.physical_properties
+        if pp is None:
+            continue
+        pj = np.asarray(pp.joint_index)
+        mapped = jmap[pj]
+        keep = mapped >= 0
+        if keep.any():
+            pieces.append((mapped[keep], pp, keep))
+    if pieces:
+        if len(pieces) == 2:
+            src_joints = set(pieces[1][0].tolist())
+            tj, tpp, tkeep = pieces[0]
+            extra = np.asarray([j not in src_joints for j in tj], bool)
+            tkeep2 = np.zeros_like(tkeep)
+            tkeep2[np.nonzero(tkeep)[0][extra]] = True
+            pieces[0] = (tj[extra], tpp, tkeep2)
+        ji = np.concatenate([p[0] for p in pieces])
+
+        def cat(field):
+            return jnp.asarray(np.concatenate(
+                [np.asarray(getattr(p[1], field))[p[2]] for p in pieces]))
+
+        comb_pp = PhysicalProperties(
+            joint_index=jnp.asarray(ji, jnp.int32),
+            mass=cat("mass"),
+            center_of_mass_offset=cat("center_of_mass_offset"),
+            inertia=cat("inertia"),
+            inertia_rotation=cat("inertia_rotation"),
+            joint_names=tuple(comb_names[int(j)] for j in ji),
+        )
+
+    out = Character(
+        skeleton=comb_skel, parameter_transform=comb_pt, limits=comb_limits,
+        mesh=tgt_character.mesh, skin_weights=comb_skin,
+        blend_shape=tgt_character.blend_shape, locators=comb_loc,
+        collision=comb_col, physical_properties=comb_pp,
+    )
+    return out.with_inverse_bind_pose() if comb_skin is not None else out
+
+
+def vertices_to_faces(mesh: Mesh, active_vertices) -> np.ndarray:
+    """Vertex selection → face selection: a face stays active only when ALL
+    its vertices are active (character_utility.h:142 verticesToFaces)."""
+    av = np.asarray(active_vertices, bool)
+    faces = np.asarray(mesh.faces)
+    return av[faces].all(axis=1)
+
+
+def faces_to_vertices(mesh: Mesh, active_faces) -> np.ndarray:
+    """Face selection → vertex selection: a vertex is active when ANY active
+    face references it (character_utility.h:149 facesToVertices)."""
+    af = np.asarray(active_faces, bool)
+    faces = np.asarray(mesh.faces)
+    nv = np.asarray(mesh.vertices).shape[0]
+    out = np.zeros(nv, bool)
+    out[faces[af].reshape(-1)] = True
+    return out

@@ -42,6 +42,16 @@ __all__ = [
     "joint_parameters_to_local_skeleton_state",
     "local_skeleton_state_to_joint_parameters",
     "strip_lower_body_vertices",
+    "strip_joints",
+    "replace_skeleton_hierarchy",
+    "reduce_mesh_by_faces",
+    "reduce_mesh_by_vertices",
+    "classify_triangles_by_texture",
+    "split_mesh_by_texture_region",
+    "load_markers",
+    "load_markers_from_bytes",
+    "load_motion",
+    "is_fbxsdk_available",
 ]
 
 
@@ -323,3 +333,87 @@ def strip_lower_body_vertices(character, upper_body_root=None):
         if cur == upper_body_root:
             keep[j] = True
     return reduce_mesh_to_bones(character, np.nonzero(keep)[0])
+
+
+def strip_joints(character, joint_names):
+    """Remove the named joints and everything parented under them
+    (pymomentum.geometry.strip_joints → removeJoints,
+    character_utility.cpp:758-840). Unknown names raise."""
+    from momentum_tpu.character.utility import remove_joints
+
+    names = character.skeleton.joint_names
+    for j in joint_names:
+        if isinstance(j, str) and j not in names:
+            raise ValueError(f"joint '{j}' not in skeleton")
+    return remove_joints(character, joint_names)
+
+
+def replace_skeleton_hierarchy(source_character, target_character,
+                               source_root, target_root):
+    """pymomentum.geometry.replace_skeleton_hierarchy — see
+    character.utility.replace_skeleton_hierarchy."""
+    from momentum_tpu.character.utility import (
+        replace_skeleton_hierarchy as _impl)
+
+    return _impl(source_character, target_character, source_root, target_root)
+
+
+def reduce_mesh_by_faces(character, active_faces):
+    """pymomentum.geometry.reduce_mesh_by_faces."""
+    from momentum_tpu.character.utility import reduce_mesh_by_faces as _impl
+
+    return _impl(character, active_faces)
+
+
+def reduce_mesh_by_vertices(character, active_vertices):
+    """pymomentum.geometry.reduce_mesh_by_vertices."""
+    from momentum_tpu.character.utility import reduce_mesh_by_vertices as _impl
+
+    return _impl(character, active_vertices)
+
+
+def classify_triangles_by_texture(*args, **kwargs):
+    """pymomentum.geometry.classify_triangles_by_texture — see
+    character.texture_classification.classify_triangles_by_texture."""
+    from momentum_tpu.character.texture_classification import (
+        classify_triangles_by_texture as _impl)
+
+    return _impl(*args, **kwargs)
+
+
+def split_mesh_by_texture_region(*args, **kwargs):
+    """pymomentum.geometry.split_mesh_by_texture_region — see
+    character.texture_classification.split_mesh_by_texture_region."""
+    from momentum_tpu.character.texture_classification import (
+        split_mesh_by_texture_region as _impl)
+
+    return _impl(*args, **kwargs)
+
+
+def load_markers(path, main_subject_only=True, up="y"):
+    """pymomentum.geometry.load_markers (geometry_pybind.cpp:970)."""
+    from momentum_tpu.io.markers import load_markers as _impl
+
+    return _impl(path, main_subject_only=main_subject_only, up=up)
+
+
+def load_markers_from_bytes(data, format, main_subject_only=True, up="y"):
+    """pymomentum.geometry.load_markers_from_bytes."""
+    from momentum_tpu.io.markers import load_markers_from_bytes as _impl
+
+    return _impl(data, format, main_subject_only=main_subject_only, up=up)
+
+
+def load_motion(gltf_filename):
+    """pymomentum.geometry.load_motion: motion-only GLB read →
+    (motion, parameter_names, identity, joint_names)."""
+    from momentum_tpu.io.gltf import load_motion_glb
+
+    return load_motion_glb(gltf_filename)
+
+
+def is_fbxsdk_available() -> bool:
+    """pymomentum.geometry.is_fbxsdk_available. The reference needs the
+    Autodesk SDK for FBX *saving*; this build ships its own binary FBX
+    writer (io/fbx_writer.py), so saving is always available."""
+    return True

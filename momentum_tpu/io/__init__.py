@@ -16,8 +16,20 @@ from momentum_tpu.io.gltf_builder import (  # noqa: F401
 )
 from momentum_tpu.io.locators import load_locators, save_locators  # noqa: F401
 from momentum_tpu.io.urdf import load_urdf  # noqa: F401
-from momentum_tpu.io.gltf import load_character_glb, save_character_glb  # noqa: F401
-from momentum_tpu.io.markers import RawMarkerData, load_c3d, load_trc, save_trc  # noqa: F401
+from momentum_tpu.io.gltf import (  # noqa: F401
+    load_character_glb,
+    load_motion_glb,
+    save_character_glb,
+)
+from momentum_tpu.io.gltf import load_motion_glb as load_motion  # noqa: F401
+from momentum_tpu.io.markers import (  # noqa: F401
+    RawMarkerData,
+    load_c3d,
+    load_markers,
+    load_markers_from_bytes,
+    load_trc,
+    save_trc,
+)
 from momentum_tpu.io.model_definition import (  # noqa: F401
     load_model_definition,
     load_momentum_model,

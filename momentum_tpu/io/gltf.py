@@ -127,7 +127,8 @@ def _read_binary_source(source) -> bytes:
         return f.read()
 
 
-def save_character_glb(path, character, motion=None, fps=120.0, markers=None) -> None:
+def save_character_glb(path, character, motion=None, fps=120.0, markers=None,
+                       identity=None) -> None:
     """Write character (+ optional (F, P) model-parameter motion, + optional
     marker sequence) as .glb. `markers` is a tracking.MarkerSequence or a
     RawMarkerData (saveMarkerSequence analog, gltf_builder.cpp:374-383)."""
@@ -267,6 +268,14 @@ def save_character_glb(path, character, motion=None, fps=120.0, markers=None) ->
             "nframes": int(motion.shape[0]),
             "fps": float(fps),
         }
+    if identity is not None:
+        # per-joint identity vector as joint parameters (the reference's
+        # motion "offsets"/"jointNames" section, gltf_builder.cpp:648-650;
+        # loadMotion returns it as IdentityParameters)
+        identity = np.asarray(identity, np.float32).reshape(-1)
+        ext.setdefault("motion", {})
+        ext["motion"]["offsets"] = w.add(identity, "SCALAR")
+        ext["motion"]["jointNames"] = list(character.skeleton.joint_names)
     if markers is not None:
         m_pos = np.asarray(markers.positions, np.float32)
         m_occ = np.asarray(markers.occluded, np.uint8)
@@ -560,6 +569,40 @@ def load_character_glb(path, return_markers=False):
             names=names,
         )
     return character, motion, fps, markers
+
+
+def load_motion_glb(path):
+    """Load ONLY the motion section from a momentum GLB, without building the
+    character (pymomentum.geometry.load_motion / gltf_io.h:48 loadMotion).
+
+    → (motion (F, P) float32 or None, parameter_names,
+       identity (nJ·7,) float32 or None, joint_names) — the reference's
+    [motionData, motionParameterNames, identityData, identityParameterNames].
+    """
+    data = _read_binary_source(path)
+    doc, blob = _parse_glb(data)
+    ext = doc.get("extensions", {}).get("FB_momentum", {})
+    m = ext.get("motion", {})
+
+    motion = None
+    param_names = tuple(m.get("parameterNames", ()))
+    if "poses" in m:
+        poses = m["poses"]
+        flat = (_read_accessor(doc, blob, poses).astype(np.float32)
+                if isinstance(poses, int)
+                else np.asarray(poses, np.float32).reshape(-1))
+        nf = int(m.get("nframes", 0)) or (
+            len(flat) // max(1, len(param_names)))
+        motion = flat.reshape(nf, -1)
+
+    identity = None
+    joint_names = tuple(m.get("jointNames", ()))
+    if "offsets" in m:
+        offs = m["offsets"]
+        identity = (_read_accessor(doc, blob, offs).astype(np.float32)
+                    if isinstance(offs, int)
+                    else np.asarray(offs, np.float32).reshape(-1))
+    return motion, param_names, identity, joint_names
 
 
 def _animation_to_joint_params(doc, blob, joint_ids, skeleton, fps):

@@ -15,18 +15,21 @@ import struct
 
 import numpy as np
 
-__all__ = ["load_c3d", "load_trc", "save_trc", "RawMarkerData"]
+__all__ = ["load_c3d", "load_trc", "save_trc", "RawMarkerData",
+           "load_markers", "load_markers_from_bytes"]
 
 
 class RawMarkerData:
     """Host-side marker clip: positions (F, M, 3) float32 (NaN when occluded),
-    occluded (F, M) bool, names, fps."""
+    occluded (F, M) bool, names, fps. `name` is the subject/actor name when
+    the file carries one (MarkerSequence.name, marker.h)."""
 
-    def __init__(self, positions, occluded, names, fps):
+    def __init__(self, positions, occluded, names, fps, name=""):
         self.positions = positions
         self.occluded = occluded
         self.names = list(names)
         self.fps = fps
+        self.name = name
 
     @property
     def num_frames(self):
@@ -50,13 +53,20 @@ class RawMarkerData:
 
 
 def load_c3d(path) -> RawMarkerData:
-    with open(path, "rb") as f:
-        data = f.read()
+    """Accepts a filesystem path or the raw file bytes (the reference's
+    loadMarkersFromBytes variant, momentum_io.h)."""
+    if isinstance(path, (bytes, bytearray)):
+        data = bytes(path)
+        native_points = None
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
 
-    # native fast path for the point stream (labels still parsed below)
-    from momentum_tpu import native
+        # native fast path for the point stream (labels still parsed below)
+        from momentum_tpu import native
 
-    native_points = native.c3d_read_points(str(path)) if native.available() else None
+        native_points = (native.c3d_read_points(str(path))
+                         if native.available() else None)
 
     # --- header (block 1) ---
     param_block, magic = data[0], data[1]
@@ -192,9 +202,12 @@ def load_c3d(path) -> RawMarkerData:
 
 
 def load_trc(path) -> RawMarkerData:
-    """TRC text marker format (trc_io.cpp)."""
-    with open(path, "r") as f:
-        lines = f.read().splitlines()
+    """TRC text marker format (trc_io.cpp). Accepts a path or raw bytes."""
+    if isinstance(path, (bytes, bytearray)):
+        lines = bytes(path).decode("utf-8", errors="replace").splitlines()
+    else:
+        with open(path, "r") as f:
+            lines = f.read().splitlines()
     # line 1 (0-indexed): metadata headers; line 2: values; line 3: marker names
     hdr = lines[1].split("\t")
     vals = lines[2].split("\t")
@@ -237,3 +250,89 @@ def save_trc(path, markers: RawMarkerData) -> None:
                 else:
                     row += [f"{v:.5f}" for v in markers.positions[fi, mi]]
             f.write("\t".join(row) + "\n")
+
+
+def _split_subjects(markers: RawMarkerData, main_subject_only: bool):
+    """Split a clip into per-subject clips by "Subject:Marker" label prefixes
+    (the C3D/TRC convention the reference's loadMarkersFromFile honors;
+    marker_io). Unprefixed labels form the "" subject. main_subject_only
+    keeps only the subject with the most markers."""
+    groups: dict = {}
+    for i, nm in enumerate(markers.names):
+        subj, _, rest = nm.rpartition(":")
+        groups.setdefault(subj, []).append((i, rest or nm))
+    out = []
+    for subj, items in groups.items():
+        idx = [i for i, _ in items]
+        out.append(RawMarkerData(
+            markers.positions[:, idx], markers.occluded[:, idx],
+            [n for _, n in items], markers.fps, name=subj))
+    out.sort(key=lambda m: -m.num_markers)
+    if main_subject_only:
+        out = out[:1]
+    return out
+
+
+def _apply_up(markers: RawMarkerData, up: str) -> RawMarkerData:
+    """Re-express marker positions in momentum's Y-up frame given the file's
+    up axis (the `up` argument of pymomentum load_markers; UpVector)."""
+    up = str(up).lower().lstrip("upvector.")
+    if up in ("y", ""):
+        return markers
+    p = markers.positions
+    if up == "z":  # Z-up right-handed → Y-up: (x, y, z) → (x, z, -y)
+        markers.positions = np.stack(
+            [p[..., 0], p[..., 2], -p[..., 1]], axis=-1)
+    elif up == "x":  # X-up → Y-up: (x, y, z) → (y, x, -z)
+        markers.positions = np.stack(
+            [p[..., 1], p[..., 0], -p[..., 2]], axis=-1)
+    else:
+        raise ValueError(f"unknown up axis {up!r}")
+    return markers
+
+
+def load_markers(path, main_subject_only: bool = True, up: str = "y"):
+    """Load mocap markers from .c3d/.trc/.glb, one RawMarkerData per subject
+    (pymomentum.geometry.load_markers, geometry_pybind.cpp:970-983)."""
+    import os
+
+    ext = os.path.splitext(str(path))[1].lower()
+    if ext == ".c3d":
+        raw = load_c3d(path)
+    elif ext == ".trc":
+        raw = load_trc(path)
+    elif ext in (".glb", ".gltf"):
+        from momentum_tpu.io.gltf import load_character_glb
+
+        _, _, fps, mseq = load_character_glb(path, return_markers=True)
+        if mseq is None:
+            return []
+        raw = RawMarkerData(
+            np.asarray(mseq.positions), np.asarray(mseq.occluded, bool),
+            list(mseq.names), fps)
+    else:
+        raise ValueError(f"unsupported marker format {ext!r}")
+    return _split_subjects(_apply_up(raw, up), main_subject_only)
+
+
+def load_markers_from_bytes(data: bytes, format: str,
+                            main_subject_only: bool = True, up: str = "y"):
+    """Same as load_markers but from an in-memory buffer plus an extension
+    hint (".c3d", ".trc", ".glb") — the reference's loadMarkersFromBytes."""
+    fmt = format.lower().lstrip(".")
+    if fmt == "c3d":
+        raw = load_c3d(bytes(data))
+    elif fmt == "trc":
+        raw = load_trc(bytes(data))
+    elif fmt in ("glb", "gltf"):
+        from momentum_tpu.io.gltf import load_character_glb
+
+        _, _, fps, mseq = load_character_glb(bytes(data), return_markers=True)
+        if mseq is None:
+            return []
+        raw = RawMarkerData(
+            np.asarray(mseq.positions), np.asarray(mseq.occluded, bool),
+            list(mseq.names), fps)
+    else:
+        raise ValueError(f"unsupported marker format {format!r}")
+    return _split_subjects(_apply_up(raw, up), main_subject_only)
