@@ -61,24 +61,48 @@ def main():
 
     method = os.environ.get("MOMENTUM_TPU_BENCH_METHOD", "lm")
 
-    @jax.jit
-    def solve_batch(targets, x0):
-        # batch-native path: batched analytic Jacobians + batched linalg +
-        # the fused Pallas FK kernel — no vmap
+    # Compacted tail refinement (solver/compaction.py): run k_full full-batch
+    # LM iterations, then r_refine more on only the worst-K elements (λ state
+    # carried, so refined elements follow the exact LM-(k+r) iterate
+    # sequence). Measured: 18.2k solves/s @ the same 0.9844 conv as plain
+    # LM-6 (k=4/r=2/K=768); defaults keep a ≥1.3× capacity margin over the
+    # unconverged count. "off" or "0,0,0" disables.
+    refine_spec = os.environ.get("MOMENTUM_TPU_BENCH_REFINE", "4,2,1024")
+    if refine_spec.lower() in ("off", "0", ""):
+        refine = None
+    else:
+        k_full, r_refine, refine_cap = (int(v) for v in refine_spec.split(","))
+        refine = (k_full, r_refine, refine_cap) if refine_cap > 0 else None
+
+    from momentum_tpu.solver import solve_compacted
+
+    def _solve_stage(targets, x0, iters, lam0):
         ef = dataclasses.replace(ef0, target=targets)
         fn = SkeletonSolverFunction(
             char, (ef,),
             prefer_fused=bool(int(os.environ.get(
                 "MOMENTUM_TPU_PREFER_FUSED", "1"))))
+        o = dataclasses.replace(opts, max_iterations=iters)
         if method == "gn":
             from momentum_tpu.solver.gauss_newton import solve_gauss_newton
 
             return solve_gauss_newton(
-                fn.residual, fn.error, x0, options=opts,
+                fn.residual, fn.error, x0, options=o,
                 jacobian_fn=fn.residual_and_jacobian)
         return solve_levenberg_marquardt(
-            fn.residual, fn.error, x0, options=opts,
-            jacobian_fn=fn.residual_and_jacobian)
+            fn.residual, fn.error, x0, options=o,
+            jacobian_fn=fn.residual_and_jacobian, lambda0=lam0)
+
+    @jax.jit
+    def solve_batch(targets, x0):
+        # batch-native path: batched analytic Jacobians + batched linalg +
+        # the fused Pallas FK kernel — no vmap
+        if refine is None:
+            return _solve_stage(targets, x0, iters, None)
+        k_full, r_refine, refine_cap = refine
+        return solve_compacted(_solve_stage, targets, x0,
+                               capacity=refine_cap, k_full=k_full,
+                               r_refine=r_refine)
 
     def _sync(r):
         # REAL device round trip: over the axon tunnel block_until_ready can
@@ -136,15 +160,46 @@ def main():
 
     from momentum_tpu.solver.ik import solve_ik
 
-    @jax.jit
-    def solve_full(targets, q_targets, x0):
-        ef_pos = dataclasses.replace(ef0, target=targets)
-        ef_ori = dataclasses.replace(ori0, target=q_targets)
+    # Full-stack compacted refinement: GN is memoryless, so k full + r
+    # compacted iterations reproduce GN-(k+r) exactly on the refined set.
+    # Ranking is by MARKER energy (the gate metric). Measured: GN 2+1@1024 →
+    # 27.1k solves/s @ conv 1.0000 vs GN-3's 22.3k (defaults keep ≥1.5×
+    # capacity margin over the GN-2 unconverged count).
+    fs_spec = os.environ.get("MOMENTUM_TPU_BENCH_FULLSTACK_REFINE", "2,1,1024")
+    if fs_spec.lower() in ("off", "0", ""):
+        fs_refine = None
+    else:
+        fk, fr, fcap = (int(v) for v in fs_spec.split(","))
+        fs_refine = (fk, fr, fcap) if fcap > 0 else None
+
+    def _fs_solve(tg, qt, x, iters):
+        ef_pos = dataclasses.replace(ef0, target=tg)
+        ef_ori = dataclasses.replace(ori0, target=qt)
         fn = SkeletonSolverFunction(char, (ef_pos, ef_ori, lim, pp),
                                     prefer_fused=True)
-        r = solve_ik(fn, x0, None, full_opts, method="gauss_newton")
-        fn_pos = SkeletonSolverFunction(char, (ef_pos,))
-        return r.params, fn_pos.error(r.params)
+        o = dataclasses.replace(full_opts, max_iterations=iters)
+        return solve_ik(fn, x, None, o, method="gauss_newton")
+
+    def _pos_energy(tg, params):
+        fn_pos = SkeletonSolverFunction(
+            char, (dataclasses.replace(ef0, target=tg),))
+        return fn_pos.error(params)
+
+    @jax.jit
+    def solve_full(targets, q_targets, x0):
+        if fs_refine is None:
+            r = _fs_solve(targets, q_targets, x0, full_iters)
+            return r.params, _pos_energy(targets, r.params)
+        fk, fr, fcap = fs_refine
+        res1 = _fs_solve(targets, q_targets, x0, fk)
+        e1 = _pos_energy(targets, res1.params)
+        key = jnp.nan_to_num(e1, nan=jnp.float32(3e38),
+                             posinf=jnp.float32(3e38))
+        _, idx = jax.lax.top_k(key, fcap)
+        res2 = _fs_solve(targets[idx], q_targets[idx], res1.params[idx], fr)
+        params = res1.params.at[idx].set(res2.params)
+        e = e1.at[idx].set(_pos_energy(targets[idx], res2.params))
+        return params, e
 
     params_f, pos_e = solve_full(targets, q_t, x0)
     float(jnp.sum(params_f))
@@ -163,11 +218,16 @@ def main():
                 "metric": "full_body_ik_solves_per_sec_per_chip",
                 "value": round(solves_per_sec, 1),
                 "unit": (f"solves/s (51-joint/157-param char, 80 markers, "
-                         f"{iters} LM iters warm-started, median energy "
+                         + (f"LM {refine[0]}+{refine[1]} compacted@K={refine[2]} "
+                            if refine is not None else f"{iters} LM iters ")
+                         + f"warm-started, median energy "
                          f"sum-r2 {med_err:.2e}, {conv_frac:.2f} conv@1e-5, "
                          f"divergent {nan_frac:.3f}; FULL residual stack "
-                         f"pos+ori+limit+prior GN-{full_iters}: "
-                         f"{full_per_sec:.0f} solves/s, "
+                         f"pos+ori+limit+prior "
+                         + (f"GN {fs_refine[0]}+{fs_refine[1]} compacted"
+                            f"@K={fs_refine[2]}: " if fs_refine is not None
+                            else f"GN-{full_iters}: ")
+                         + f"{full_per_sec:.0f} solves/s, "
                          f"{full_conv:.2f} marker conv@1e-5, "
                          f"divergent {full_nan:.3f})"),
                 "vs_baseline": round(solves_per_sec / TARGET_SOLVES_PER_SEC_PER_CHIP, 4),

@@ -281,3 +281,21 @@ def quaternion_to_xyz_euler(q: jnp.ndarray) -> jnp.ndarray:
     from momentum_tpu.math.euler import quaternion_to_euler_zyx
 
     return quaternion_to_euler_zyx(q)
+
+
+def check_and_normalize_weights(quats: jnp.ndarray,
+                                weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Validate/normalize blend weights for (..., k, 4) quaternion stacks
+    (pymomentum/quaternion.py:353 check_and_normalize_weights): missing
+    weights become uniform; weights are normalized to sum to 1 over k."""
+    k = quats.shape[-2]
+    if quats.shape[-1] != 4:
+        raise ValueError(f"expected (..., k, 4) quaternions, got {quats.shape}")
+    if weights is None:
+        return jnp.full(quats.shape[:-1], 1.0 / k, dtype=quats.dtype)
+    weights = jnp.asarray(weights, quats.dtype)
+    if weights.shape[-1] != k:
+        raise ValueError(
+            f"weights last dim {weights.shape[-1]} != quaternion count {k}")
+    total = jnp.sum(weights, axis=-1, keepdims=True)
+    return weights / jnp.where(total == 0, 1.0, total)

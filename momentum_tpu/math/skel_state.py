@@ -164,3 +164,17 @@ def slerp(a: jnp.ndarray, b: jnp.ndarray, t) -> jnp.ndarray:
         quat.slerp(qa, qb, tt),
         jnp.exp((1.0 - tt) * jnp.log(jnp.maximum(sa, 1e-12)) + tt * jnp.log(jnp.maximum(sb, 1e-12))),
     )
+
+
+def multiply_assume_normalized(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """pymomentum/skel_state.py multiply_assume_normalized: multiply()
+    without re-normalizing the rotation part. Our multiply composes the
+    quaternions directly (no normalize step), so the two names coincide."""
+    return multiply(a, b)
+
+
+def transform_points_assume_normalized(a: jnp.ndarray,
+                                       p: jnp.ndarray) -> jnp.ndarray:
+    """pymomentum/skel_state.py transform_points_assume_normalized — see
+    multiply_assume_normalized for why this aliases transform_points."""
+    return transform_points(a, p)

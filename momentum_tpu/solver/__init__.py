@@ -16,3 +16,8 @@ from momentum_tpu.solver.solvers import (  # noqa: F401
     TrustRegionQR,
     solve_multipose,
 )
+from momentum_tpu.solver.compaction import (  # noqa: F401
+    gather_batch,
+    scatter_batch,
+    solve_compacted,
+)

@@ -97,6 +97,10 @@ class SolveResult(NamedTuple):
     # SolverOptions.store_history (solver.h:90-92); None otherwise
     error_history: Optional[jnp.ndarray] = None
     param_history: Optional[jnp.ndarray] = None
+    # LM only: per-element damping state at exit, so a follow-up solve can
+    # resume exactly where this one stopped (pass as `lambda0`) — used by
+    # the compacted tail-refinement path (solver/compaction.py)
+    lambda_final: Optional[jnp.ndarray] = None
 
 
 def _jacobian(residual_fn: Callable, x: jnp.ndarray, jacobian_fn=None):
@@ -294,6 +298,7 @@ def solve_levenberg_marquardt(
     options: SolverOptions = SolverOptions(),
     jacobian_fn: Optional[Callable] = None,
     normal_fn: Optional[Callable] = None,
+    lambda0: Optional[jnp.ndarray] = None,
 ) -> SolveResult:
     """LM with multiplicative damping: each iteration solves
     (JᵀJ + λ·diag(JᵀJ) + reg·I) δ = Jᵀr and accepts only if the energy drops,
@@ -303,7 +308,11 @@ def solve_levenberg_marquardt(
     provider (SkeletonSolverFunction.normal_equations) — structured residual
     modules contribute JᵀJ without materializing rows. When given, the solver
     never forms the dense Jacobian; with energy_from_residual the caller must
-    pass a Σrows² evaluator as error_fn (residual_sq)."""
+    pass a Σrows² evaluator as error_fn (residual_sq).
+
+    lambda0: optional per-element initial damping (overrides
+    options.lambda_init) — pass a previous solve's `lambda_final` to resume
+    its LM state exactly (the compacted-refinement path)."""
     p = x0.shape[-1]
     mask = jnp.ones(p, x0.dtype) if enabled_mask is None else enabled_mask.astype(x0.dtype)
     opts = options
@@ -410,13 +419,15 @@ def solve_levenberg_marquardt(
     hist0 = (jnp.zeros((opts.max_iterations,) + err_shape, x0.dtype),
              jnp.zeros((opts.max_iterations,) + x0.shape, x0.dtype)) \
         if opts.store_history else ()
-    lam0 = jnp.broadcast_to(jnp.asarray(opts.lambda_init, x0.dtype), err_shape)
+    lam0 = jnp.broadcast_to(
+        jnp.asarray(opts.lambda_init, x0.dtype) if lambda0 is None
+        else jnp.asarray(lambda0, x0.dtype), err_shape)
     if opts.energy_from_residual and opts.carry_jacobian and normal_fn is None:
         rows0, jt0 = _jacobian(residual_fn, x0, jacobian_fn)
         err0 = jnp.sum(rows0 * rows0, axis=-1)
         init = (x0, rows0, jt0, jnp.broadcast_to(err0, err_shape), lam0,
                 jnp.asarray(0, jnp.int32), jnp.zeros(err_shape, bool), hist0)
-        x, _, _, err, _, it, done, hist = jax.lax.while_loop(
+        x, _, _, err, lam, it, done, hist = jax.lax.while_loop(
             cond_fused, body_fused, init)
     else:
         if opts.energy_from_residual and normal_fn is None:
@@ -426,7 +437,8 @@ def solve_levenberg_marquardt(
             err0 = error_fn(x0)
         init = (x0, jnp.broadcast_to(err0, err_shape), lam0,
                 jnp.asarray(0, jnp.int32), jnp.zeros(err_shape, bool), hist0)
-        x, err, _, it, done, hist = jax.lax.while_loop(cond, body, init)
+        x, err, lam, it, done, hist = jax.lax.while_loop(cond, body, init)
     return SolveResult(params=x, error=err, iterations=it, converged=done,
                        error_history=hist[0] if opts.store_history else None,
-                       param_history=hist[1] if opts.store_history else None)
+                       param_history=hist[1] if opts.store_history else None,
+                       lambda_final=lam)

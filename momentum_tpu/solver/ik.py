@@ -55,7 +55,11 @@ def solve_ik(
 
     batch = int(_np.prod(x0.shape[:-1])) if x0.ndim > 1 else 1
     _counters["n_total_solve_ik"] += batch
-    _counters["n_total_solve_ik_iter"] += batch * options.max_iterations
+    if isinstance(options.max_iterations, int):
+        # max_iterations may be a traced scalar (dynamic-iteration solves,
+        # e.g. the compacted-refinement bench); don't leak tracers into the
+        # host-side counters
+        _counters["n_total_solve_ik_iter"] += batch * options.max_iterations
     if method == "gradient_descent":
         from momentum_tpu.solver.gauss_newton import solve_gradient_descent
 

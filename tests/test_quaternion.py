@@ -189,3 +189,43 @@ def test_euler_quaternion_parity_aliases():
     assert quat.multiply_assume_normalized is quat.multiply
     assert quat.rotate_vector_assume_normalized is quat.rotate_vector
     assert quat.to_rotation_matrix_assume_normalized is quat.to_rotation_matrix
+
+
+def test_check_and_normalize_weights_uniform_default():
+    import jax.numpy as jnp
+
+    from momentum_tpu.math import quaternion as q
+
+    w = q.check_and_normalize_weights(jnp.zeros((5, 3, 4)))
+    assert w.shape == (5, 3)
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-6)
+
+
+def test_check_and_normalize_weights_normalizes():
+    import jax.numpy as jnp
+
+    from momentum_tpu.math import quaternion as q
+
+    w = q.check_and_normalize_weights(
+        jnp.zeros((3, 4)), jnp.asarray([2.0, 2.0, 4.0]))
+    np.testing.assert_allclose(np.asarray(w), [0.25, 0.25, 0.5], atol=1e-6)
+    import pytest
+
+    with pytest.raises(ValueError):
+        q.check_and_normalize_weights(jnp.zeros((3, 4)), jnp.ones(2))
+
+
+def test_skel_state_assume_normalized_aliases():
+    import jax.numpy as jnp
+
+    from momentum_tpu.math import skel_state as ss
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    p = jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(ss.multiply_assume_normalized(a, b)),
+                               np.asarray(ss.multiply(a, b)))
+    np.testing.assert_allclose(
+        np.asarray(ss.transform_points_assume_normalized(a, p)),
+        np.asarray(ss.transform_points(a, p)))
