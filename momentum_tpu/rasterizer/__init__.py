@@ -49,3 +49,18 @@ from momentum_tpu.rasterizer.overlays import (  # noqa: F401
     rasterize_lines,
     rasterize_splats,
 )
+from momentum_tpu.rasterizer.utils import (  # noqa: F401
+    alpha_matte,
+    create_camera_for_body,
+    create_camera_for_hand,
+    create_index_buffer,
+    create_rgb_buffer,
+    create_shadow_projection_matrix,
+    create_z_buffer,
+    rasterize_camera_frustum,
+    rasterize_checkerboard,
+    rasterize_grid,
+    rasterize_mesh,
+    rasterize_transforms,
+    triangulate,
+)
