@@ -5,6 +5,15 @@ per-frame pose over many frames, optionally sharded over all local devices.
 Usage: python examples/benchmark_sequence.py [--frames 1024] [--sharded]
 """
 
+# Allow running from a source checkout: `python examples/<tool>.py` puts
+# examples/ (not the repo root) on sys.path
+import os as _os
+import sys as _sys
+
+_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo not in _sys.path:
+    _sys.path.insert(0, _repo)
+
 import argparse
 import time
 

@@ -10,6 +10,15 @@ extensions.
 
 from __future__ import annotations
 
+# Allow running from a source checkout: `python examples/<tool>.py` puts
+# examples/ (not the repo root) on sys.path
+import os as _os
+import sys as _sys
+
+_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo not in _sys.path:
+    _sys.path.insert(0, _repo)
+
 import argparse
 import os
 

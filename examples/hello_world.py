@@ -5,6 +5,15 @@ Mirror of the reference's examples/hello_world (create a test character,
 run FK, solve a simple IK problem).
 """
 
+# Allow running from a source checkout: `python examples/<tool>.py` puts
+# examples/ (not the repo root) on sys.path
+import os as _os
+import sys as _sys
+
+_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo not in _sys.path:
+    _sys.path.insert(0, _repo)
+
 import numpy as np
 
 

@@ -39,10 +39,40 @@ class Mesh:
     texcoord_faces: jnp.ndarray | None = None
     colors: jnp.ndarray | None = None
     confidence: jnp.ndarray | None = None
+    # polyline data (math/mesh.h lines/texcoord_lines): tuple of index
+    # arrays, one per polyline — static so jit treats topology as constant
+    lines: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    texcoord_lines: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True))
 
     @property
     def num_vertices(self) -> int:
         return self.vertices.shape[0]
+
+    # pymomentum.geometry.Mesh property spellings (mesh_pybind.cpp)
+    @property
+    def n_vertices(self) -> int:
+        return self.vertices.shape[0]
+
+    @property
+    def n_faces(self) -> int:
+        return self.faces.shape[0]
+
+    def with_updated_normals(self) -> "Mesh":
+        """Recompute area-weighted vertex normals (mesh.h updateNormals;
+        mesh_pybind with_updated_normals)."""
+        from momentum_tpu.character.skinning import update_normals
+
+        return dataclasses.replace(
+            self, normals=update_normals(self.vertices, self.faces))
+
+    def self_intersections(self, chunk: int = 256):
+        """(N, 2) face-index pairs that intersect, excluding pairs sharing a
+        vertex (mesh_pybind self_intersections → intersection.h)."""
+        from momentum_tpu.math.mesh_ops import intersect_mesh_brute_force
+
+        return intersect_mesh_brute_force(self.vertices, self.faces,
+                                          chunk=chunk)
 
 
 @jax.tree_util.register_dataclass

@@ -50,6 +50,61 @@ class Skeleton:
     def joint_index(self, name: str) -> int:
         return self.joint_names.index(name)
 
+    # ---- pymomentum.geometry.Skeleton property/method spellings
+    # (skeleton_pybind.cpp:109-260) ----
+
+    @property
+    def size(self) -> int:
+        return self.num_joints
+
+    def __len__(self) -> int:
+        return self.num_joints
+
+    @property
+    def joint_parents(self) -> np.ndarray:
+        """(nJ,) parent indices, -1 for roots."""
+        return np.asarray(self.joint_parent)
+
+    @property
+    def pre_rotations(self) -> np.ndarray:
+        """(nJ, 4) pre-rotation quaternions (x, y, z, w)."""
+        return np.asarray(self.pre_rotation)
+
+    @property
+    def offsets(self) -> np.ndarray:
+        """(nJ, 3) translation offsets."""
+        return np.asarray(self.translation_offset)
+
+    def get_parent(self, joint_index: int) -> int:
+        """Parent index of a joint, -1 for roots (skeleton_pybind get_parent)."""
+        return int(self._parents_np()[joint_index])
+
+    def get_child_joints(self, root_joint_index: int,
+                         recursive: bool = True) -> list:
+        """Joints parented under `root_joint_index` (excluding it);
+        recursive=False → direct children only (skeleton_pybind
+        get_child_joints)."""
+        parents = self._parents_np()
+        if not recursive:
+            return [int(j) for j in np.nonzero(parents == root_joint_index)[0]]
+        out = np.zeros(len(parents), bool)
+        out[root_joint_index] = True
+        for j in range(len(parents)):  # topological: parent < child
+            p = parents[j]
+            if p != INVALID_INDEX and out[p]:
+                out[j] = True
+        out[root_joint_index] = False
+        return [int(j) for j in np.nonzero(out)[0]]
+
+    @property
+    def upper_body_joints(self) -> list:
+        """Joints parented under 'b_spine0' (inclusive), the reference's
+        upper-body convenience set (skeleton_pybind.cpp:201-206)."""
+        if "b_spine0" not in self.joint_names:
+            raise ValueError("skeleton has no 'b_spine0' joint")
+        root = self.joint_names.index("b_spine0")
+        return [root] + self.get_child_joints(root, recursive=True)
+
     # ---- static (host-side) hierarchy queries; mirror skeleton.h ancestry API ----
 
     def _parents_np(self) -> np.ndarray:
@@ -71,12 +126,14 @@ class Skeleton:
                 a = parents[a]
         return out
 
-    def is_ancestor(self, ancestor: int, joint: int) -> bool:
-        """True if `ancestor` is `joint` or one of its ancestors (skeleton.h isAncestor)."""
+    def is_ancestor(self, joint_index: int, ancestor_joint_index: int) -> bool:
+        """True if `ancestor_joint_index` is `joint_index` or one of its
+        ancestors — inclusive, matching skeleton.h isAncestor(jointId,
+        ancestorJointId) and the pybind argument order."""
         parents = self._parents_np()
-        a = joint
+        a = joint_index
         while a != INVALID_INDEX:
-            if a == ancestor:
+            if a == ancestor_joint_index:
                 return True
             a = int(parents[a])
         return False

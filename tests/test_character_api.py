@@ -104,3 +104,50 @@ def test_with_blend_shape_extends_rig():
     assert out.blend_shape is not None
     assert out.num_model_parameters == char.num_model_parameters + 2
     assert out.blend_shape_param_index is not None
+
+
+class TestSkeletonPybindSurface:
+    """pymomentum.geometry.Skeleton property/method spellings
+    (skeleton_pybind.cpp:109-260)."""
+
+    def test_size_len_parents(self):
+        c = create_test_character(5)
+        sk = c.skeleton
+        assert sk.size == 5 and len(sk) == 5
+        assert sk.joint_parents.tolist() == [-1, 0, 1, 2, 3]
+        assert sk.get_parent(0) == -1 and sk.get_parent(3) == 2
+
+    def test_child_joints(self):
+        sk = create_test_character(4).skeleton
+        assert sk.get_child_joints(1, recursive=True) == [2, 3]
+        assert sk.get_child_joints(1, recursive=False) == [2]
+
+    def test_is_ancestor_pybind_arg_order(self):
+        sk = create_test_character(4).skeleton
+        # is_ancestor(joint_index, ancestor_joint_index), inclusive
+        assert sk.is_ancestor(3, 0)
+        assert sk.is_ancestor(2, 2)
+        assert not sk.is_ancestor(0, 3)
+
+    def test_array_properties(self):
+        sk = create_test_character(3).skeleton
+        assert sk.pre_rotations.shape == (3, 4)
+        assert sk.offsets.shape == (3, 3)
+
+
+class TestMeshPybindSurface:
+    def test_counts_and_updated_normals(self):
+        import numpy as np
+
+        c = create_test_character(3)
+        m = c.mesh
+        assert m.n_vertices == m.num_vertices
+        assert m.n_faces == m.faces.shape[0]
+        m2 = m.with_updated_normals()
+        n = np.asarray(m2.normals)
+        lens = np.linalg.norm(n, axis=-1)
+        assert (lens > 0.9).all()
+
+    def test_self_intersections_clean_mesh(self):
+        c = create_test_character(3)
+        assert c.mesh.self_intersections().shape[1] == 2
