@@ -343,3 +343,62 @@ def concat_limits(a: ParameterLimits, b: ParameterLimits) -> ParameterLimits:
         va, vb = np.asarray(getattr(a, f.name)), np.asarray(getattr(b, f.name))
         out[f.name] = jnp.asarray(np.concatenate([va, vb], axis=0))
     return ParameterLimits(**out)
+
+
+# ---- single-record constructors (pymomentum ParameterLimit.create_*
+# static methods, limit_pybind.cpp:165-336). Each returns a one-record
+# ParameterLimits table; combine with concat_limits. ----
+
+_FMAX = 3.0e38
+
+
+def create_minmax(model_parameter_index: int, min: float, max: float,
+                  weight: float = 1.0) -> ParameterLimits:
+    return make_limits(minmax=[(model_parameter_index, min, max, weight)])
+
+
+def create_minmax_joint(joint_index: int, joint_parameter: int, min: float,
+                        max: float, weight: float = 1.0,
+                        passive: bool = False) -> ParameterLimits:
+    return make_limits(minmax_joint=[
+        (joint_index, joint_parameter, min, max, weight, float(passive))])
+
+
+def create_linear(reference_model_parameter_index: int,
+                  target_model_parameter_index: int, scale: float,
+                  offset: float, weight: float = 1.0,
+                  range_min: float | None = None,
+                  range_max: float | None = None) -> ParameterLimits:
+    """p_ref = scale·p_tgt − offset over [range_min, range_max)
+    (limit_pybind.cpp:208-241)."""
+    return make_limits(linear=[(
+        reference_model_parameter_index, target_model_parameter_index,
+        scale, offset,
+        -_FMAX if range_min is None else range_min,
+        _FMAX if range_max is None else range_max, weight)])
+
+
+def create_linear_joint(reference_joint_index: int,
+                        reference_joint_parameter: int,
+                        target_joint_index: int,
+                        target_joint_parameter: int, scale: float,
+                        offset: float, weight: float = 1.0) -> ParameterLimits:
+    ref = reference_joint_index * 7 + reference_joint_parameter
+    tgt = target_joint_index * 7 + target_joint_parameter
+    return make_limits(linear_joint=[
+        (ref, tgt, scale, offset, -_FMAX, _FMAX, weight)])
+
+
+def create_halfplane(param1_index: int, param2_index: int, normal,
+                     offset: float = 0.0, weight: float = 1.0) -> ParameterLimits:
+    import numpy as np
+
+    n = np.asarray(normal, np.float32).reshape(2)
+    return make_limits(halfplane=[
+        (param1_index, param2_index, n[0], n[1], offset, weight)])
+
+
+def create_ellipsoid(ellipsoid_parent: int, parent: int, offset, ellipsoid,
+                     weight: float = 1.0) -> ParameterLimits:
+    return make_limits(ellipsoid=[
+        (parent, ellipsoid_parent, offset, ellipsoid, weight)])

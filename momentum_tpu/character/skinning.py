@@ -37,6 +37,73 @@ class SkinWeights:
     def num_vertices(self) -> int:
         return self.index.shape[0]
 
+    # ---- pymomentum.geometry.SkinWeights surface (skin_weights_pybind.cpp) ----
+
+    @property
+    def max_influences_per_vertex(self) -> int:
+        """kMaxSkinJoints (skin_weights.h:19) — the padded influence width."""
+        return self.index.shape[1]
+
+    @property
+    def num_joints(self) -> int:
+        """Highest referenced joint index + 1 (among nonzero weights)."""
+        import numpy as np
+
+        idx = np.asarray(self.index)
+        w = np.asarray(self.weight)
+        used = idx[w > 0]
+        return int(used.max()) + 1 if used.size else 0
+
+    def to_dense(self, num_joints: int):
+        """(V, num_joints) dense weight matrix (pybind to_dense)."""
+        import numpy as np
+
+        if num_joints <= 0:
+            raise ValueError(f"num_joints must be positive, got {num_joints}")
+        idx = np.asarray(self.index)
+        w = np.asarray(self.weight)
+        if idx[w > 0].size and idx[w > 0].max() >= num_joints:
+            raise ValueError("num_joints smaller than referenced joint index")
+        out = np.zeros((idx.shape[0], num_joints), np.float32)
+        rows = np.repeat(np.arange(idx.shape[0]), idx.shape[1])
+        np.add.at(out, (rows, idx.reshape(-1)), w.reshape(-1))
+        return out
+
+    @classmethod
+    def from_dense(cls, dense_weights, weight_threshold: float = 1e-6,
+                   max_influences: int = 8) -> "SkinWeights":
+        """Keep each vertex's top-`max_influences` weights above threshold,
+        renormalized, sorted descending (pybind from_dense)."""
+        import numpy as np
+
+        if weight_threshold < 0:
+            raise ValueError("weight_threshold must be non-negative")
+        d = np.asarray(dense_weights, np.float32)
+        if d.ndim != 2:
+            raise ValueError(f"dense weights must be 2-D, got {d.ndim}-D")
+        d = np.where(d >= weight_threshold, d, 0.0)
+        order = np.argsort(-d, axis=1, kind="stable")[:, :max_influences]
+        w = np.take_along_axis(d, order, axis=1)
+        idx = order.astype(np.int32)
+        idx = np.where(w > 0, idx, 0)
+        total = w.sum(axis=1, keepdims=True)
+        w = np.where(total > 0, w / np.where(total == 0, 1, total), 0.0)
+        if w.shape[1] < max_influences:  # pad to the kMaxSkinJoints width
+            pad = max_influences - w.shape[1]
+            w = np.pad(w, ((0, 0), (0, pad)))
+            idx = np.pad(idx, ((0, 0), (0, pad)))
+        return cls(index=jnp.asarray(idx), weight=jnp.asarray(w, jnp.float32))
+
+    def normalize_weights(self) -> "SkinWeights":
+        """Rescale each vertex's weights to sum to 1 (pybind
+        normalize_weights); all-zero rows stay zero."""
+        total = jnp.sum(self.weight, axis=1, keepdims=True)
+        w = jnp.where(total > 0, self.weight / jnp.where(total == 0, 1.0, total),
+                      self.weight)
+        import dataclasses as _dc
+
+        return _dc.replace(self, weight=w)
+
 
 def skinning_matrices(
     global_states: jnp.ndarray, inverse_bind_pose: jnp.ndarray

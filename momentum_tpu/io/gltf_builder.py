@@ -80,6 +80,54 @@ class GltfBuilder:
         return self
 
     # ---------------------------------------------------------------- saving
+    def add_mesh(self, vertices, faces=None, name: str = None) -> "GltfBuilder":
+        """Add a bare (non-skinned) mesh as its own character entry — the
+        reference's GltfBuilder::addMesh (gltf_builder.h), used e.g. for
+        marker meshes and props. `faces` may be omitted for point clouds."""
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from momentum_tpu.character import Character, Mesh
+        from momentum_tpu.character.parameter_transform import (
+            make_identity_transform)
+        from momentum_tpu.character.skeleton import make_skeleton
+
+        from momentum_tpu.character.skinning import SkinWeights
+
+        vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
+        faces = (np.zeros((0, 3), np.int32) if faces is None
+                 else np.asarray(faces, np.int32).reshape(-1, 3))
+        nv = vertices.shape[0]
+        # bind every vertex rigidly to the single root so the mesh survives
+        # the skinned-GLB export path
+        sw = SkinWeights(
+            index=jnp.zeros((nv, 8), jnp.int32),
+            weight=jnp.asarray(
+                np.pad(np.ones((nv, 1), np.float32), ((0, 0), (0, 7)))))
+        char = Character(
+            skeleton=make_skeleton([-1], names=(name or f"mesh{len(self._entries)}",)),
+            parameter_transform=make_identity_transform(1),
+            mesh=Mesh(vertices=jnp.asarray(vertices), faces=jnp.asarray(faces)),
+            skin_weights=sw,
+        ).with_inverse_bind_pose()
+        return self.add_character(char, name=name)
+
+    def to_bytes(self) -> bytes:
+        """Serialize the built document to GLB bytes (pybind
+        GltfBuilder.to_bytes) without touching the filesystem."""
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(suffix=".glb")
+        os.close(fd)
+        try:
+            self.save(tmp)
+            with open(tmp, "rb") as f:
+                return f.read()
+        finally:
+            os.unlink(tmp)
+
     def save(self, path) -> None:
         if not self._entries:
             raise ValueError("nothing to save: no characters added")
