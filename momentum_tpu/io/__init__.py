@@ -10,6 +10,7 @@ from momentum_tpu.io.fbx_writer import (  # noqa: F401
     save_fbx_model,
     save_fbx_with_joint_params,
 )
+from momentum_tpu.io.fbx_builder import FbxBuilder  # noqa: F401
 from momentum_tpu.io.gltf_builder import (  # noqa: F401
     GltfBuilder,
     load_all_characters_glb,

@@ -196,8 +196,11 @@ def _header_nodes(fps):
     return [hdr, gs]
 
 
-def _build_scene(character, joint_params=None, fps: float = 120.0):
-    """→ (objects children list, connections children list)."""
+def _build_scene(character, joint_params=None, fps: float = 120.0,
+                 uid_counter=None):
+    """→ (objects children list, connections children list). `uid_counter`
+    is a mutable [next_id] shared across entries when several scenes merge
+    into one document (FbxBuilder)."""
     import json
 
     skel = character.skeleton
@@ -206,7 +209,7 @@ def _build_scene(character, joint_params=None, fps: float = 120.0):
     offs = np.asarray(skel.translation_offset, np.float64)
     parents = np.asarray(skel.joint_parent)
 
-    next_uid = [100000]
+    next_uid = uid_counter if uid_counter is not None else [100000]
 
     def uid():
         next_uid[0] += 1
@@ -414,11 +417,7 @@ def _documents_node():
     ])
 
 
-def save_fbx_with_joint_params(path, character, joint_params=None,
-                               fps: float = 120.0) -> None:
-    """Save character (+ optional per-frame joint parameters, (F, nJ·7)) as
-    binary FBX (fbx_io.h:100 saveFbxWithJointParams)."""
-    objects, connections = _build_scene(character, joint_params, fps)
+def _write_document(path, objects, connections, fps: float) -> None:
     doc = _header_nodes(fps) + [
         _documents_node(),
         _N("References"),
@@ -428,6 +427,14 @@ def save_fbx_with_joint_params(path, character, joint_params=None,
     ]
     with open(path, "wb") as f:
         f.write(_ser_document(doc))
+
+
+def save_fbx_with_joint_params(path, character, joint_params=None,
+                               fps: float = 120.0) -> None:
+    """Save character (+ optional per-frame joint parameters, (F, nJ·7)) as
+    binary FBX (fbx_io.h:100 saveFbxWithJointParams)."""
+    objects, connections = _build_scene(character, joint_params, fps)
+    _write_document(path, objects, connections, fps)
 
 
 def save_fbx(path, character, motion=None, fps: float = 120.0) -> None:

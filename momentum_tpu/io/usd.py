@@ -38,6 +38,12 @@ __all__ = [
     "save_usd", "load_usd", "save_usda", "load_usda",
     "Prim", "Attr", "parse_usda", "write_usda",
     "write_usdc", "read_usdc",
+    # pymomentum io_usd binding surface
+    "is_usd_available", "load_character", "load_character_from_bytes",
+    "load_character_with_motion", "load_character_with_motion_from_bytes",
+    "load_character_with_skel_states",
+    "load_character_with_skel_states_from_bytes",
+    "save_character", "save_character_from_skel_states",
 ]
 
 
@@ -1059,3 +1065,117 @@ def load_usd(path):
     if head == _USDC_IDENT:
         return _stage_to_character(read_usdc(path))
     return load_usda(path)
+
+
+# ---- pymomentum.geometry USD binding surface (io_usd_pybind.cpp:329-520) ----
+
+
+def is_usd_available() -> bool:
+    """Always True: this build ships its own usda/usdc reader+writer (the
+    reference gates USD behind an optional pxr build)."""
+    return True
+
+
+def _stage_from_any(source) -> Stage:
+    """Path or raw bytes → parsed Stage."""
+    if isinstance(source, (bytes, bytearray)):
+        data = bytes(source)
+        if data[:8] == _USDC_IDENT:
+            import os
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(suffix=".usdc")
+            os.close(fd)
+            try:
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                return read_usdc(tmp)
+            finally:
+                os.unlink(tmp)
+        return parse_usda(data.decode("utf-8", errors="replace"))
+    path = str(source)
+    if path.endswith(".usdc"):
+        return read_usdc(path)
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if head == _USDC_IDENT:
+        return read_usdc(path)
+    with open(path) as f:
+        return parse_usda(f.read())
+
+
+def _stage_fps(stage: Stage) -> float:
+    return float(stage.meta.get("timeCodesPerSecond", 24.0))
+
+
+def load_character(source):
+    """Character only (io_usd_pybind load_character); accepts a path or
+    raw USD bytes."""
+    char, _ = _stage_to_character(_stage_from_any(source))
+    return char
+
+
+def load_character_from_bytes(data: bytes):
+    return load_character(bytes(data))
+
+
+def load_character_with_motion(source):
+    """→ (character, motion (F, P) or None, identity (nJ·7,), fps) — the
+    io_usd_pybind load_character_with_motion tuple. The identity vector is
+    zero: this loader bakes bone offsets into the skeleton rest pose."""
+    import numpy as np
+
+    stage = _stage_from_any(source)
+    char, motion = _stage_to_character(stage)
+    identity = np.zeros(char.skeleton.num_joints * 7, np.float32)
+    return char, motion, identity, _stage_fps(stage)
+
+
+def load_character_with_motion_from_bytes(data: bytes):
+    return load_character_with_motion(bytes(data))
+
+
+def load_character_with_skel_states(source):
+    """→ (character, skel_states (F, nJ, 8), fps): motion resolved through
+    FK (io_usd_pybind load_character_with_skel_states)."""
+    import jax
+
+    stage = _stage_from_any(source)
+    char, motion = _stage_to_character(stage)
+    fps = _stage_fps(stage)
+    if motion is None:
+        states = char.skeleton_states(
+            np.zeros(char.num_model_parameters, np.float32))[None]
+    else:
+        states = jax.vmap(char.skeleton_states)(np.asarray(motion, np.float32))
+    return char, states, fps
+
+
+def load_character_with_skel_states_from_bytes(data: bytes):
+    return load_character_with_skel_states(bytes(data))
+
+
+def save_character(path, character, fps: float = 24.0, motion=None) -> None:
+    """io_usd_pybind save_character."""
+    save_usd(path, character, motion=motion, fps=fps)
+
+
+def save_character_from_skel_states(path, character, skel_states,
+                                    fps: float = 24.0) -> None:
+    """Save with motion given as GLOBAL skeleton states (F, nJ, 8): inverted
+    to model parameters through constrained inverse FK + the rig
+    pseudo-inverse (io_usd_pybind save_character_from_skel_states)."""
+    import jax.numpy as jnp
+
+    from momentum_tpu.character.inverse_fk import (
+        joint_parameters_from_skeleton_states)
+
+    states = jnp.asarray(skel_states, jnp.float32)
+    if states.ndim == 2:
+        states = states[None]
+    jp = joint_parameters_from_skeleton_states(character.skeleton, states)
+    pt = character.parameter_transform
+    pinv = pt.pinv()
+    motion = np.einsum("pj,fj->fp", np.asarray(pinv),
+                       np.asarray(jp) - np.asarray(pt.offsets)[None])
+    save_usd(path, character, motion=motion, fps=fps)
