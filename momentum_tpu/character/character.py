@@ -250,6 +250,9 @@ class Character:
         default=None, metadata=dict(static=True)
     )
     name: str = dataclasses.field(default="", metadata=dict(static=True))
+    # free-form metadata string (character.h Character metadata;
+    # character_pybind with_metadata)
+    metadata: str = dataclasses.field(default="", metadata=dict(static=True))
 
     @property
     def num_joints(self) -> int:
@@ -442,3 +445,253 @@ class Character:
             return jnp.asarray([lookup[n] for n in names], jnp.int32)
         except KeyError as e:
             raise KeyError(f"unknown locator {e.args[0]!r}") from None
+
+    # ---- remaining pymomentum.geometry.Character member surface
+    # (character_pybind.cpp:252-1210) ----
+
+    def clone(self) -> "Character":
+        """Deep copy (frozen pytrees make this a value-identical replace)."""
+        return dataclasses.replace(self)
+
+    @property
+    def has_mesh(self) -> bool:
+        """True when both mesh and skin weights exist
+        (character_pybind.cpp:431-435)."""
+        return self.mesh is not None and self.skin_weights is not None
+
+    def skel_states(self, model_params: jnp.ndarray) -> jnp.ndarray:
+        """pybind spelling of skeleton_states: (..., P) → (..., nJ, 8)."""
+        return self.skeleton_states(model_params)
+
+    def rebind_skin(self) -> "Character":
+        """Recompute the inverse bind pose from the rest skeleton
+        (character_pybind rebind_skin → initInverseBindPose)."""
+        return self.with_inverse_bind_pose()
+
+    def bake_blend_shape(self, coefficients) -> "Character":
+        """Bake blendshape coefficients into the static mesh and strip the
+        basis + its parameters (character.h bake)."""
+        from momentum_tpu.character.utility import bake_blend_shape
+
+        return bake_blend_shape(self, coefficients)
+
+    def simplify_skeleton(self, enabled_joint_indices) -> "Character":
+        """Remove all joints except the listed ones (+ their ancestor chains
+        stay; character_pybind simplify_skeleton)."""
+        import numpy as np
+
+        from momentum_tpu.character.utility import simplify_skeleton
+
+        mask = np.zeros(self.num_joints, bool)
+        mask[np.asarray(enabled_joint_indices, np.int64)] = True
+        return simplify_skeleton(self, mask)
+
+    def simplify_parameter_transform(self, enabled_parameters) -> "Character":
+        """Reduce the rig to the enabled model parameters
+        (character_pybind simplify_parameter_transform)."""
+        import numpy as np
+
+        from momentum_tpu.character.utility import simplify_parameter_transform
+
+        return simplify_parameter_transform(
+            self, np.asarray(enabled_parameters, bool))
+
+    def joints_for_parameters(self, active_parameters) -> list:
+        """Joint indices driven by the given parameters (boolean mask or
+        index list; character_pybind joints_for_parameters)."""
+        import numpy as np
+
+        arr = np.asarray(active_parameters)
+        if arr.dtype != bool:
+            mask = np.zeros(self.num_model_parameters, bool)
+            mask[arr.astype(np.int64)] = True
+        else:
+            mask = arr
+        from momentum_tpu.character.utility import parameters_to_active_joints
+
+        active = parameters_to_active_joints(self.parameter_transform, mask)
+        return [int(j) for j in np.nonzero(np.asarray(active))[0]]
+
+    def parameters_for_joints(self, joint_indices) -> "jnp.ndarray":
+        """Boolean mask of parameters driving the given joints
+        (character_pybind parameters_for_joints)."""
+        return self.parameter_transform.parameters_for_joints(joint_indices)
+
+    def with_metadata(self, metadata: str) -> "Character":
+        """Attach an arbitrary metadata string (character_pybind
+        with_metadata; persisted by the GLB writer's document extension)."""
+        return dataclasses.replace(self, metadata=metadata)
+
+    def with_skinned_locators(self, skinned_locators) -> "Character":
+        return dataclasses.replace(self, skinned_locators=skinned_locators)
+
+    def with_face_expression_blend_shape(self, blend_shape,
+                                         num_shapes=None) -> "Character":
+        """Attach a face-expression basis AND extend the rig with its
+        coefficient parameters (character.h withFaceExpressionBlendShape)."""
+        from momentum_tpu.character.utility import (
+            add_face_expression_parameters)
+
+        return add_face_expression_parameters(self, blend_shape, num_shapes)
+
+    def skin_skinned_locators(self, skel_state, rest_positions=None
+                              ) -> jnp.ndarray:
+        """World positions of the character's skinned locators under a
+        skeleton state (character_pybind skin_skinned_locators)."""
+        if self.skinned_locators is None:
+            raise ValueError("character has no skinned locators")
+        sl = self.skinned_locators
+        if rest_positions is not None:
+            sl = dataclasses.replace(
+                sl, rest_position=jnp.asarray(rest_positions, jnp.float32))
+        return sl.world_positions(self, jnp.asarray(skel_state, jnp.float32))
+
+    # ---- *_from_bytes / skel-state / timestamp loader-savers
+    # (character_pybind.cpp:719-1100) ----
+
+    @classmethod
+    def load_gltf_from_bytes(cls, gltf_bytes) -> "Character":
+        from momentum_tpu.io.gltf import load_character_glb
+
+        character, _, _ = load_character_glb(bytes(gltf_bytes))
+        return character
+
+    @classmethod
+    def load_gltf_with_motion_from_bytes(cls, gltf_bytes):
+        from momentum_tpu.io.gltf import load_character_glb
+
+        return load_character_glb(bytes(gltf_bytes))
+
+    @classmethod
+    def load_gltf_with_skel_states(cls, path, fps: float = None):
+        """→ (Character, skel_states (F, nJ, 8) or None, fps). fps=None
+        samples at the file's own keyframe rate."""
+        from momentum_tpu.io.gltf import load_character_glb_with_skel_states
+
+        return load_character_glb_with_skel_states(path, fps)
+
+    @classmethod
+    def load_gltf_with_skel_states_from_bytes(cls, gltf_bytes,
+                                              fps: float = None):
+        from momentum_tpu.io.gltf import load_character_glb_with_skel_states
+
+        return load_character_glb_with_skel_states(bytes(gltf_bytes), fps)
+
+    @classmethod
+    def load_fbx_from_bytes(cls, fbx_bytes, **kwargs) -> "Character":
+        from momentum_tpu.io.fbx import load_fbx
+
+        return load_fbx(bytes(fbx_bytes), **kwargs)
+
+    @classmethod
+    def load_fbx_with_motion_from_bytes(cls, fbx_bytes, fps: float = 120.0):
+        from momentum_tpu.io.fbx import load_fbx_with_motion
+
+        return load_fbx_with_motion(bytes(fbx_bytes), fps)
+
+    @classmethod
+    def load_legacy_json_from_bytes(cls, json_bytes) -> "Character":
+        from momentum_tpu.io.legacy_json import load_legacy_json
+
+        return load_legacy_json(bytes(json_bytes).decode("utf-8"))
+
+    @classmethod
+    def load_legacy_json_from_string(cls, json_string: str) -> "Character":
+        from momentum_tpu.io.legacy_json import load_legacy_json
+
+        return load_legacy_json(json_string)
+
+    @staticmethod
+    def load_motion_timestamps(gltf_filename):
+        """Per-frame timestamps stored alongside GLB motion (gltf_io.h:57)."""
+        from momentum_tpu.io.gltf import load_motion_timestamps
+
+        return load_motion_timestamps(gltf_filename)
+
+    def save(self, path, motion=None, fps: float = 120.0) -> None:
+        """Save in the format implied by the extension (character_pybind
+        save → character_io.h saveCharacter dispatch)."""
+        from momentum_tpu.io.character_io import save_character
+
+        save_character(str(path), self, motion=motion, fps=fps)
+
+    def save_gltf_from_skel_states(self, path, skel_states,
+                                   fps: float = 120.0) -> None:
+        """Save with motion given as GLOBAL skeleton states, exported as
+        standard glTF animation channels (character_pybind
+        save_gltf_from_skel_states → GltfBuilder)."""
+        from momentum_tpu.io.gltf_builder import GltfBuilder
+
+        b = GltfBuilder()
+        b.add_character(self)
+        b.add_skeleton_states(skel_states)
+        b.set_fps(fps)
+        b.save(str(path))
+
+    def save_with_skel_states(self, path, skel_states,
+                              fps: float = 120.0) -> None:
+        """Extension-dispatched save with skeleton-state motion: .glb/.gltf
+        via animation channels, .usd* via UsdSkel, .fbx via inverse FK to
+        joint curves (character_pybind save_with_skel_states)."""
+        import os as _os
+
+        ext = _os.path.splitext(str(path))[1].lower()
+        if ext in (".glb", ".gltf"):
+            self.save_gltf_from_skel_states(path, skel_states, fps)
+        elif ext in (".usd", ".usda", ".usdc"):
+            from momentum_tpu.io.usd import save_character_from_skel_states
+
+            save_character_from_skel_states(path, self, skel_states, fps)
+        elif ext == ".fbx":
+            import numpy as _np
+
+            from momentum_tpu.character.inverse_fk import (
+                joint_parameters_from_skeleton_states)
+            from momentum_tpu.io.fbx_writer import save_fbx_with_joint_params
+
+            states = jnp.asarray(skel_states, jnp.float32)
+            if states.ndim == 2:
+                states = states[None]
+            jp = _np.asarray(joint_parameters_from_skeleton_states(
+                self.skeleton, states))
+            save_fbx_with_joint_params(str(path), self, jp, fps)
+        else:
+            raise ValueError(f"unsupported extension {ext!r}")
+
+    def to_gltf(self, fps: float = 120.0, motion=None) -> dict:
+        """The character as a glTF document dictionary (character_pybind
+        to_gltf 'dictionary form')."""
+        import json as _json
+        import os as _os
+        import struct as _struct
+        import tempfile as _tempfile
+
+        from momentum_tpu.io.gltf import save_character_glb
+
+        fd, tmp = _tempfile.mkstemp(suffix=".glb")
+        _os.close(fd)
+        try:
+            save_character_glb(tmp, self, motion=motion, fps=fps)
+            with open(tmp, "rb") as f:
+                data = f.read()
+        finally:
+            _os.unlink(tmp)
+        json_len = _struct.unpack_from("<I", data, 12)[0]
+        return _json.loads(data[20:20 + json_len])
+
+    def to_legacy_json_string(self) -> str:
+        """The legacy full-character JSON as a string (character_pybind
+        to_legacy_json_string)."""
+        import os as _os
+        import tempfile as _tempfile
+
+        from momentum_tpu.io.legacy_json import save_legacy_json
+
+        fd, tmp = _tempfile.mkstemp(suffix=".json")
+        _os.close(fd)
+        try:
+            save_legacy_json(tmp, self)
+            with open(tmp) as f:
+                return f.read()
+        finally:
+            _os.unlink(tmp)

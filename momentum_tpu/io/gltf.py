@@ -128,7 +128,7 @@ def _read_binary_source(source) -> bytes:
 
 
 def save_character_glb(path, character, motion=None, fps=120.0, markers=None,
-                       identity=None) -> None:
+                       identity=None, timestamps=None) -> None:
     """Write character (+ optional (F, P) model-parameter motion, + optional
     marker sequence) as .glb. `markers` is a tracking.MarkerSequence or a
     RawMarkerData (saveMarkerSequence analog, gltf_builder.cpp:374-383)."""
@@ -276,6 +276,11 @@ def save_character_glb(path, character, motion=None, fps=120.0, markers=None,
         ext.setdefault("motion", {})
         ext["motion"]["offsets"] = w.add(identity, "SCALAR")
         ext["motion"]["jointNames"] = list(character.skeleton.joint_names)
+    if timestamps is not None:
+        # per-frame int64 timestamps (gltf_builder.cpp:1114; read back by
+        # load_motion_timestamps / gltf_io.h:57 loadMotionTimestamps)
+        ext.setdefault("motion", {})
+        ext["motion"]["timestamps"] = [int(t) for t in np.asarray(timestamps)]
     if markers is not None:
         m_pos = np.asarray(markers.positions, np.float32)
         m_occ = np.asarray(markers.occluded, np.uint8)
@@ -605,6 +610,31 @@ def load_motion_glb(path):
     return motion, param_names, identity, joint_names
 
 
+def _animation_fps(doc, blob):
+    """Infer the keyframe rate of the first animation's samplers (median
+    spacing of input times); None when no animation exists."""
+    anims = doc.get("animations") or []
+    for anim in anims:
+        for sampler in anim.get("samplers", []):
+            times = _read_accessor(doc, blob, sampler["input"]).astype(
+                np.float64).reshape(-1)
+            if times.size >= 2:
+                dt = np.median(np.diff(np.sort(times)))
+                if dt > 0:
+                    return float(round(1.0 / dt, 6))
+    return None
+
+
+def load_motion_timestamps(path):
+    """Per-frame timestamps from a momentum GLB (gltf_io.h:57
+    loadMotionTimestamps; pybind Character.load_motion_timestamps).
+    → int64 numpy array (empty when the file carries none)."""
+    data = _read_binary_source(path)
+    doc, _ = _parse_glb(data)
+    ext = doc.get("extensions", {}).get("FB_momentum", {})
+    return np.asarray(ext.get("motion", {}).get("timestamps", []), np.int64)
+
+
 def _animation_to_joint_params(doc, blob, joint_ids, skeleton, fps):
     """Standard glTF animation channels → (F, nJ·7) momentum joint params.
 
@@ -685,13 +715,16 @@ def _animation_to_joint_params(doc, blob, joint_ids, skeleton, fps):
     return jp
 
 
-def load_character_glb_with_skel_states(path, fps: float = 120.0):
+def load_character_glb_with_skel_states(path, fps: float = None):
     """→ (Character, skel_states (F, nJ, 8) or None, fps) — the
     save_gltf_from_skel_states counterpart (character_pybind
     load_gltf_with_skel_states): motion reconstructed as GLOBAL skeleton
     states. Exact for standard glTF animation channels (no rig
     pseudo-inverse round trip: the sampled joint parameters feed FK
-    directly); FB_momentum model-parameter motion goes through the rig."""
+    directly); FB_momentum model-parameter motion goes through the rig.
+
+    fps=None (default) samples animations at the file's own rate (inferred
+    from the sampler keyframe spacing); pass a value to resample."""
     import jax
     import jax.numpy as jnp
 
@@ -701,6 +734,9 @@ def load_character_glb_with_skel_states(path, fps: float = 120.0):
 
     data = _read_binary_source(path)
     doc, blob = _parse_glb(data)
+
+    if fps is None:
+        fps = _animation_fps(doc, blob) or 120.0
 
     ext = doc.get("extensions", {}).get("FB_momentum", {})
     if "motion" not in ext and doc.get("animations"):

@@ -151,3 +151,98 @@ class TestMeshPybindSurface:
     def test_self_intersections_clean_mesh(self):
         c = create_test_character(3)
         assert c.mesh.self_intersections().shape[1] == 2
+
+
+class TestCharacterIoSurface:
+    """*_from_bytes loaders, skel-state save/load, timestamps, to_gltf /
+    to_legacy_json_string (character_pybind.cpp:719-1100)."""
+
+    def _char_motion(self):
+        import numpy as np
+
+        char = create_test_character(4)
+        motion = np.random.default_rng(0).normal(
+            0, 0.1, (3, char.num_model_parameters)).astype(np.float32)
+        return char, motion
+
+    def test_gltf_bytes_and_timestamps(self, tmp_path):
+        import numpy as np
+
+        from momentum_tpu.character import Character
+        from momentum_tpu.io.gltf import save_character_glb
+
+        char, motion = self._char_motion()
+        p = tmp_path / "c.glb"
+        save_character_glb(p, char, motion=motion, timestamps=[0, 33, 66])
+        data = p.read_bytes()
+        c2 = Character.load_gltf_from_bytes(data)
+        assert c2.skeleton.num_joints == 4
+        _, m2, _ = Character.load_gltf_with_motion_from_bytes(data)
+        np.testing.assert_allclose(np.asarray(m2), motion, atol=1e-5)
+        assert Character.load_motion_timestamps(p).tolist() == [0, 33, 66]
+
+    def test_skel_state_save_load_round_trip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from momentum_tpu.character import Character
+
+        char, motion = self._char_motion()
+        states = jax.vmap(char.skeleton_states)(jnp.asarray(motion))
+        p = tmp_path / "ss.glb"
+        char.save_gltf_from_skel_states(p, states, fps=30.0)
+        c2, s2, fps = Character.load_gltf_with_skel_states(p)
+        assert np.asarray(s2).shape == np.asarray(states).shape
+        assert abs(fps - 30.0) < 0.01  # inferred from keyframe spacing
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(states),
+                                   atol=1e-4)
+
+    def test_save_with_skel_states_dispatch(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import pytest
+
+        char, motion = self._char_motion()
+        states = jax.vmap(char.skeleton_states)(jnp.asarray(motion))
+        char.save_with_skel_states(tmp_path / "a.usda", states, fps=30.0)
+        char.save_with_skel_states(tmp_path / "a.fbx", states, fps=30.0)
+        assert (tmp_path / "a.usda").exists() and (tmp_path / "a.fbx").exists()
+        with pytest.raises(ValueError):
+            char.save_with_skel_states(tmp_path / "a.xyz", states)
+
+    def test_legacy_json_string_round_trip(self):
+        from momentum_tpu.character import Character
+
+        char, _ = self._char_motion()
+        js = char.to_legacy_json_string()
+        c2 = Character.load_legacy_json_from_string(js)
+        assert c2.skeleton.num_joints == 4
+        c3 = Character.load_legacy_json_from_bytes(js.encode())
+        assert c3.skeleton.joint_names == c2.skeleton.joint_names
+
+    def test_to_gltf_dict(self):
+        char, motion = self._char_motion()
+        doc = char.to_gltf(motion=motion)
+        assert "nodes" in doc
+        assert "FB_momentum" in doc.get("extensions", {})
+
+    def test_save_dispatch(self, tmp_path):
+        char, motion = self._char_motion()
+        char.save(tmp_path / "d.glb", motion=motion)
+        assert (tmp_path / "d.glb").read_bytes()[:4] == b"glTF"
+
+    def test_misc_members(self):
+        import numpy as np
+
+        from momentum_tpu.character import Character
+
+        char, _ = self._char_motion()
+        assert char.clone() is not char
+        assert char.has_mesh
+        assert char.with_metadata("x").metadata == "x"
+        jl = char.joints_for_parameters(
+            char.parameter_transform.all_parameters)
+        assert len(jl) >= 1
+        assert char.parameters_for_joints([0]).dtype == bool
+        assert char.rebind_skin().inverse_bind_pose is not None
