@@ -116,5 +116,16 @@ def save_character(path, character, motion=None, fps: float = 120.0) -> None:
         from momentum_tpu.io.legacy_json import save_legacy_json
 
         save_legacy_json(str(path), character)
+    elif ext == ".mmo":
+        import numpy as np
+
+        from momentum_tpu.io.motion import save_mmo
+
+        if motion is None:
+            raise ValueError(".mmo requires motion")
+        save_mmo(str(path), np.asarray(motion, np.float32),
+                 np.zeros(character.num_joints, np.float32),
+                 list(character.parameter_transform.names),
+                 list(character.skeleton.joint_names))
     else:
         raise ValueError(f"unsupported save format: {ext}")

@@ -21,6 +21,7 @@ from momentum_tpu.tracking.process_markers import (  # noqa: F401
     calibrate_markers,
     process_marker_file,
     process_markers,
+    save_motion,
 )
 from momentum_tpu.tracking.tracker_utils import (  # noqa: F401
     average_triangle_skin_weights,
@@ -38,3 +39,10 @@ from momentum_tpu.tracking.tracker_utils import (  # noqa: F401
 )
 from momentum_tpu.tracking.app_utils import load_character, load_character_with_identity  # noqa: F401
 from momentum_tpu.tracking import glove_utils  # noqa: F401
+
+# pymomentum marker_tracking binding spellings for the locator converters
+# (marker_tracking_pybind.cpp:996-1050)
+from momentum_tpu.tracking.tracker_utils import (  # noqa: F401,E402
+    locators_to_skinned_locators as convert_locators_to_skinned_locators,
+    skinned_locators_to_locators as convert_skinned_locators_to_locators,
+)

@@ -157,3 +157,53 @@ def process_marker_file(
                      list(character.parameter_transform.names),
                      list(character.skeleton.joint_names))
     return result
+
+
+def save_motion(out_file, character, identity, motion, marker_data=None,
+                fps: float = 120.0, save_marker_mesh: bool = True) -> None:
+    """Save tracked motion with the identity split out — the pymomentum
+    marker_tracking.save_motion surface (marker_tracking_pybind.cpp:921-955 →
+    marker_tracker saveMotion): the scaling (identity) parameters are removed
+    from the per-frame motion and stored once as the GLB identity section
+    (joint parameters); markers ride along when save_marker_mesh.
+
+    out_file: .glb/.gltf (identity-aware), or any extension
+    io.save_character supports (identity then baked into the motion).
+    motion: (F, P) model parameters; identity: (P,) model parameters or None.
+    """
+    import os
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    import momentum_tpu.io as mio
+
+    motion = np.asarray(motion, np.float32)
+    pt = character.parameter_transform
+    p = pt.num_model_parameters
+    if motion.shape[-1] != p:
+        raise ValueError(
+            f"motion has {motion.shape[-1]} parameters, character has {p}")
+    if identity is None or np.asarray(identity).size == 0:
+        identity = np.zeros(p, np.float32)
+    identity = np.asarray(identity, np.float32).reshape(p)
+
+    ext = os.path.splitext(str(out_file))[1].lower()
+    markers = marker_data if save_marker_mesh else None
+    if ext in (".glb", ".gltf"):
+        # strip the scaling fields from per-frame motion; store the identity
+        # as joint parameters (the reference's saveMotion split)
+        scaling = np.asarray(pt.scaling_parameters)
+        stripped = motion.copy()
+        stripped[:, scaling] = 0.0
+        identity_jp = np.asarray(pt.apply(jnp.asarray(identity)))
+        mio.save_character_glb(str(out_file), character, motion=stripped,
+                               fps=fps, markers=markers,
+                               identity=identity_jp)
+    else:
+        # bake identity into the motion for formats without an identity slot
+        full = motion.copy()
+        scaling = np.asarray(pt.scaling_parameters)
+        full[:, scaling] += identity[None, scaling]
+        mio.save_character(str(out_file), character, motion=full, fps=fps)

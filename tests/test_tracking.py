@@ -371,3 +371,63 @@ class TestCalibrationHeuristics:
                                 adaptive_floor_contact=True)
         identity, _ = calibrate_model(fchar, markers, cfg)
         assert abs(float(identity[si]) - gt_scale) < 0.03
+
+
+class TestSaveMotion:
+    """pymomentum marker_tracking.save_motion: identity split out of the
+    per-frame motion (marker_tracking_pybind.cpp:921-955)."""
+
+    def test_identity_split_glb(self, tmp_path):
+        import numpy as np
+
+        import momentum_tpu.tracking as t
+        from momentum_tpu.io.gltf import load_motion_glb
+        from momentum_tpu.testing.fixtures import create_test_character
+
+        c = create_test_character(4)
+        p = c.num_model_parameters
+        scaling = np.asarray(c.parameter_transform.scaling_parameters)
+        assert scaling.any(), "fixture should carry a scale_ parameter"
+        motion = np.random.default_rng(0).normal(0, 0.1, (3, p)).astype(
+            np.float32)
+        identity = np.zeros(p, np.float32)
+        identity[scaling] = 0.25
+        out = tmp_path / "m.glb"
+        t.save_motion(out, c, identity, motion, fps=60.0)
+        m2, names, ident_jp, jnames = load_motion_glb(out)
+        # per-frame scaling columns are stripped
+        assert (np.abs(m2[:, scaling]) < 1e-7).all()
+        # non-scaling columns survive untouched
+        np.testing.assert_allclose(m2[:, ~scaling], motion[:, ~scaling],
+                                   atol=1e-6)
+        # identity rides as joint parameters
+        expected_jp = np.asarray(
+            c.parameter_transform.apply(identity))
+        np.testing.assert_allclose(ident_jp, expected_jp, atol=1e-6)
+
+    def test_non_glb_bakes_identity(self, tmp_path):
+        import numpy as np
+
+        import momentum_tpu.tracking as t
+        from momentum_tpu.io import load_mmo
+        from momentum_tpu.testing.fixtures import create_test_character
+
+        c = create_test_character(4)
+        p = c.num_model_parameters
+        scaling = np.asarray(c.parameter_transform.scaling_parameters)
+        motion = np.zeros((2, p), np.float32)
+        identity = np.zeros(p, np.float32)
+        identity[scaling] = 0.5
+        out = tmp_path / "m.mmo"
+        t.save_motion(out, c, identity, motion, fps=60.0)
+        poses, _, _, _ = load_mmo(out)
+        np.testing.assert_allclose(np.asarray(poses)[:, scaling], 0.5,
+                                   atol=1e-6)
+
+    def test_converter_aliases(self):
+        import momentum_tpu.tracking as t
+
+        assert (t.convert_locators_to_skinned_locators
+                is t.locators_to_skinned_locators)
+        assert (t.convert_skinned_locators_to_locators
+                is t.skinned_locators_to_locators)
