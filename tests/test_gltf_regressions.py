@@ -156,3 +156,32 @@ def test_multi_character_round_trip_keeps_constraints(tmp_path):
     np.testing.assert_allclose(np.asarray(ca.collision.radius[0]), [0.2, 0.3],
                                atol=1e-6)
     np.testing.assert_allclose(float(ca.collision.length[0]), 1.5, atol=1e-6)
+
+
+class TestRemainingReferenceAssets:
+    """The last reference GLB fixtures not yet pinned: multi-primitive
+    meshes, unskinned meshes, and skeletons whose root isn't a scene root."""
+
+    REF = "/root/reference/momentum/test/resources"
+
+    def test_mesh_not_combined(self):
+        # several mesh primitives merge into one vertex buffer
+        c, m, fps = load_character_glb(
+            f"{self.REF}/mesh-not-combined.glb")
+        assert c.skeleton.num_joints == 3
+        assert c.mesh is not None and c.mesh.num_vertices == 398
+        assert c.skin_weights is not None
+        assert c.skin_weights.index.shape == (398, 8)
+
+    def test_mesh_without_skinning(self):
+        c, m, fps = load_character_glb(
+            f"{self.REF}/mesh-without-skinning.glb")
+        assert c.mesh is not None and c.mesh.num_vertices == 24
+        assert c.skin_weights is None
+
+    def test_skeleton_non_joint_root(self):
+        c, m, fps = load_character_glb(
+            f"{self.REF}/skeleton_non_joint_root.glb")
+        assert c.skeleton.num_joints == 2
+        assert c.mesh is not None and c.mesh.num_vertices == 24
+        c.skeleton.validate()
