@@ -27,4 +27,16 @@ from momentum_tpu.axel.hole_filling import (  # noqa: F401
     detect_mesh_holes,
     fill_hole,
     fill_mesh_holes,
+    smooth_mesh_laplacian,
+)
+from momentum_tpu.axel.hole_filling import fill_mesh_holes as fill_holes  # noqa: F401
+from momentum_tpu.axel.sdf import (  # noqa: F401
+    dual_contouring,
+    triangulate_quads,
+)
+from momentum_tpu.axel.sdf_io import (  # noqa: F401
+    load_sdf_from_msgpack,
+    load_sdfs_from_msgpack,
+    save_sdf_to_msgpack,
+    save_sdfs_to_msgpack,
 )

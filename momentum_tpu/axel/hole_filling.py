@@ -249,3 +249,37 @@ def fill_mesh_holes(vertices, faces, method="centroid", max_hole_size=None,
                     upd[i] = vertices[i] + smoothing_factor * (avg - vertices[i])
             vertices = upd
     return vertices, faces, filled
+
+
+def smooth_mesh_laplacian(vertices, faces, vertex_mask=None,
+                          iterations: int = 1, step: float = 0.5):
+    """Standalone umbrella-operator Laplacian smoothing (pymomentum.axel
+    smooth_mesh_laplacian): each selected vertex moves `step` of the way
+    toward the average of its one-ring neighbors per iteration; vertices
+    outside `vertex_mask` stay pinned."""
+    vertices = np.asarray(vertices, np.float64).copy()
+    faces = np.asarray(faces, np.int64)
+    nv = vertices.shape[0]
+    if vertex_mask is None:
+        mask = np.ones(nv, bool)
+    else:
+        vm = np.asarray(vertex_mask)
+        if vm.dtype == bool:
+            mask = vm
+        else:
+            mask = np.zeros(nv, bool)
+            mask[vm.astype(np.int64)] = True
+
+    # one-ring adjacency from face edges
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]])
+    edges = np.concatenate([edges, edges[:, ::-1]])
+    for _ in range(max(0, iterations)):
+        acc = np.zeros_like(vertices)
+        cnt = np.zeros(nv)
+        np.add.at(acc, edges[:, 0], vertices[edges[:, 1]])
+        np.add.at(cnt, edges[:, 0], 1.0)
+        avg = acc / np.maximum(cnt, 1.0)[:, None]
+        move = mask & (cnt > 0)
+        vertices[move] += step * (avg[move] - vertices[move])
+    return vertices

@@ -61,6 +61,55 @@ class SignedDistanceField:
         return jax.vmap(jax.grad(lambda p: self.sample(p)))(
             points.reshape(-1, 3)).reshape(points.shape)
 
+    # ---- pymomentum.axel SignedDistanceField member surface
+    # (axel_pybind.cpp; SignedDistanceField.h:60-262) ----
+
+    @property
+    def voxel_size(self) -> jnp.ndarray:
+        """(3,) voxel extents (SignedDistanceField voxelSize)."""
+        return self.spacing
+
+    @property
+    def min_corner(self) -> jnp.ndarray:
+        return self.origin
+
+    @property
+    def max_corner(self) -> jnp.ndarray:
+        return self.origin + self.spacing * jnp.asarray(
+            self.values.shape, self.origin.dtype)
+
+    @property
+    def bounds(self):
+        """(min_corner, max_corner) tuple."""
+        return self.min_corner, self.max_corner
+
+    @property
+    def total_voxels(self) -> int:
+        nx, ny, nz = self.values.shape
+        return nx * ny * nz
+
+    def sample_with_gradient(self, points: jnp.ndarray):
+        """(values, gradients) in one call (SignedDistanceField
+        sampleWithGradient)."""
+        return self.sample(points), self.gradient(points)
+
+    def world_to_grid(self, points: jnp.ndarray) -> jnp.ndarray:
+        """World → fractional grid coordinates (SignedDistanceField.cpp:210)."""
+        return (jnp.asarray(points, jnp.float32) - self.origin) / self.spacing
+
+    def grid_to_world(self, grid_pos: jnp.ndarray) -> jnp.ndarray:
+        return self.origin + jnp.asarray(grid_pos, jnp.float32) * self.spacing
+
+    def contains(self, points: jnp.ndarray) -> jnp.ndarray:
+        """Bool: world point inside the grid bounds."""
+        g = self.world_to_grid(points)
+        hi = jnp.asarray(self.values.shape, g.dtype)
+        return jnp.all((g >= 0) & (g <= hi), axis=-1)
+
+    def is_valid_index(self, i: int, j: int, k: int) -> bool:
+        nx, ny, nz = self.values.shape
+        return 0 <= i < nx and 0 <= j < ny and 0 <= k < nz
+
 
 def winding_number(points, vertices, faces, chunk=512):
     """Generalized winding number of `points` (N, 3) w.r.t. the mesh
@@ -244,3 +293,85 @@ def sdf_to_mesh(sdf: SignedDistanceField):
 
     return (jnp.asarray(np.asarray(verts, np.float32).reshape(-1, 3)),
             jnp.asarray(np.asarray(faces, np.int32).reshape(-1, 3)))
+
+
+def dual_contouring(sdf: SignedDistanceField, isovalue: float = 0.0):
+    """Dual-contour the isosurface into QUADS (axel/DualContouring.h;
+    pymomentum.axel dual_contouring): one vertex per sign-changing cell (at
+    the mean of its edge crossings), one quad per sign-changing grid edge
+    connecting the 4 adjacent cells, wound by the sign direction.
+    → (vertices (V, 3) float64, quads (Q, 4) int32)."""
+    import numpy as np
+
+    vals = np.asarray(sdf.values, np.float64) - isovalue
+    origin = np.asarray(sdf.origin, np.float64)
+    spacing = np.asarray(sdf.spacing, np.float64)
+
+    cell_vertex = {}
+    verts = []
+
+    def cell_point(cx, cy, cz):
+        key = (cx, cy, cz)
+        if key in cell_vertex:
+            return cell_vertex[key]
+        crossings = []
+        corners = [(cx + dx, cy + dy, cz + dz)
+                   for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+        edges = [(a, b) for i, a in enumerate(corners) for b in corners[i + 1:]
+                 if sum(abs(a[k] - b[k]) for k in range(3)) == 1]
+        for a, b in edges:
+            va, vb = vals[a], vals[b]
+            if (va < 0) != (vb < 0):
+                t = va / (va - vb)
+                p = np.asarray(a, np.float64) + t * (
+                    np.asarray(b, np.float64) - np.asarray(a, np.float64))
+                crossings.append(p)
+        p = (np.mean(crossings, axis=0) if crossings
+             else np.asarray([cx + 0.5, cy + 0.5, cz + 0.5]))
+        idx = len(verts)
+        verts.append(origin + p * spacing)
+        cell_vertex[key] = idx
+        return idx
+
+    quads = []
+    sign = vals < 0
+    shape = vals.shape
+    for axis in range(3):
+        u_ax, v_ax = [a for a in range(3) if a != axis]
+        sl_a = tuple(slice(0, s - (1 if k == axis else 0))
+                     for k, s in enumerate(shape))
+        sl_b = tuple(slice((1 if k == axis else 0), s)
+                     for k, s in enumerate(shape))
+        change = sign[sl_a] != sign[sl_b]
+        for x, y, z in zip(*np.nonzero(change)):
+            e = np.asarray([x, y, z])
+            # 4 cells around the edge, in a consistent cycle
+            cells = []
+            for du, dv in ((0, 0), (1, 0), (1, 1), (0, 1)):
+                c = e.copy()
+                c[u_ax] -= du
+                c[v_ax] -= dv
+                if (c < 0).any() or any(
+                        c[k] >= shape[k] - 1 for k in range(3)):
+                    cells = None
+                    break
+                cells.append(cell_point(*c))
+            if cells is None:
+                continue
+            # orient by which side is inside
+            if sign[tuple(e)]:
+                cells = cells[::-1]
+            quads.append(cells)
+
+    return (np.asarray(verts, np.float64).reshape(-1, 3),
+            np.asarray(quads, np.int32).reshape(-1, 4))
+
+
+def triangulate_quads(quads) -> "np.ndarray":
+    """(Q, 4) quads → (2Q, 3) triangles (pymomentum.axel triangulate_quads)."""
+    import numpy as np
+
+    quads = np.asarray(quads, np.int64).reshape(-1, 4)
+    a, b, c, d = quads.T
+    return np.concatenate([np.stack([a, b, c], 1),
+                           np.stack([a, c, d], 1)]).astype(np.int32)
