@@ -313,3 +313,112 @@ class SdfColliderModule:
         return self._fn(skel_states, points)
 
     __call__ = evaluate
+
+
+# ---- pymomentum.solver module-level surface (solver_pybind.cpp:158-520) ----
+
+solve_ik = solve_ik_torch  # binding-name alias
+
+_stats = {
+    "n_solve_ik": 0, "n_solve_ik_batch": 0,
+    "n_gradient": 0, "n_gradient_batch": 0,
+}
+
+
+def residual(build_solver_fn, params, inputs):
+    """Weighted residual rows of an IK problem at `params` (torch)
+    (solver_pybind.cpp residual)."""
+    import torch
+
+    fn = build_solver_fn({k: _to_jax(v) for k, v in inputs.items()})
+    return torch.from_numpy(np.asarray(fn.residual(_to_jax(params))).copy())
+
+
+def gradient(build_solver_fn, params, inputs):
+    """dE/dθ of an IK problem at `params` (torch) (solver_pybind gradient)."""
+    import jax
+    import torch
+
+    fn = build_solver_fn({k: _to_jax(v) for k, v in inputs.items()})
+    g = jax.grad(lambda x: fn.error(x).sum())(_to_jax(params))
+    _stats["n_gradient"] += 1
+    _stats["n_gradient_batch"] += int(np.prod(params.shape[:-1]) or 1)
+    return torch.from_numpy(np.asarray(g).copy())
+
+
+def jacobian(build_solver_fn, params, inputs):
+    """(residual, d residual/dθ) of an IK problem at `params` (torch)
+    (solver_pybind jacobian)."""
+    import torch
+
+    fn = build_solver_fn({k: _to_jax(v) for k, v in inputs.items()})
+    rows, j = fn.residual_and_jacobian(_to_jax(params))
+    return (torch.from_numpy(np.asarray(rows).copy()),
+            torch.from_numpy(np.asarray(j).copy()))
+
+
+def transform_pose(character, model_params, xform):
+    """Rigidly retarget model parameters by a world transform (torch in/out)
+    (solver_pybind transform_pose → transform_pose.h:19). `xform` is an
+    8-param skel_state or a 4x4 matrix."""
+    import torch
+
+    from momentum_tpu.character.transform_pose import (
+        transform_pose as _transform_pose)
+    from momentum_tpu.math import skel_state as _ss
+
+    xf = _to_jax(xform)
+    if xf.shape[-2:] == (4, 4):
+        xf = _ss.from_matrix(xf)
+    out = _transform_pose(character, _to_jax(model_params), xf)
+    return torch.from_numpy(np.asarray(out).copy())
+
+
+def solve_sequence_ik(build_sequence_fn, per_frame_params, universal_params,
+                      inputs, options=None):
+    """Sequence IK for torch callers (solver_pybind solve_sequence_ik):
+    forward = the banded sequence solve; no backward (matching the
+    reference, whose sequence solve is forward-only)."""
+    import torch
+
+    from momentum_tpu.sequence.solver import solve_sequence
+
+    fn = build_sequence_fn({k: _to_jax(v) for k, v in inputs.items()})
+    res = solve_sequence(fn, _to_jax(per_frame_params),
+                         _to_jax(universal_params),
+                         options=options) if options is not None else \
+        solve_sequence(fn, _to_jax(per_frame_params),
+                       _to_jax(universal_params))
+    return (torch.from_numpy(np.asarray(res.per_frame).copy()),
+            torch.from_numpy(np.asarray(res.universal).copy()))
+
+
+def get_solve_ik_statistics() -> dict:
+    """Global IK call counters (tensor_ik.cpp:178-180 nTotalSolveIK /
+    nTotalSolveIKIter analog)."""
+    from momentum_tpu.solver.ik import get_solve_counters
+
+    out = dict(get_solve_counters())
+    out.update({k: v for k, v in _stats.items() if k.startswith("n_solve")})
+    return out
+
+
+def reset_solve_ik_statistics() -> None:
+    from momentum_tpu.solver.ik import reset_solve_counters
+
+    reset_solve_counters()
+    _stats["n_solve_ik"] = _stats["n_solve_ik_batch"] = 0
+
+
+def get_gradient_statistics() -> dict:
+    return {k: v for k, v in _stats.items() if "gradient" in k}
+
+
+def reset_gradient_statistics() -> None:
+    _stats["n_gradient"] = _stats["n_gradient_batch"] = 0
+
+
+def set_num_threads(n: int) -> None:
+    """No-op for API parity: the reference sizes its dispenso CPU pool
+    (solver_pybind set_num_threads); XLA owns threading here."""
+    del n
