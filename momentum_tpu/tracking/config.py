@@ -79,6 +79,12 @@ class TrackingConfig(BaseConfig):
     # unconditionally, marker_tracker.cpp:932-943); rigs without Floor_
     # locators are unaffected, matching the reference's empty constraint list
     floor_constraints: bool = True
+    # Compacted tail refinement for the batched tracker (solver/compaction
+    # economics): (k_full, r_refine, capacity) — run k_full iterations on
+    # every frame, then r_refine more on only the `capacity` worst frames
+    # (λ state carried, so refined frames reproduce the uncompacted
+    # (k_full + r_refine)-iteration sequence exactly). None = off.
+    refine: tuple | None = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -244,13 +244,55 @@ def track_poses_batched(
     enabled_mask = _pose_mask(character, config, enabled_mask)
     solver = _solver_for(config)
 
-    def solve_one(pos_f, occ_f):
-        ef = per_frame(ef0, pos_f, occ_f)
-        fn = SkeletonSolverFunction(character, (ef, limits) + floor)
-        res = solver(fn.residual, fn.error, x0, enabled_mask, opts)
-        return res.params, res.error
+    refine = getattr(config, "refine", None)
+    if refine is None:
+        def solve_one(pos_f, occ_f):
+            ef = per_frame(ef0, pos_f, occ_f)
+            fn = SkeletonSolverFunction(character, (ef, limits) + floor)
+            res = solver(fn.residual, fn.error, x0, enabled_mask, opts)
+            return res.params, res.error
 
-    motion, errors = jax.vmap(solve_one)(markers.positions, markers.occluded)
+        motion, errors = jax.vmap(solve_one)(markers.positions,
+                                             markers.occluded)
+        return TrackingResult(motion=motion, errors=errors)
+
+    # compacted tail refinement: k_full iterations on every frame, then
+    # r_refine more on the `capacity` worst frames only (λ carried exactly —
+    # solver/compaction.py economics applied to the tracking batch)
+    import dataclasses as _dc
+
+    from momentum_tpu.solver.gauss_newton import solve_levenberg_marquardt
+
+    k_full, r_refine, capacity = refine
+    f_cnt = markers.positions.shape[0]
+    capacity = min(int(capacity), f_cnt)
+    is_lm = solver is solve_levenberg_marquardt
+
+    def solve_frames(pos, occ, x, iters, lam0):
+        def one(pf, of, xf, lf):
+            ef = per_frame(ef0, pf, of)
+            fn = SkeletonSolverFunction(character, (ef, limits) + floor)
+            o = _dc.replace(opts, max_iterations=iters)
+            if is_lm:
+                res = solver(fn.residual, fn.error, xf, enabled_mask, o,
+                             lambda0=lf)
+                return res.params, res.error, res.lambda_final
+            res = solver(fn.residual, fn.error, xf, enabled_mask, o)
+            return res.params, res.error, lf
+
+        return jax.vmap(one)(pos, occ, x, lam0)
+
+    x_b = (jnp.broadcast_to(x0, (f_cnt, p)) if x0.ndim == 1 else x0)
+    lam_init = jnp.full((f_cnt,), opts.lambda_init, jnp.float32)
+    params1, err1, lam1 = solve_frames(
+        markers.positions, markers.occluded, x_b, k_full, lam_init)
+    key = jnp.nan_to_num(err1, nan=jnp.float32(3e38), posinf=jnp.float32(3e38))
+    _, idx = jax.lax.top_k(key, capacity)
+    params2, err2, _ = solve_frames(
+        markers.positions[idx], markers.occluded[idx], params1[idx],
+        r_refine, lam1[idx])
+    motion = params1.at[idx].set(params2)
+    errors = err1.at[idx].set(err2)
     return TrackingResult(motion=motion, errors=errors)
 
 

@@ -431,3 +431,81 @@ class TestSaveMotion:
                 is t.locators_to_skinned_locators)
         assert (t.convert_skinned_locators_to_locators
                 is t.skinned_locators_to_locators)
+
+
+class TestBatchedRefine:
+    """Compacted tail refinement in the batched tracker
+    (TrackingConfig.refine, solver/compaction economics)."""
+
+    def _problem(self, F=16):
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from momentum_tpu.testing.fixtures import create_test_character
+
+        char = create_test_character(4)
+        rng = np.random.default_rng(0)
+        gt = jnp.asarray(
+            rng.uniform(-0.3, 0.3, (F, char.num_model_parameters)),
+            jnp.float32)
+        states = jax.vmap(char.skeleton_states)(gt)
+        pos = jax.vmap(char.locators.world_positions)(states)
+        from momentum_tpu.tracking import MarkerSequence
+
+        mk = MarkerSequence(positions=pos,
+                            occluded=jnp.zeros(pos.shape[:2], bool),
+                            names=tuple(char.locators.names))
+        return char, mk
+
+    def test_full_capacity_matches_uncompacted_lm(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from momentum_tpu.tracking import TrackingConfig, track_poses_batched
+
+        char, mk = self._problem()
+        cfg = TrackingConfig(max_iter=6, method="levenberg_marquardt")
+        full = track_poses_batched(char, mk, cfg)
+        comp = track_poses_batched(
+            char, mk, dataclasses.replace(cfg, refine=(3, 3, mk.num_frames)))
+        assert float(jnp.max(jnp.abs(comp.motion - full.motion))) == 0.0
+        # errors re-evaluate at the stage boundary; fusion differs by ~1 ulp
+        import numpy as np
+
+        np.testing.assert_allclose(np.asarray(comp.errors),
+                                   np.asarray(full.errors), rtol=1e-5)
+
+    def test_partial_capacity_never_worse_than_stage1(self):
+        import dataclasses
+
+        import numpy as np
+
+        from momentum_tpu.tracking import TrackingConfig, track_poses_batched
+
+        char, mk = self._problem()
+        cfg = TrackingConfig(max_iter=4, method="levenberg_marquardt")
+        stage1 = track_poses_batched(char, mk, cfg)
+        comp = track_poses_batched(
+            char, mk,
+            dataclasses.replace(cfg, max_iter=4, refine=(4, 2, 4)))
+        assert np.all(np.asarray(comp.errors)
+                      <= np.asarray(stage1.errors) + 1e-12)
+
+    def test_gauss_newton_path(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from momentum_tpu.tracking import TrackingConfig, track_poses_batched
+
+        char, mk = self._problem(F=8)
+        cfg = TrackingConfig(max_iter=6, method="gauss_newton",
+                             regularization=1e-3)
+        full = track_poses_batched(char, mk, cfg)
+        comp = track_poses_batched(
+            char, mk, dataclasses.replace(cfg, refine=(3, 3, 8)))
+        # GN is memoryless: full-capacity split == uncompacted exactly
+        assert float(jnp.max(jnp.abs(comp.motion - full.motion))) == 0.0
