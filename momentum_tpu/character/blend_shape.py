@@ -48,3 +48,64 @@ class BlendShape:
         ata = basis @ basis.T + regularization * jnp.eye(k, dtype=basis.dtype)
         atb = jnp.einsum("kd,...d->...k", basis, target)
         return jnp.linalg.solve(ata, atb[..., None])[..., 0]
+
+
+def _bs_load(cls, path, num_expected_shapes: int = -1,
+             num_expected_vertices: int = -1):
+    """Load a blend-shape basis from a file (pymomentum BlendShape.load)."""
+    from momentum_tpu.io.shape import load_blend_shape
+
+    return load_blend_shape(path, num_expected_shapes, num_expected_vertices)
+
+
+def _bs_from_bytes(cls, blend_shape_bytes, num_expected_shapes: int = -1,
+                   num_expected_vertices: int = -1):
+    import os
+    import tempfile
+
+    from momentum_tpu.io.shape import load_blend_shape
+
+    fd, tmp = tempfile.mkstemp(suffix=".bin")
+    os.close(fd)
+    try:
+        with open(tmp, "wb") as f:
+            f.write(bytes(blend_shape_bytes))
+        return load_blend_shape(tmp, num_expected_shapes,
+                                num_expected_vertices)
+    finally:
+        os.unlink(tmp)
+
+
+def _bs_from_tensors(cls, base_shape, shape_vectors):
+    """Create directly from arrays (pymomentum BlendShape.from_tensors)."""
+    return cls(base_shape=jnp.asarray(base_shape, jnp.float32),
+               shape_vectors=jnp.asarray(shape_vectors, jnp.float32))
+
+
+def _bs_save(self, path) -> None:
+    from momentum_tpu.io.shape import save_blend_shape
+
+    save_blend_shape(path, self)
+
+
+def _bs_to_bytes(self) -> bytes:
+    import os
+    import tempfile
+
+    from momentum_tpu.io.shape import save_blend_shape
+
+    fd, tmp = tempfile.mkstemp(suffix=".bin")
+    os.close(fd)
+    try:
+        save_blend_shape(tmp, self)
+        with open(tmp, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(tmp)
+
+
+BlendShape.load = classmethod(_bs_load)
+BlendShape.from_bytes = classmethod(_bs_from_bytes)
+BlendShape.from_tensors = classmethod(_bs_from_tensors)
+BlendShape.save = _bs_save
+BlendShape.to_bytes = _bs_to_bytes

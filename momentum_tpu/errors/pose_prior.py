@@ -184,3 +184,81 @@ class PosePriorErrorFunction(ErrorFunction):
         return cls(prior=prior, weight=jnp.asarray(weight, jnp.float32),
                    param_index=idx,
                    sub_jtj=jnp.asarray(sub_jtj, jnp.float32))
+
+
+def _mppca_get_mixture(self, i_model: int):
+    """Recover the raw mixture parameters (pi, mu, W, sigma2) of component
+    `i_model` from the stored covariance (pymomentum Mppca.get_mixture,
+    momentum_geometry.cpp:526-583): eigendecompose Cinv, read sigma² off the
+    smallest covariance eigenvalue, rebuild W columns from the remainder,
+    and invert the Rpre precomputation for pi."""
+    if not (0 <= i_model < self.num_components):
+        raise IndexError(f"component {i_model} out of range")
+    cinv = np.asarray(self.cinv[i_model], np.float64)
+    d = cinv.shape[0]
+    evals_inv, evecs = np.linalg.eigh(cinv)  # ascending in Cinv
+    c_eigs = 1.0 / evals_inv  # descending covariance eigenvalues
+    sigma2 = float(c_eigs[-1])
+    lam = c_eigs - sigma2
+    rank = d
+    for k in range(d):
+        if lam[k] < 1e-4:
+            rank = k
+            break
+    w = evecs[:, :rank] * np.sqrt(np.maximum(lam[:rank], 0.0))[None, :]
+    c_logdet = float(-np.sum(np.log(evals_inv)))
+    log_pi = (float(self.rpre[i_model]) + 0.5 * c_logdet
+              + 0.5 * d * np.log(2.0 * np.pi))
+    return float(np.exp(log_pi)), np.asarray(self.mu[i_model]), w, sigma2
+
+
+def _mppca_save(self, path) -> None:
+    """Write the .mppca binary (pymomentum Mppca.save)."""
+    from momentum_tpu.io.pose_prior import save_mppca
+
+    save_mppca(path, self)
+
+
+def _mppca_to_bytes(self) -> bytes:
+    import os
+    import tempfile
+
+    from momentum_tpu.io.pose_prior import save_mppca
+
+    fd, tmp = tempfile.mkstemp(suffix=".mppca")
+    os.close(fd)
+    try:
+        save_mppca(tmp, self)
+        with open(tmp, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(tmp)
+
+
+def _mppca_load(cls, path) -> "Mppca":
+    from momentum_tpu.io.pose_prior import load_mppca
+
+    return load_mppca(path)
+
+
+def _mppca_from_bytes(cls, data: bytes) -> "Mppca":
+    import os
+    import tempfile
+
+    from momentum_tpu.io.pose_prior import load_mppca
+
+    fd, tmp = tempfile.mkstemp(suffix=".mppca")
+    os.close(fd)
+    try:
+        with open(tmp, "wb") as f:
+            f.write(bytes(data))
+        return load_mppca(tmp)
+    finally:
+        os.unlink(tmp)
+
+
+Mppca.get_mixture = _mppca_get_mixture
+Mppca.save = _mppca_save
+Mppca.to_bytes = _mppca_to_bytes
+Mppca.load = classmethod(_mppca_load)
+Mppca.from_bytes = classmethod(_mppca_from_bytes)

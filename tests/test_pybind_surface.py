@@ -174,3 +174,72 @@ class TestGltfBuilderExtras:
         prop_char = entries[1][1]
         assert prop_char.mesh is not None
         assert prop_char.mesh.n_vertices == 9
+
+
+class TestMppcaSurface:
+    """Mppca.get_mixture / save / to_bytes / load / from_bytes
+    (geometry_pybind.cpp:440-460, momentum_geometry.cpp:526-583)."""
+
+    def _model(self):
+        from momentum_tpu.errors.pose_prior import Mppca
+
+        rng = np.random.default_rng(0)
+        d, k, q = 6, 2, 3
+        pi = np.asarray([0.3, 0.7])
+        mu = rng.normal(size=(k, d))
+        w_list = [rng.normal(size=(d, q)) * 0.5 for _ in range(k)]
+        sigma2 = np.asarray([0.5, 1.5])
+        return (Mppca.from_components(
+            pi=pi, mu=mu, w_list=w_list, sigma2=sigma2,
+            names=tuple(f"p{i}" for i in range(d))), pi, mu, w_list, sigma2)
+
+    def test_get_mixture_recovers_components(self):
+        m, pi, mu, w_list, sigma2 = self._model()
+        for i in range(2):
+            pi_r, mu_r, w_r, s2_r = m.get_mixture(i)
+            assert abs(pi_r - pi[i]) < 1e-3
+            np.testing.assert_allclose(mu_r, mu[i], atol=1e-5)
+            assert abs(s2_r - sigma2[i]) < 1e-3
+            # W is recovered up to an orthogonal rotation: compare W·Wᵀ
+            np.testing.assert_allclose(w_r @ w_r.T,
+                                       w_list[i] @ w_list[i].T, atol=1e-2)
+
+    def test_get_mixture_bounds(self):
+        m, *_ = self._model()
+        with pytest.raises(IndexError):
+            m.get_mixture(5)
+
+    def test_bytes_round_trip(self):
+        from momentum_tpu.errors.pose_prior import Mppca
+
+        m, *_ = self._model()
+        m2 = Mppca.from_bytes(m.to_bytes())
+        np.testing.assert_allclose(np.asarray(m2.mu), np.asarray(m.mu),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m2.cinv), np.asarray(m.cinv),
+                                   atol=1e-4)
+
+
+class TestBlendShapeSurface:
+    def test_from_tensors_bytes_round_trip(self):
+        from momentum_tpu.character.blend_shape import BlendShape
+
+        rng = np.random.default_rng(0)
+        bs = BlendShape.from_tensors(rng.normal(size=(10, 3)),
+                                     rng.normal(size=(4, 10, 3)))
+        bs2 = BlendShape.from_bytes(bs.to_bytes())
+        np.testing.assert_allclose(np.asarray(bs2.base_shape),
+                                   np.asarray(bs.base_shape), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bs2.shape_vectors),
+                                   np.asarray(bs.shape_vectors), atol=1e-6)
+
+    def test_trim_on_load(self, tmp_path):
+        from momentum_tpu.character.blend_shape import BlendShape
+
+        rng = np.random.default_rng(1)
+        bs = BlendShape.from_tensors(rng.normal(size=(8, 3)),
+                                     rng.normal(size=(5, 8, 3)))
+        p = tmp_path / "b.bin"
+        bs.save(p)
+        bs2 = BlendShape.load(p, num_expected_shapes=2)
+        assert bs2.num_shapes == 2
