@@ -166,3 +166,9 @@ def support_polygon_from_contacts(character, skel_states, contact_height,
         character, skel_states, contact_height, plane)
     pts = np.asarray(positions)[np.asarray(active)]
     return support_polygon_from_world_points(pts, plane)
+
+
+# pymomentum.geometry binding spellings (support_contacts_pybind.cpp:341-443)
+plane_collision_contacts_by_parent = plane_collision_support_contacts
+support_contacts = support_contact_positions
+support_polygon = support_polygon_from_contacts
