@@ -26,7 +26,15 @@ TARGET_SOLVES_PER_SEC_PER_CHIP = 100_000.0 / 8.0
 
 
 def main():
+    import os
+
     import jax
+
+    if os.environ.get("MOMENTUM_TPU_BENCH_CPU"):
+        # validation escape hatch: force the CPU backend BEFORE any device
+        # touch (the axon plugin ignores JAX_PLATFORMS env; a dead tunnel
+        # otherwise hangs device init forever)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from momentum_tpu.errors import PositionErrorFunction
