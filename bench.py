@@ -42,7 +42,6 @@ def main():
     from momentum_tpu.solver.gauss_newton import solve_levenberg_marquardt
     from momentum_tpu.testing.fixtures import create_fullbody_character
 
-    import os
     batch = int(os.environ.get("MOMENTUM_TPU_BENCH_BATCH", 2048))
     iters = int(os.environ.get("MOMENTUM_TPU_BENCH_ITERS", 6))
 
