@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--fps", type=float, default=15.0)
     ap.add_argument("--max-frames", type=int, default=60)
+    ap.add_argument("--ground", action="store_true",
+                    help="draw the checkerboard floor under the character")
     ap.add_argument("--skeleton", action="store_true",
                     help="overlay the skeleton")
     args = ap.parse_args()
@@ -81,7 +83,7 @@ def main():
     step = max(len(motion) // args.max_frames, 1)
     save_motion_gif(args.out, character, np.asarray(motion)[::step],
                     width=args.size, height=args.size, fps=args.fps,
-                    skeleton_overlay=args.skeleton)
+                    skeleton_overlay=args.skeleton, ground=args.ground)
     print(f"rendered {len(motion[::step])} frames -> {args.out}")
 
 

@@ -54,12 +54,13 @@ def _posed_vertices(character, model_params):
 
 def render_motion(character, motion, width: int = 256, height: int = 256,
                   camera=None, light_dir=(0.3, -0.7, 0.6),
-                  skeleton_overlay: bool = False):
+                  skeleton_overlay: bool = False, ground: bool = False):
     """Render a (F, P) model-parameter motion → (F, H, W, 3) float colors.
 
     Frames render sequentially on the host loop (each frame is one jitted
     rasterizer call); the camera is auto-framed from the first frame unless
-    given."""
+    given. `ground` draws the reference viewer's checkerboard floor under
+    the character (rasterize_checkerboard)."""
     from momentum_tpu.rasterizer import render_mesh
 
     motion = jnp.asarray(motion)
@@ -67,18 +68,32 @@ def render_motion(character, motion, width: int = 256, height: int = 256,
         motion = motion[None]
     frames = []
     cam = camera
+    ground_buffers = None
     for i in range(motion.shape[0]):
         verts, states = _posed_vertices(character, motion[i])
         joints = np.asarray(states[..., :3])
         if cam is None:
             ref = np.asarray(verts) if verts is not None else joints
             cam = auto_camera(ref, width, height)
+        if ground and ground_buffers is None:
+            from momentum_tpu.rasterizer import rasterize_checkerboard
+
+            ref = np.asarray(verts) if verts is not None else joints
+            extent = float(np.abs(ref[:, [0, 2]]).max()) * 3.0 + 1.0
+            ground_buffers = rasterize_checkerboard(
+                cam, width, height, half_extent=extent, squares=10)
         if verts is not None:
             out = render_mesh(cam, verts, character.mesh.faces, width, height,
                               light_dir=light_dir)
             img = np.asarray(out["color"])
+            if ground_buffers is not None:
+                gz, gc = ground_buffers
+                win = np.asarray(out["depth"]) < np.asarray(gz)
+                img = np.where(win[..., None], img, np.asarray(gc))
         else:
-            img = np.zeros((height, width, 3), np.float32)
+            img = (np.asarray(ground_buffers[1]).copy()
+                   if ground_buffers is not None
+                   else np.zeros((height, width, 3), np.float32))
         if skeleton_overlay or verts is None:
             img = draw_skeleton(img, cam, character.skeleton, states)
         frames.append(img)

@@ -88,3 +88,19 @@ def test_native_gif_matches_python():
         nat._TRIED = False
         nat._LIB = None
     assert open(pa, "rb").read() == open(pb, "rb").read()
+
+
+def test_render_motion_ground_checkerboard():
+    import numpy as np
+
+    from momentum_tpu.gui.viewer import render_motion
+    from momentum_tpu.testing.fixtures import create_test_character
+
+    c = create_test_character(4)
+    motion = np.zeros((2, c.num_model_parameters), np.float32)
+    frames = render_motion(c, motion, width=64, height=48, ground=True)
+    assert frames.shape == (2, 48, 64, 3)
+    g = frames[0].reshape(-1, 3)
+    # both checker greys visible somewhere
+    assert (np.abs(g[:, 0] - 0.8) < 1e-3).any()
+    assert (np.abs(g[:, 0] - 0.4) < 1e-3).any()
