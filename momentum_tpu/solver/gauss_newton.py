@@ -52,6 +52,8 @@ class SolverOptions:
     min_iterations: int = 1
     max_iterations: int = 50
     threshold: float = 1.0
+    # per-iteration error logging via jax.debug.print (solver.h:30 verbose)
+    verbose: bool = False
     regularization: float = 0.05
     do_line_search: bool = False
     line_search_steps: int = 10
@@ -217,6 +219,8 @@ def solve_gauss_newton(
                 delta = psd_solve(a, jtr)
                 delta = delta * mask
             err = jnp.sum(rows * rows, axis=-1) if opts.energy_from_residual else error_fn(x)
+        if opts.verbose:
+            jax.debug.print("GN iter {i}: error {e}", i=it, e=jnp.mean(err))
         if opts.do_line_search:
             alpha = _line_search(error_fn, x, delta, err, opts.line_search_steps)
             delta = (alpha[..., None] if batched else alpha) * delta
@@ -403,6 +407,10 @@ def solve_levenberg_marquardt(
             jnp.where(accept, lam * opts.lambda_down, lam * opts.lambda_up),
             opts.lambda_min, opts.lambda_max,
         )
+        if opts.verbose:
+            jax.debug.print("LM iter {i}: error {e} (accepted {a})",
+                            i=it, e=jnp.mean(err_new), a=jnp.mean(
+                                accept.astype(jnp.float32)))
         conv = accept & _converged(err, err_trial, opts.threshold)
         newly_done = (it + 1 >= opts.min_iterations) & conv
         x = jnp.where(done[..., None], x, x_new) if batched else jnp.where(done, x, x_new)
