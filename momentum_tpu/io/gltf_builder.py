@@ -61,10 +61,15 @@ class GltfBuilder:
                 return e
         raise ValueError(f"unknown character {character_name!r}")
 
-    def add_motion(self, motion, character_name: str = None) -> "GltfBuilder":
-        """(F, P) model-parameter motion for a character (gltf_builder.h:74)."""
+    def add_motion(self, motion, character_name: str = None,
+                   timestamps=None) -> "GltfBuilder":
+        """(F, P) model-parameter motion for a character (gltf_builder.h:74).
+        Optional per-frame int64 `timestamps` ride in the motion section
+        (gltf_builder.cpp:1114)."""
         e = self._entry(character_name)
         e["motion"] = np.asarray(motion, np.float32)
+        if timestamps is not None:
+            e["timestamps"] = [int(t) for t in np.asarray(timestamps)]
         return self
 
     def add_skeleton_states(self, skel_states,
@@ -136,7 +141,8 @@ class GltfBuilder:
 
             e = self._entries[0]
             save_character_glb(str(path), e["character"], motion=e["motion"],
-                               fps=self._fps, markers=self._markers)
+                               fps=self._fps, markers=self._markers,
+                               timestamps=e.get("timestamps"))
             return
         self._save_multi(str(path))
 
