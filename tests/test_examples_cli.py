@@ -75,3 +75,14 @@ def test_process_markers_with_config(assets):
              "--out", out)
     assert r.returncode == 0, r.stderr[-800:]
     assert "wrote" in r.stdout and os.path.exists(out)
+
+
+def test_tutorial_runs_all_sections(assets):
+    r = _run("examples/tutorial.py", "--out-dir", assets["dir"])
+    assert r.returncode == 0, r.stderr[-800:]
+    for marker in ("1. character basics", "2. single IK", "3. batched IK",
+                   "4. differentiable IK", "5. sequence solve",
+                   "6. IO round trip", "7. rendering", "tutorial done"):
+        assert marker in r.stdout, marker
+    # the universal-scale calibration demo must actually recover the scale
+    assert "recovered shared scale 0.150" in r.stdout
