@@ -5,6 +5,7 @@ from momentum_tpu.tracking.config import (  # noqa: F401
     TrackingConfig,
 )
 from momentum_tpu.tracking.tracker import (  # noqa: F401
+    CameraKeypointData,
     MarkerSequence,
     TrackingResult,
     calibrate_locators,

@@ -41,6 +41,9 @@ class CalibrationConfig(BaseConfig):
     """marker_tracker.h:62-92."""
 
     calib_frames: int = 100  # number of sampled frames used for calibration
+    # Base weight for 2D keypoint projection constraints; 0 disables
+    # (marker_tracker.h:87 projectionWeight)
+    projection_weight: float = 0.0
     major_iter: int = 3  # alternating tracking/calibration rounds
     global_scale_only: bool = False  # solve only uniform scale
     locators_only: bool = False  # solve only locator offsets
@@ -79,6 +82,9 @@ class TrackingConfig(BaseConfig):
     # unconditionally, marker_tracker.cpp:932-943); rigs without Floor_
     # locators are unaffected, matching the reference's empty constraint list
     floor_constraints: bool = True
+    # Base weight for 2D keypoint projection constraints; 0 disables
+    # (marker_tracker.h:115 projectionWeight)
+    projection_weight: float = 0.0
     # Compacted tail refinement for the batched tracker (solver/compaction
     # economics): (k_full, r_refine, capacity) — run k_full iterations on
     # every frame, then r_refine more on only the `capacity` worst frames

@@ -109,6 +109,49 @@ def _marker_error_template(character: Character, markers: MarkerSequence, config
     return ef0, per_frame
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CameraKeypointData:
+    """Per-camera 2D keypoint observations, static-shape form of the
+    reference's CameraKeypointData (marker_tracker.h:36-40): one slot per
+    character locator, `targets` (F, L, 2) pixel coordinates and
+    `confidence` (F, L) with 0 marking unobserved keypoints (the reference's
+    per-observation locatorIndex/confidence list becomes a dense table)."""
+
+    camera: object  # momentum_tpu.camera.Camera (world-space extrinsics)
+    targets: jnp.ndarray  # (F, L, 2)
+    confidence: jnp.ndarray  # (F, L)
+
+
+def _keypoint_error_template(character: Character, ckd, config):
+    """→ (ef0, per_frame) for one camera's 2D keypoint constraints
+    (addKeypointProjectionConstraints, marker_tracker.cpp:312-366): a
+    CameraProjectionErrorFunction over the character's locators, per-frame
+    targets/confidences swapped in, scaled by config.projection_weight."""
+    from momentum_tpu.errors.camera_projection import (
+        CameraProjectionErrorFunction)
+
+    loc = character.locators
+    n = loc.num_locators
+    ef0 = CameraProjectionErrorFunction.create(
+        ckd.camera, np.asarray(loc.parent), np.asarray(loc.offset),
+        np.zeros((n, 2), np.float32), cweight=np.zeros(n, np.float32),
+        weight=getattr(config, "projection_weight", 0.0))
+
+    def per_frame(ef, targets_f, confidence_f):
+        return dataclasses.replace(ef, target=targets_f,
+                                   cweight=confidence_f)
+
+    return ef0, per_frame
+
+
+def _keypoint_templates(character, camera_keypoints, config):
+    if not camera_keypoints or getattr(config, "projection_weight", 0.0) <= 0:
+        return ()
+    return tuple(_keypoint_error_template(character, ckd, config)
+                 for ckd in camera_keypoints)
+
+
 def _floor_rows(character: Character, prefix: str = "Floor_"):
     """Floor-locator constraint rows (plane_error_function.cpp:15
     createFloorConstraints): locators whose names start with `prefix`,
@@ -177,6 +220,7 @@ def track_poses_per_frame(
     initial: Optional[jnp.ndarray] = None,
     enabled_mask: Optional[jnp.ndarray] = None,
     frame_stride: int = 1,
+    camera_keypoints: tuple = (),
 ) -> TrackingResult:
     """Frame-by-frame tracking with warm starts (trackPosesPerframe,
     marker_tracker.cpp:754-930). One jitted scan over the clip.
@@ -206,18 +250,26 @@ def track_poses_per_frame(
     enabled_mask = _pose_mask(character, config, enabled_mask)
     solver = _solver_for(config)
 
+    kp = _keypoint_templates(character, camera_keypoints, config)
+
     def step(carry, inputs):
         x_prev = carry
-        pos_f, occ_f = inputs
+        pos_f, occ_f, kp_f = inputs
         ef = per_frame(ef0, pos_f, occ_f)
-        fn = SkeletonSolverFunction(character, (ef, limits) + floor)
+        kp_efs = tuple(pf(e0, t_f, c_f)
+                       for (e0, pf), (t_f, c_f) in zip(kp, kp_f))
+        fn = SkeletonSolverFunction(character,
+                                    (ef, limits) + floor + kp_efs)
         res = solver(fn.residual, fn.error, x_prev, enabled_mask, opts)
         # NaN guard (tensor_ik.cpp:168-175): revert to warm start
         bad = ~jnp.all(jnp.isfinite(res.params))
         x = jnp.where(bad, x_prev, res.params)
         return x, (x, res.error)
 
-    _, (motion, errors) = jax.lax.scan(step, x_init, (markers.positions, markers.occluded))
+    kp_inputs = tuple((ckd.targets, ckd.confidence)
+                      for ckd in camera_keypoints) if kp else ()
+    _, (motion, errors) = jax.lax.scan(
+        step, x_init, (markers.positions, markers.occluded, kp_inputs))
     return TrackingResult(motion=motion, errors=errors)
 
 
@@ -227,6 +279,7 @@ def track_poses_batched(
     config: TrackingConfig = TrackingConfig(),
     initial: Optional[jnp.ndarray] = None,
     enabled_mask: Optional[jnp.ndarray] = None,
+    camera_keypoints: tuple = (),
 ) -> TrackingResult:
     """All frames solved independently in one vmap (no warm start) — the
     high-throughput path when frames are dense enough to converge from rest;
@@ -244,16 +297,23 @@ def track_poses_batched(
     enabled_mask = _pose_mask(character, config, enabled_mask)
     solver = _solver_for(config)
 
+    kp = _keypoint_templates(character, camera_keypoints, config)
+    kp_inputs = tuple((ckd.targets, ckd.confidence)
+                      for ckd in camera_keypoints) if kp else ()
+
     refine = getattr(config, "refine", None)
     if refine is None:
-        def solve_one(pos_f, occ_f):
+        def solve_one(pos_f, occ_f, kp_f):
             ef = per_frame(ef0, pos_f, occ_f)
-            fn = SkeletonSolverFunction(character, (ef, limits) + floor)
+            kp_efs = tuple(pf(e0, t_f, c_f)
+                           for (e0, pf), (t_f, c_f) in zip(kp, kp_f))
+            fn = SkeletonSolverFunction(character,
+                                        (ef, limits) + floor + kp_efs)
             res = solver(fn.residual, fn.error, x0, enabled_mask, opts)
             return res.params, res.error
 
         motion, errors = jax.vmap(solve_one)(markers.positions,
-                                             markers.occluded)
+                                             markers.occluded, kp_inputs)
         return TrackingResult(motion=motion, errors=errors)
 
     # compacted tail refinement: k_full iterations on every frame, then
@@ -268,10 +328,13 @@ def track_poses_batched(
     capacity = min(int(capacity), f_cnt)
     is_lm = solver is solve_levenberg_marquardt
 
-    def solve_frames(pos, occ, x, iters, lam0):
-        def one(pf, of, xf, lf):
+    def solve_frames(pos, occ, kps, x, iters, lam0):
+        def one(pf, of, kp_f, xf, lf):
             ef = per_frame(ef0, pf, of)
-            fn = SkeletonSolverFunction(character, (ef, limits) + floor)
+            kp_efs = tuple(pfn(e0, t_f, c_f)
+                           for (e0, pfn), (t_f, c_f) in zip(kp, kp_f))
+            fn = SkeletonSolverFunction(character,
+                                        (ef, limits) + floor + kp_efs)
             o = _dc.replace(opts, max_iterations=iters)
             if is_lm:
                 res = solver(fn.residual, fn.error, xf, enabled_mask, o,
@@ -280,16 +343,18 @@ def track_poses_batched(
             res = solver(fn.residual, fn.error, xf, enabled_mask, o)
             return res.params, res.error, lf
 
-        return jax.vmap(one)(pos, occ, x, lam0)
+        return jax.vmap(one)(pos, occ, kps, x, lam0)
 
     x_b = (jnp.broadcast_to(x0, (f_cnt, p)) if x0.ndim == 1 else x0)
     lam_init = jnp.full((f_cnt,), opts.lambda_init, jnp.float32)
     params1, err1, lam1 = solve_frames(
-        markers.positions, markers.occluded, x_b, k_full, lam_init)
+        markers.positions, markers.occluded, kp_inputs, x_b, k_full,
+        lam_init)
     key = jnp.nan_to_num(err1, nan=jnp.float32(3e38), posinf=jnp.float32(3e38))
     _, idx = jax.lax.top_k(key, capacity)
+    kp_sub = jax.tree_util.tree_map(lambda a: a[idx], kp_inputs)
     params2, err2, _ = solve_frames(
-        markers.positions[idx], markers.occluded[idx], params1[idx],
+        markers.positions[idx], markers.occluded[idx], kp_sub, params1[idx],
         r_refine, lam1[idx])
     motion = params1.at[idx].set(params2)
     errors = err1.at[idx].set(err2)

@@ -509,3 +509,97 @@ class TestBatchedRefine:
             char, mk, dataclasses.replace(cfg, refine=(3, 3, 8)))
         # GN is memoryless: full-capacity split == uncompacted exactly
         assert float(jnp.max(jnp.abs(comp.motion - full.motion))) == 0.0
+
+
+class TestCameraKeypoints:
+    """2D keypoint projection constraints during tracking
+    (marker_tracker.h:36-40 CameraKeypointData +
+    marker_tracker.cpp:312-366 addKeypointProjectionConstraints)."""
+
+    def _problem(self, F=6):
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from momentum_tpu.camera import Camera, PinholeIntrinsics
+        from momentum_tpu.testing.fixtures import create_test_character
+        from momentum_tpu.tracking import CameraKeypointData, MarkerSequence
+
+        char = create_test_character(4)
+        rng = np.random.default_rng(0)
+        gt = jnp.asarray(
+            rng.uniform(-0.3, 0.3, (F, char.num_model_parameters)),
+            jnp.float32)
+        pos = jax.vmap(char.locators.world_positions)(
+            jax.vmap(char.skeleton_states)(gt))
+        mk = MarkerSequence(positions=pos,
+                            occluded=jnp.zeros(pos.shape[:2], bool),
+                            names=tuple(char.locators.names))
+        cam = Camera.create(PinholeIntrinsics.create(
+            200.0, 200.0, 63.5, 47.5, image_size=(128, 96))).look_at(
+            (0.0, 1.0, -8.0), (0.0, 1.0, 0.0))
+        uvz, valid = jax.vmap(cam.project)(pos)
+        ckd = CameraKeypointData(camera=cam, targets=uvz[..., :2],
+                                 confidence=valid.astype(jnp.float32))
+        return char, mk, cam, ckd, uvz
+
+    def test_keypoints_only_recovers_reprojection(self):
+        import jax
+        import jax.numpy as jnp
+
+        from momentum_tpu.tracking import TrackingConfig, track_poses_batched
+
+        char, mk, cam, ckd, uvz = self._problem()
+        cfg = TrackingConfig(max_iter=20, method="levenberg_marquardt",
+                             marker_weight=0.0, projection_weight=1.0)
+        res = track_poses_batched(char, mk, cfg, camera_keypoints=(ckd,))
+        uvz2, _ = jax.vmap(cam.project)(
+            jax.vmap(char.locators.world_positions)(
+                jax.vmap(char.skeleton_states)(res.motion)))
+        px = jnp.linalg.norm(uvz2[..., :2] - uvz[..., :2], axis=-1)
+        assert float(jnp.median(px)) < 1e-2
+
+    def test_scan_and_batched_agree(self):
+        import numpy as np
+
+        from momentum_tpu.tracking import (
+            TrackingConfig, track_poses_batched, track_poses_per_frame)
+
+        char, mk, _, ckd, _ = self._problem()
+        cfg = TrackingConfig(max_iter=8, method="levenberg_marquardt",
+                             projection_weight=1e-3)
+        r_scan = track_poses_per_frame(char, mk, cfg, camera_keypoints=(ckd,))
+        r_batch = track_poses_batched(char, mk, cfg, camera_keypoints=(ckd,))
+        # scan warm-starts, batched starts from rest — both must fit well
+        assert float(np.median(np.asarray(r_scan.errors))) < 0.1
+        assert float(np.median(np.asarray(r_batch.errors))) < 0.1
+
+    def test_zero_weight_matches_no_keypoints(self):
+        import numpy as np
+
+        from momentum_tpu.tracking import TrackingConfig, track_poses_batched
+
+        char, mk, _, ckd, _ = self._problem()
+        cfg = TrackingConfig(max_iter=6, projection_weight=0.0)
+        a = track_poses_batched(char, mk, cfg, camera_keypoints=(ckd,))
+        b = track_poses_batched(char, mk, cfg)
+        np.testing.assert_array_equal(np.asarray(a.motion),
+                                      np.asarray(b.motion))
+
+    def test_refine_path_carries_keypoints(self):
+        import dataclasses
+
+        import numpy as np
+
+        from momentum_tpu.tracking import TrackingConfig, track_poses_batched
+
+        char, mk, _, ckd, _ = self._problem()
+        cfg = TrackingConfig(max_iter=6, method="levenberg_marquardt",
+                             projection_weight=1e-3)
+        full = track_poses_batched(char, mk, cfg, camera_keypoints=(ckd,))
+        comp = track_poses_batched(
+            char, mk, dataclasses.replace(cfg, refine=(3, 3, mk.num_frames)),
+            camera_keypoints=(ckd,))
+        np.testing.assert_allclose(np.asarray(comp.motion),
+                                   np.asarray(full.motion), atol=1e-6)
