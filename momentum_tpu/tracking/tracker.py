@@ -644,6 +644,7 @@ def calibrate_model(
     config: CalibrationConfig = CalibrationConfig(),
     scaling_set: str = "scaling",
     initial: Optional[jnp.ndarray] = None,
+    camera_keypoints: tuple = (),
 ):
     """Alternating identity calibration (calibrateModel,
     marker_tracker.cpp:1479-1720): sample frames, then repeat major_iter
@@ -675,6 +676,10 @@ def calibrate_model(
     sampled = MarkerSequence(
         positions=markers.positions[idx], occluded=markers.occluded[idx],
         names=markers.names)
+    sampled_kp = tuple(
+        CameraKeypointData(camera=ckd.camera, targets=ckd.targets[idx],
+                           confidence=ckd.confidence[idx])
+        for ckd in camera_keypoints)
 
     pt = character.parameter_transform
     p = character.num_model_parameters
@@ -698,6 +703,7 @@ def calibrate_model(
         loss_alpha=config.loss_alpha, loss_c=config.loss_c,
         max_iter=config.max_iter, regularization=config.regularization,
         method=config.method, freeze_scaling=config.freeze_scaling,
+        projection_weight=getattr(config, "projection_weight", 0.0),
         line_search=True)
 
     if config.enforce_floor_in_first_frame and config.adaptive_floor_contact:
@@ -709,7 +715,9 @@ def calibrate_model(
     motion = None
     for _ in range(config.major_iter):
         init = identity  # warm start with current identity estimate
-        tracked = track_poses_per_frame(character, sampled, track_cfg, initial=init)
+        tracked = track_poses_per_frame(character, sampled, track_cfg,
+                                        initial=init,
+                                        camera_keypoints=sampled_kp)
         if config.locators_only:
             # refine only the locator offsets against the tracked poses
             # (calibrateLocators alternation, locatorsOnly)
@@ -722,6 +730,18 @@ def calibrate_model(
             ad = _adaptive_floor_contacts(character, config, tracked.motion)
             if ad is not None:
                 extras = extras_static + (ad,)
+        # 2D keypoint constraints ride the sequence solve as stacked
+        # per-frame modules (addKeypointProjectionConstraints during
+        # calibration, marker_tracker.cpp:312-366): every module field needs
+        # the leading F axis, so tile the template then swap the tables in
+        from momentum_tpu.sequence.solver_function import broadcast_frames
+
+        for (e0, _pf), ckd_s in zip(
+                _keypoint_templates(character, sampled_kp, config),
+                sampled_kp):
+            ef_f = broadcast_frames(e0, len(idx))
+            extras = extras + (dataclasses.replace(
+                ef_f, target=ckd_s.targets, cweight=ckd_s.confidence),)
         seq_res, u = track_sequence(
             character, sampled, track_cfg, universal=universal,
             initial=tracked.motion, extra_per_frame_errors=extras)

@@ -603,3 +603,41 @@ class TestCameraKeypoints:
             camera_keypoints=(ckd,))
         np.testing.assert_allclose(np.asarray(comp.motion),
                                    np.asarray(full.motion), atol=1e-6)
+
+
+def test_calibrate_model_with_camera_keypoints():
+    """Keypoint constraints participate in the calibration sequence solve
+    (marker_tracker.cpp addKeypointProjectionConstraints in calibration)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from momentum_tpu.camera import Camera, PinholeIntrinsics
+    from momentum_tpu.testing.fixtures import create_test_character
+    from momentum_tpu.tracking import (
+        CalibrationConfig, CameraKeypointData, MarkerSequence,
+        calibrate_model)
+
+    char = create_test_character(4)
+    rng = np.random.default_rng(0)
+    F = 8
+    gt = jnp.asarray(rng.uniform(-0.3, 0.3, (F, char.num_model_parameters)),
+                     jnp.float32)
+    scale_idx = char.parameter_transform.parameter_index("scale_global")
+    gt = gt.at[:, scale_idx].set(0.2)
+    pos = jax.vmap(char.locators.world_positions)(
+        jax.vmap(char.skeleton_states)(gt))
+    mk = MarkerSequence(positions=pos, occluded=jnp.zeros(pos.shape[:2], bool),
+                        names=tuple(char.locators.names))
+    cam = Camera.create(PinholeIntrinsics.create(
+        200.0, 200.0, 63.5, 47.5, image_size=(128, 96))).look_at(
+        (0.0, 1.0, -8.0), (0.0, 1.0, 0.0))
+    uvz, valid = jax.vmap(cam.project)(pos)
+    ckd = CameraKeypointData(camera=cam, targets=uvz[..., :2],
+                             confidence=valid.astype(jnp.float32))
+    cfg = CalibrationConfig(calib_frames=8, major_iter=2, max_iter=10,
+                            method="levenberg_marquardt",
+                            projection_weight=1e-3)
+    ident, motion = calibrate_model(char, mk, cfg, camera_keypoints=(ckd,))
+    assert abs(float(ident[scale_idx]) - 0.2) < 0.02
