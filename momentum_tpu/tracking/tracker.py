@@ -497,6 +497,7 @@ def track_sequence(
     initial: Optional[jnp.ndarray] = None,
     extra_per_frame_errors: tuple = (),
     extra_sequence_errors: tuple = (),
+    camera_keypoints: tuple = (),
 ):
     """Whole-sequence solve with smoothness (trackSequence,
     marker_tracker.cpp:228-700). Returns (TrackingResult, universal values).
@@ -511,6 +512,16 @@ def track_sequence(
     stacked = jax.vmap(per_frame, in_axes=(None, 0, 0))(
         ef0, markers.positions, markers.occluded)
     from momentum_tpu.sequence.solver_function import broadcast_frames
+
+    # 2D keypoint projection constraints as stacked per-frame modules
+    # (addKeypointProjectionConstraints, marker_tracker.cpp:312-366)
+    for (e0, _pf), ckd in zip(
+            _keypoint_templates(character, camera_keypoints, config),
+            camera_keypoints):
+        ef_f = broadcast_frames(e0, f)
+        extra_per_frame_errors = tuple(extra_per_frame_errors) + (
+            dataclasses.replace(ef_f, target=ckd.targets,
+                                cweight=ckd.confidence),)
 
     limits = broadcast_frames(LimitErrorFunction.create(), f)
     seq_errors = tuple(extra_sequence_errors)
@@ -824,6 +835,16 @@ def refine_motion(
     stacked = jax.vmap(per_frame, in_axes=(None, 0, 0))(
         ef0, markers.positions, markers.occluded)
     from momentum_tpu.sequence.solver_function import broadcast_frames
+
+    # 2D keypoint projection constraints as stacked per-frame modules
+    # (addKeypointProjectionConstraints, marker_tracker.cpp:312-366)
+    for (e0, _pf), ckd in zip(
+            _keypoint_templates(character, camera_keypoints, config),
+            camera_keypoints):
+        ef_f = broadcast_frames(e0, f)
+        extra_per_frame_errors = tuple(extra_per_frame_errors) + (
+            dataclasses.replace(ef_f, target=ckd.targets,
+                                cweight=ckd.confidence),)
 
     limits = broadcast_frames(LimitErrorFunction.create(), f)
     per_frame_errors = [stacked, limits]

@@ -641,3 +641,35 @@ def test_calibrate_model_with_camera_keypoints():
                             projection_weight=1e-3)
     ident, motion = calibrate_model(char, mk, cfg, camera_keypoints=(ckd,))
     assert abs(float(ident[scale_idx]) - 0.2) < 0.02
+
+
+def test_track_sequence_with_camera_keypoints():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from momentum_tpu.camera import Camera, PinholeIntrinsics
+    from momentum_tpu.testing.fixtures import create_test_character
+    from momentum_tpu.tracking import (
+        CameraKeypointData, MarkerSequence, TrackingConfig, track_sequence)
+
+    char = create_test_character(4)
+    rng = np.random.default_rng(0)
+    F = 5
+    gt = jnp.asarray(rng.uniform(-0.2, 0.2, (F, char.num_model_parameters)),
+                     jnp.float32)
+    pos = jax.vmap(char.locators.world_positions)(
+        jax.vmap(char.skeleton_states)(gt))
+    mk = MarkerSequence(positions=pos, occluded=jnp.zeros(pos.shape[:2], bool),
+                        names=tuple(char.locators.names))
+    cam = Camera.create(PinholeIntrinsics.create(
+        200.0, 200.0, 63.5, 47.5, image_size=(128, 96))).look_at(
+        (0.0, 1.0, -8.0), (0.0, 1.0, 0.0))
+    uvz, valid = jax.vmap(cam.project)(pos)
+    ckd = CameraKeypointData(camera=cam, targets=uvz[..., :2],
+                             confidence=valid.astype(jnp.float32))
+    cfg = TrackingConfig(max_iter=15, method="levenberg_marquardt",
+                         smoothing=1e-4, projection_weight=1e-3)
+    res, u = track_sequence(char, mk, cfg, camera_keypoints=(ckd,))
+    assert float(jnp.median(res.errors)) < 0.05
