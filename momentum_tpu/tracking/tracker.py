@@ -819,6 +819,7 @@ def refine_motion(
     markers: MarkerSequence,
     motion: jnp.ndarray,
     config=None,
+    camera_keypoints: tuple = (),
 ):
     """Refine an existing motion against the markers (refineMotion,
     marker_tracker.cpp): whole-sequence solve warm-started at `motion`, with
@@ -836,18 +837,16 @@ def refine_motion(
         ef0, markers.positions, markers.occluded)
     from momentum_tpu.sequence.solver_function import broadcast_frames
 
+    limits = broadcast_frames(LimitErrorFunction.create(), f)
+    per_frame_errors = [stacked, limits]
     # 2D keypoint projection constraints as stacked per-frame modules
     # (addKeypointProjectionConstraints, marker_tracker.cpp:312-366)
     for (e0, _pf), ckd in zip(
             _keypoint_templates(character, camera_keypoints, config),
             camera_keypoints):
         ef_f = broadcast_frames(e0, f)
-        extra_per_frame_errors = tuple(extra_per_frame_errors) + (
-            dataclasses.replace(ef_f, target=ckd.targets,
-                                cweight=ckd.confidence),)
-
-    limits = broadcast_frames(LimitErrorFunction.create(), f)
-    per_frame_errors = [stacked, limits]
+        per_frame_errors.append(dataclasses.replace(
+            ef_f, target=ckd.targets, cweight=ckd.confidence))
     if config.regularizer > 0:
         reg0 = ModelParametersErrorFunction.create(
             np.zeros(p, np.float32), weight=config.regularizer)
