@@ -11,6 +11,7 @@ Sections:
   5. sequence solve       — per-frame + universal parameters
   6. IO round trip        — save/load GLB
   7. rendering            — rasterize a posed frame with a ground plane
+  8. keypoint tracking    — multi-view 2D keypoint fusion
 
 Runs on CPU by default (pass --tpu to use the accelerator when attached).
 """
@@ -178,6 +179,41 @@ def main(argv=None):
     frames = render_motion(char, motion[:1], width=96, height=72, ground=True,
                            skeleton_overlay=True)
     print(f"rendered {frames.shape} (use examples/viewer.py for GIF export)")
+
+    # ---- 8. multi-view keypoint tracking -------------------------------
+    section("8. multi-view 2D keypoint tracking")
+    from momentum_tpu.camera import Camera, PinholeIntrinsics
+    from momentum_tpu.tracking import (
+        CameraKeypointData, MarkerSequence, TrackingConfig,
+        track_poses_batched)
+
+    Fk = 6
+    gt_k = jnp.asarray(rng.uniform(-0.2, 0.2,
+                                   (Fk, char.num_model_parameters)),
+                       jnp.float32)
+    pos_k = jax.vmap(char.locators.world_positions)(
+        jax.vmap(char.skeleton_states)(gt_k))
+    mk = MarkerSequence(positions=pos_k,
+                        occluded=jnp.zeros(pos_k.shape[:2], bool),
+                        names=tuple(char.locators.names))
+    cam_kp = Camera.create(PinholeIntrinsics.create(
+        200.0, 200.0, 63.5, 47.5, image_size=(128, 96))).look_at(
+        (0.0, 1.0, -8.0), (0.0, 1.0, 0.0))
+    uvz_k, valid_k = jax.vmap(cam_kp.project)(pos_k)
+    keypoints = CameraKeypointData(camera=cam_kp, targets=uvz_k[..., :2],
+                                   confidence=valid_k.astype(jnp.float32))
+    # track from 2D detections ALONE (marker constraints disabled)
+    res_kp = track_poses_batched(
+        char, mk,
+        TrackingConfig(max_iter=20, method="levenberg_marquardt",
+                       marker_weight=0.0, projection_weight=1.0),
+        camera_keypoints=(keypoints,))
+    uvz2, _ = jax.vmap(cam_kp.project)(
+        jax.vmap(char.locators.world_positions)(
+            jax.vmap(char.skeleton_states)(res_kp.motion)))
+    px = float(jnp.median(jnp.linalg.norm(uvz2[..., :2] - uvz_k[..., :2],
+                                          axis=-1)))
+    print(f"keypoints-only tracking: median reprojection error {px:.2e} px")
     print("\ntutorial done.")
 
 

@@ -82,7 +82,8 @@ def test_tutorial_runs_all_sections(assets):
     assert r.returncode == 0, r.stderr[-800:]
     for marker in ("1. character basics", "2. single IK", "3. batched IK",
                    "4. differentiable IK", "5. sequence solve",
-                   "6. IO round trip", "7. rendering", "tutorial done"):
+                   "6. IO round trip", "7. rendering",
+                   "8. multi-view 2D keypoint tracking", "tutorial done"):
         assert marker in r.stdout, marker
     # the universal-scale calibration demo must actually recover the scale
     assert "recovered shared scale 0.150" in r.stdout
