@@ -152,6 +152,27 @@ def _keypoint_templates(character, camera_keypoints, config):
                  for ckd in camera_keypoints)
 
 
+def _glove_templates(character: Character, glove_data, glove_config=None):
+    """Frame-0 glove error-function templates + their sequences.
+
+    `glove_data` entries are (GloveSequence, hand) pairs or bare
+    GloveSequences (hand 0 = left) — the dense form of the reference's
+    leftGloveData/rightGloveData spans (marker_tracker.h:165-199)."""
+    if not glove_data:
+        return ()
+    from momentum_tpu.tracking.glove_utils import (
+        GloveConfig, make_glove_error_functions)
+
+    cfg = glove_config or GloveConfig()
+    out = []
+    for entry in glove_data:
+        glove, hand = entry if isinstance(entry, tuple) else (entry, 0)
+        pos0, ori0 = make_glove_error_functions(character, glove, 0, cfg,
+                                                hand)
+        out.append((pos0, ori0, glove))
+    return tuple(out)
+
+
 def _floor_rows(character: Character, prefix: str = "Floor_"):
     """Floor-locator constraint rows (plane_error_function.cpp:15
     createFloorConstraints): locators whose names start with `prefix`,
@@ -221,6 +242,8 @@ def track_poses_per_frame(
     enabled_mask: Optional[jnp.ndarray] = None,
     frame_stride: int = 1,
     camera_keypoints: tuple = (),
+    glove_data: tuple = (),
+    glove_config=None,
 ) -> TrackingResult:
     """Frame-by-frame tracking with warm starts (trackPosesPerframe,
     marker_tracker.cpp:754-930). One jitted scan over the clip.
@@ -251,15 +274,21 @@ def track_poses_per_frame(
     solver = _solver_for(config)
 
     kp = _keypoint_templates(character, camera_keypoints, config)
+    gloves = _glove_templates(character, glove_data, glove_config)
 
     def step(carry, inputs):
         x_prev = carry
-        pos_f, occ_f, kp_f = inputs
+        pos_f, occ_f, kp_f, gl_f = inputs
         ef = per_frame(ef0, pos_f, occ_f)
         kp_efs = tuple(pf(e0, t_f, c_f)
                        for (e0, pf), (t_f, c_f) in zip(kp, kp_f))
-        fn = SkeletonSolverFunction(character,
-                                    (ef, limits) + floor + kp_efs)
+        gl_efs = ()
+        for (pos0, ori0, _), (gp_f, go_f, gv_f) in zip(gloves, gl_f):
+            gl_efs = gl_efs + (
+                dataclasses.replace(pos0, target=gp_f, cweight=gv_f),
+                dataclasses.replace(ori0, target=go_f, cweight=gv_f))
+        fn = SkeletonSolverFunction(
+            character, (ef, limits) + floor + kp_efs + gl_efs)
         res = solver(fn.residual, fn.error, x_prev, enabled_mask, opts)
         # NaN guard (tensor_ik.cpp:168-175): revert to warm start
         bad = ~jnp.all(jnp.isfinite(res.params))
@@ -268,8 +297,14 @@ def track_poses_per_frame(
 
     kp_inputs = tuple((ckd.targets, ckd.confidence)
                       for ckd in camera_keypoints) if kp else ()
+    gl_inputs = tuple(
+        (jnp.asarray(np.asarray(g.positions, np.float32)),
+         jnp.asarray(np.asarray(g.orientations, np.float32)),
+         jnp.asarray(np.asarray(g.valid, np.float32)))
+        for _, _, g in gloves) if gloves else ()
     _, (motion, errors) = jax.lax.scan(
-        step, x_init, (markers.positions, markers.occluded, kp_inputs))
+        step, x_init,
+        (markers.positions, markers.occluded, kp_inputs, gl_inputs))
     return TrackingResult(motion=motion, errors=errors)
 
 
@@ -498,6 +533,8 @@ def track_sequence(
     extra_per_frame_errors: tuple = (),
     extra_sequence_errors: tuple = (),
     camera_keypoints: tuple = (),
+    glove_data: tuple = (),
+    glove_config=None,
 ):
     """Whole-sequence solve with smoothness (trackSequence,
     marker_tracker.cpp:228-700). Returns (TrackingResult, universal values).
@@ -522,6 +559,23 @@ def track_sequence(
         extra_per_frame_errors = tuple(extra_per_frame_errors) + (
             dataclasses.replace(ef_f, target=ckd.targets,
                                 cweight=ckd.confidence),)
+
+    # glove sensor constraints as stacked per-frame modules
+    # (addSequenceFrameConstraints glove paths, marker_tracker.cpp:395-470)
+    for pos0, ori0, glove in _glove_templates(character, glove_data,
+                                              glove_config):
+        valid = jnp.asarray(np.asarray(glove.valid, np.float32))
+        extra_per_frame_errors = tuple(extra_per_frame_errors) + (
+            dataclasses.replace(
+                broadcast_frames(pos0, f),
+                target=jnp.asarray(np.asarray(glove.positions, np.float32)),
+                cweight=valid),
+            dataclasses.replace(
+                broadcast_frames(ori0, f),
+                target=jnp.asarray(np.asarray(glove.orientations,
+                                              np.float32)),
+                cweight=valid),
+        )
 
     limits = broadcast_frames(LimitErrorFunction.create(), f)
     seq_errors = tuple(extra_sequence_errors)

@@ -170,3 +170,42 @@ def test_missing_wrist_skipped():
     out2 = add_glove_calibration_parameters(out)
     assert out2.parameter_transform.num_model_parameters == \
         base.parameter_transform.num_model_parameters
+
+
+def test_glove_data_plumbs_into_trackers(char):
+    """Glove sensor streams ride the per-frame and sequence trackers
+    (marker_tracker.h:165-199 leftGloveData/rightGloveData spans)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from momentum_tpu.math import skel_state as ss
+    from momentum_tpu.tracking import (
+        MarkerSequence, TrackingConfig, track_poses_per_frame,
+        track_sequence)
+
+    full = create_glove_character(char)
+    rng = np.random.default_rng(0)
+    F = 4
+    gt = jnp.asarray(rng.uniform(-0.2, 0.2, (F, full.num_model_parameters)),
+                     jnp.float32)
+    pos = jax.vmap(full.locators.world_positions)(
+        jax.vmap(full.skeleton_states)(gt))
+    mk = MarkerSequence(positions=pos,
+                        occluded=jnp.zeros(pos.shape[:2], bool),
+                        names=tuple(full.locators.names))
+    states = jax.vmap(full.skeleton_states)(gt)
+    ji = np.asarray([1, 3], np.int32)
+    bi = full.skeleton.joint_names.index("glove_l_wrist")
+    rel = ss.multiply(ss.inverse(states[:, bi:bi + 1]), states[:, ji])
+    glove = GloveSequence(joint_index=ji,
+                          positions=np.asarray(rel[..., :3]),
+                          orientations=np.asarray(rel[..., 3:7]),
+                          valid=np.ones((F, 2), bool))
+    cfg = TrackingConfig(max_iter=10, method="levenberg_marquardt")
+    r1 = track_poses_per_frame(full, mk, cfg, glove_data=((glove, 0),))
+    r2, _ = track_sequence(full, mk, cfg, glove_data=((glove, 0),))
+    # glove observations are consistent with the markers → still converges
+    assert float(jnp.median(r1.errors)) < 0.2
+    assert float(jnp.median(r2.errors)) < 0.2
