@@ -81,7 +81,17 @@ def _match_locators(character: Character, markers: MarkerSequence):
             name_to_col.setdefault(n.rsplit(":", 1)[-1], i)
     rows = [(li, name_to_col[n]) for li, n in enumerate(loc.names) if n in name_to_col]
     if not rows and markers.num_markers == loc.num_locators:
-        rows = [(i, i) for i in range(loc.num_locators)]  # positional fallback
+        # Positional fallback: zero names matched but the counts agree. A
+        # wrong-asset mistake (markers from a different rig) would silently
+        # produce garbage here, so warn loudly with the evidence.
+        from momentum_tpu.utils.logging import get_logger
+        get_logger("momentum_tpu.tracking").warning(
+            "No marker names matched any locator name; falling back to "
+            "POSITIONAL marker↔locator binding because counts agree (%d). "
+            "If markers and character come from different rigs this will "
+            "produce garbage. Locator names: %s... Marker names: %s...",
+            loc.num_locators, list(loc.names)[:5], list(markers.names)[:5])
+        rows = [(i, i) for i in range(loc.num_locators)]
     li = np.asarray([r[0] for r in rows], np.int32)
     mi = np.asarray([r[1] for r in rows], np.int32)
     return li, mi

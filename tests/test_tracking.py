@@ -673,3 +673,37 @@ def test_track_sequence_with_camera_keypoints():
                          smoothing=1e-4, projection_weight=1e-3)
     res, u = track_sequence(char, mk, cfg, camera_keypoints=(ckd,))
     assert float(jnp.median(res.errors)) < 0.05
+
+
+class TestLocatorMatching:
+    """Name-vs-positional marker↔locator binding (_match_locators)."""
+
+    def test_positional_fallback_warns_loudly(self, char, caplog):
+        """Zero name matches + equal counts → positional binding, but with a
+        WARNING naming the mismatch (a wrong-asset mistake must not be
+        silent)."""
+        from momentum_tpu.tracking.tracker import _match_locators
+
+        pos = jnp.zeros((2, char.locators.num_locators, 3), jnp.float32)
+        mk = MarkerSequence(
+            positions=pos, occluded=jnp.zeros(pos.shape[:2], bool),
+            names=tuple(f"not_a_locator_{i}"
+                        for i in range(char.locators.num_locators)))
+        import logging
+        with caplog.at_level(logging.WARNING, logger="momentum_tpu.tracking"):
+            li, mi = _match_locators(char, mk)
+        np.testing.assert_array_equal(li, np.arange(len(li)))
+        np.testing.assert_array_equal(mi, np.arange(len(mi)))
+        assert any("POSITIONAL" in r.message for r in caplog.records)
+
+    def test_name_match_does_not_warn(self, char, caplog):
+        from momentum_tpu.tracking.tracker import _match_locators
+
+        pos = jnp.zeros((2, char.locators.num_locators, 3), jnp.float32)
+        mk = MarkerSequence(
+            positions=pos, occluded=jnp.zeros(pos.shape[:2], bool),
+            names=tuple(char.locators.names))
+        import logging
+        with caplog.at_level(logging.WARNING, logger="momentum_tpu.tracking"):
+            _match_locators(char, mk)
+        assert not any("POSITIONAL" in r.message for r in caplog.records)
