@@ -161,22 +161,31 @@ def main():
 
     from momentum_tpu.solver import solve_compacted
 
+    # MOMENTUM_TPU_BENCH_NE: "0" = dense-Jacobian path (round-2 default),
+    # "1" = closed-form normal-equation path (PositionErrorFunction.
+    # accumulate_normal), "bf16" = same with bf16-MXU/f32-accumulate matmuls.
+    ne_mode = os.environ.get("MOMENTUM_TPU_BENCH_NE", "0")
+
     def _solve_stage(targets, x0, iters, lam0):
         ef = dataclasses.replace(ef0, target=targets)
         fn = SkeletonSolverFunction(
             char, (ef,),
             prefer_fused=bool(int(os.environ.get(
-                "MOMENTUM_TPU_PREFER_FUSED", "1"))))
+                "MOMENTUM_TPU_PREFER_FUSED", "1"))),
+            ne_bf16=(ne_mode == "bf16"))
         o = dataclasses.replace(opts, max_iterations=iters)
+        normal_fn = fn.normal_equations if ne_mode != "0" else None
+        jac_fn = None if ne_mode != "0" else fn.residual_and_jacobian
+        err_fn = fn.residual_sq if ne_mode != "0" else fn.error
         if method == "gn":
             from momentum_tpu.solver.gauss_newton import solve_gauss_newton
 
             return solve_gauss_newton(
-                fn.residual, fn.error, x0, options=o,
-                jacobian_fn=fn.residual_and_jacobian)
+                fn.residual, err_fn, x0, options=o,
+                jacobian_fn=jac_fn, normal_fn=normal_fn)
         return solve_levenberg_marquardt(
-            fn.residual, fn.error, x0, options=o,
-            jacobian_fn=fn.residual_and_jacobian, lambda0=lam0)
+            fn.residual, err_fn, x0, options=o,
+            jacobian_fn=jac_fn, normal_fn=normal_fn, lambda0=lam0)
 
     @jax.jit
     def solve_batch(targets, x0):
@@ -261,7 +270,8 @@ def main():
         ef_pos = dataclasses.replace(ef0, target=tg)
         ef_ori = dataclasses.replace(ori0, target=qt)
         fn = SkeletonSolverFunction(char, (ef_pos, ef_ori, lim, pp),
-                                    prefer_fused=True)
+                                    prefer_fused=True,
+                                    ne_bf16=(ne_mode == "bf16"))
         o = dataclasses.replace(full_opts, max_iterations=iters)
         return solve_ik(fn, x, None, o, method="gauss_newton")
 

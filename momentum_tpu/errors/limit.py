@@ -268,7 +268,8 @@ class LimitErrorFunction(ErrorFunction):
         c = character.limits.counts
         return (c["minmax_joint"] + c["linear_joint"] + c["ellipsoid"]) == 0
 
-    def accumulate_normal(self, character, ctx: EvalContext, jc, pt_mat, acc):
+    def accumulate_normal(self, character, ctx: EvalContext, jc, pt_mat, acc,
+                          mxu_dtype=None):
         """Scatter-add JᵀJ/Jᵀr directly: every model-space limit row has at
         most two nonzero entries (column idx1/idx2 with values v1/v2), so its
         rank-1 update touches ≤ 4 JᵀJ cells — the reference's sparse

@@ -147,7 +147,8 @@ class PosePriorErrorFunction(ErrorFunction):
     def has_normal_contrib(self) -> bool:
         return self.sub_jtj is not None
 
-    def accumulate_normal(self, character, ctx: EvalContext, jc, pt_mat, acc):
+    def accumulate_normal(self, character, ctx: EvalContext, jc, pt_mat, acc,
+                          mxu_dtype=None):
         """Direct JᵀJ/Jᵀr/Σr² contribution: with J = coef·L*·S constant per
         selected mode, JᵀJ = coef²·SᵀCinv*S is one gather from the precomputed
         per-mode table and Jᵀr = coef²·Sᵀ(Cinv*·d*) a (d→P) scatter — no

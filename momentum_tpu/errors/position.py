@@ -30,6 +30,9 @@ __all__ = [
 ]
 
 
+_LN2 = 0.6931471805599453  # scale is log2-parameterized (joint_state.cpp:22-62)
+
+
 def _pad_rows(arr: np.ndarray, capacity: int) -> np.ndarray:
     out = np.zeros((capacity,) + arr.shape[1:], arr.dtype)
     out[: arr.shape[0]] = arr
@@ -92,6 +95,72 @@ class PositionErrorFunction(VectorErrorFunction):
         rows = (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
         j = j.reshape(j.shape[:-3] + (rows.shape[-1], pt_mat.shape[1]))
         return rows, j
+
+    has_normal_contrib = True
+
+    def accumulate_normal(self, character, ctx: EvalContext, jc, pt_mat, acc,
+                          mxu_dtype=None):
+        """Closed-form position-row JᵀJ/Jᵀr from ONE combined mask matmul.
+
+        The position row block is affine in the constraint point p_c:
+
+            J_c = Ã_c + B̃_c × p_c + ln2·p_c·ũ_c
+
+        with (Ã, B̃, ũ) = mask @ (A, B, u) for per-joint factors
+            A_j = transAxis·PT_t − (rotAxis·PT_r)×t_j − ln2·t_j⊗PT_s
+            B_j = rotAxis·PT_r,   u_j = ln2·PT_s
+        stacked into one (nJ, 7, P) factor, so the reference's rank-update
+        accumulation (skeleton_error_function.h getSolverDerivatives) becomes
+        a single (C, nJ)×(nJ, 7P) MXU matmul + an elementwise cross + one
+        (3C, P)-wide JᵀJ contraction — no (B, nJ, 3, P) temporary trio and no
+        Jacobian handed back to the solver. Position path of
+        skeleton_derivative.cpp, reassociated.
+
+        mxu_dtype (e.g. bfloat16): run the two large matmuls with inputs cast
+        to that dtype and f32 accumulation (the MXU precision split of
+        sequence_cholesky_solver.h:31-33, inverted: compute low, accumulate
+        high)."""
+        jtj, jtr, sq_acc = acc
+        nj = jc.anc_mask.shape[0]
+        p_dim = pt_mat.shape[1]
+        ptj = pt_mat.reshape(nj, 7, p_dim)
+        states = jnp.take(ctx.skel_states, self.parent, axis=-2)
+        world = ss.transform_points(states, self.offset)  # (..., C, 3)
+        f = world - self.target
+        sqe = jnp.sum(f * f, axis=-1)
+        scale = self._row_scale(self.cweight, sqe)  # (..., C)
+        mask = jnp.take(jc.anc_mask, self.parent, axis=1).T  # (C, nJ)
+        mask = mask * scale[..., :, None]  # fold row scale into the mask
+
+        t = jc.joint_pos  # (..., nJ, 3)
+        a_t = jnp.einsum("...nij,njp->...nip", jc.trans_axis, ptj[:, :3])
+        d_r = jnp.einsum("...nwk,nkp->...nwp", jc.rot_axis, ptj[:, 3:6])
+        a = (a_t
+             - jnp.cross(d_r, t[..., :, :, None], axisa=-2, axisb=-2, axisc=-2)
+             - _LN2 * t[..., :, :, None] * ptj[:, 6][:, None, :])
+        u = jnp.broadcast_to(_LN2 * ptj[:, 6:7, :], a.shape[:-2] + (1, p_dim))
+        g = jnp.concatenate([a, d_r, u], axis=-2)  # (..., nJ, 7, P)
+
+        kw = {}
+        if mxu_dtype is not None:
+            mask = mask.astype(mxu_dtype)
+            g = g.astype(mxu_dtype)
+            kw = dict(preferred_element_type=jnp.float32)
+        gt = jnp.einsum("...cn,...nap->...cap", mask, g, **kw)  # (..., C, 7, P)
+        jbar = (gt[..., :3, :]
+                + jnp.cross(gt[..., 3:6, :], world[..., :, :, None],
+                            axisa=-2, axisb=-2, axisc=-2)
+                + world[..., :, :, None] * gt[..., 6:7, :])  # (..., C, 3, P)
+        r = scale[..., None] * f  # (..., C, 3)
+        if mxu_dtype is not None:
+            jb = jbar.astype(mxu_dtype)
+            jtj = jtj + jnp.einsum("...cvp,...cvq->...pq", jb, jb,
+                                   preferred_element_type=jnp.float32)
+        else:
+            jtj = jtj + jnp.einsum("...cvp,...cvq->...pq", jbar, jbar)
+        jtr = jtr + jnp.einsum("...cvp,...cv->...p", jbar, r)
+        sq_acc = sq_acc + jnp.sum(scale * scale * sqe, axis=-1)
+        return jtj, jtr, sq_acc
 
     @classmethod
     def create(cls, parent, offset, target, cweight=None, weight=1.0, loss=None, capacity=None):
@@ -193,7 +262,8 @@ class OrientationErrorFunction(VectorErrorFunction):
 
     has_normal_contrib = True
 
-    def accumulate_normal(self, character, ctx: EvalContext, jc, pt_mat, acc):
+    def accumulate_normal(self, character, ctx: EvalContext, jc, pt_mat, acc,
+                          mxu_dtype=None):
         """Closed-form JᵀJ/Jᵀr without the 9-row Jacobian.
 
         Every row block is J_c = [v_j]-cross structure: row (i,j) equals
@@ -218,7 +288,12 @@ class OrientationErrorFunction(VectorErrorFunction):
         sqe = jnp.sum(f9 * f9, axis=-1)
         scale = self._row_scale(self.cweight, sqe)
         h1 = fused_rotation_factor(jc, self.parent, pt_mat, scale=scale)
-        jtj = jtj + 2.0 * jnp.einsum("...cwp,...cwq->...pq", h1, h1)
+        if mxu_dtype is not None:
+            h = h1.astype(mxu_dtype)
+            jtj = jtj + 2.0 * jnp.einsum("...cwp,...cwq->...pq", h, h,
+                                         preferred_element_type=jnp.float32)
+        else:
+            jtj = jtj + 2.0 * jnp.einsum("...cwp,...cwq->...pq", h1, h1)
         # g_c = Σ_j v_j × f_j with f_j, v_j the j-th COLUMNS (axis -1)
         g = jnp.sum(
             jnp.cross(r_world, scale[..., None, None] * diff,

@@ -41,6 +41,12 @@ class SkeletonSolverFunction:
     # Force the AD (jax.linearize) Jacobian path even when every module has
     # an analytic one — for equivalence tests and A/B benchmarks.
     force_ad: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Run the large normal-equation matmuls (Jacobian-factor assembly + JᵀJ
+    # contraction) with bf16 inputs and f32 accumulation — the MXU precision
+    # split (sequence_cholesky_solver.h:31-33's accumulate-high precedent,
+    # inverted: compute low, accumulate high). Only affects normal_equations;
+    # gate on the workload's convergence bar before enabling in production.
+    ne_bf16: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     def context(self, model_params: jnp.ndarray) -> EvalContext:
         """One FK pass (+ mesh pose if any module needs it) — the shared state
@@ -203,12 +209,18 @@ class SkeletonSolverFunction:
         direct_ids = {id(ef) for ef in direct}
         dense = [ef for ef in self.error_functions if id(ef) not in direct_ids]
 
+        mxu_dtype = jnp.bfloat16 if self.ne_bf16 else None
         jtj = jnp.zeros(batch + (p, p), model_params.dtype)
         jtr = jnp.zeros(batch + (p,), model_params.dtype)
         sq = jnp.zeros(batch, model_params.dtype)
         if dense:
             rows, j = self._rows_and_jacobian(ctx, dense, model_params)
-            jtj = jtj + jnp.einsum("...rp,...rq->...pq", j, j)
+            if mxu_dtype is not None:
+                j16 = j.astype(mxu_dtype)
+                jtj = jtj + jnp.einsum("...rp,...rq->...pq", j16, j16,
+                                       preferred_element_type=jnp.float32)
+            else:
+                jtj = jtj + jnp.einsum("...rp,...rq->...pq", j, j)
             jtr = jtr + jnp.einsum("...rp,...r->...p", j, rows)
             sq = sq + jnp.sum(rows * rows, axis=-1)
         if direct:
@@ -216,7 +228,8 @@ class SkeletonSolverFunction:
             pt_mat = self.character.parameter_transform.transform
             acc = (jtj, jtr, sq)
             for ef in direct:
-                acc = ef.accumulate_normal(self.character, ctx, jc, pt_mat, acc)
+                acc = ef.accumulate_normal(self.character, ctx, jc, pt_mat,
+                                           acc, mxu_dtype=mxu_dtype)
             jtj, jtr, sq = acc
         return jtj, jtr, sq
 

@@ -399,3 +399,45 @@ def test_qr_survives_ill_conditioning_where_cholesky_fails():
     # worse than QR
     e_c = float(res_c.error)
     assert np.isnan(e_c) or e_c > 1e4 * float(res_q.error)
+
+
+def test_normal_equations_bf16_mode():
+    """ne_bf16: the MXU-precision NE (bf16 inputs, f32 accumulation) stays
+    within bf16 tolerance of the f32 normal equations, and an LM solve
+    through it still reaches the optimum on a well-conditioned problem."""
+    import dataclasses as dc
+    import jax
+    from momentum_tpu.errors import PositionErrorFunction
+    from momentum_tpu.solver import SkeletonSolverFunction, SolverOptions
+    from momentum_tpu.solver.ik import solve_ik
+    from momentum_tpu.testing.fixtures import create_fullbody_character
+
+    char = create_fullbody_character()
+    p = char.num_model_parameters
+    rng = np.random.default_rng(7)
+    b = 2
+    gt = jnp.asarray(rng.uniform(-0.3, 0.3, (b, p)), jnp.float32)
+    states = jax.vmap(char.skeleton_states)(gt)
+    targets = jax.vmap(char.locators.world_positions)(states)
+    pos = dc.replace(
+        PositionErrorFunction.create(
+            np.asarray(char.locators.parent), np.asarray(char.locators.offset),
+            np.zeros((char.locators.num_locators, 3))),
+        target=targets)
+    fn32 = SkeletonSolverFunction(char, (pos,))
+    fn16 = SkeletonSolverFunction(char, (pos,), ne_bf16=True)
+    x = gt + 0.05 * jnp.asarray(rng.normal(0, 1, (b, p)), jnp.float32)
+    jtj32, jtr32, sq32 = fn32.normal_equations(x)
+    jtj16, jtr16, sq16 = fn16.normal_equations(x)
+    # bf16 has ~8 mantissa bits → relative tolerance ~1e-2 on the contraction
+    scale = float(jnp.abs(jtj32).max())
+    np.testing.assert_allclose(np.asarray(jtj16), np.asarray(jtj32),
+                               atol=2e-2 * scale)
+    np.testing.assert_allclose(np.asarray(sq16), np.asarray(sq32), rtol=1e-5)
+
+    opts = SolverOptions(max_iterations=20, regularization=1e-6,
+                         energy_from_residual=True)
+    res = solve_ik(fn16, x, None, opts, method="levenberg_marquardt")
+    # the bf16 NE perturbs steps, not the residual/energy: the solve must
+    # still reach the marker bar on this noise level
+    assert float(jnp.median(res.error)) < 1e-5
