@@ -2,6 +2,7 @@ from momentum_tpu.solver.gauss_newton import (  # noqa: F401
     SolveResult,
     SolverOptions,
     solve_gauss_newton,
+    solve_gauss_newton_cg,
     solve_levenberg_marquardt,
 )
 from momentum_tpu.solver.skeleton_solver_function import SkeletonSolverFunction  # noqa: F401
@@ -12,6 +13,7 @@ from momentum_tpu.solver.solvers import (  # noqa: F401
     GaussNewtonSolverQR,
     MultiposeSolver,
     SequenceSolver,
+    SparseGaussNewtonSolver,
     SubsetGaussNewtonSolver,
     TrustRegionQR,
     solve_multipose,

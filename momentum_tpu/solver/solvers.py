@@ -26,6 +26,7 @@ __all__ = [
     "GaussNewtonSolver",
     "GaussNewtonSolverQR",
     "SubsetGaussNewtonSolver",
+    "SparseGaussNewtonSolver",
     "TrustRegionQR",
     "SequenceSolver",
     "SequenceCholeskySolver",
@@ -97,6 +98,19 @@ class GaussNewtonSolverQR(GaussNewtonSolver):
 class SubsetGaussNewtonSolver(GaussNewtonSolver):
     """subset_gauss_newton_solver.h equivalent — the subset lives in
     set_enabled_parameters (masked columns instead of compaction)."""
+
+
+class SparseGaussNewtonSolver(GaussNewtonSolver):
+    """gauss_newton_solver_sparse.h:50-90 equivalent for high-dimensional
+    problems (P ≳ 500, e.g. dense blendshape rigs up to the
+    kMaxModelParams=2048 envelope). The reference factors a sparse JᵀJ with
+    SimplicialLLT; the TPU-native shape is matrix-free conjugate gradients
+    on (JᵀJ + damp·I) via JVP/VJP sweeps — O(P) memory per element, no P×P
+    materialization (solve_gauss_newton_cg)."""
+
+    def __init__(self, solver_function, options: SolverOptions = SolverOptions()):
+        super().__init__(solver_function,
+                         dataclasses.replace(options, linear_solver="cg"))
 
 
 class TrustRegionQR(_SolverBase):

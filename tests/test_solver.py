@@ -4,6 +4,8 @@
 end-to-end IK convergence (inverse_kinematics_test.cpp), and subset/enabled
 parameter behavior."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -441,3 +443,110 @@ def test_normal_equations_bf16_mode():
     # the bf16 NE perturbs steps, not the residual/energy: the solve must
     # still reach the marker bar on this noise level
     assert float(jnp.median(res.error)) < 1e-5
+
+
+def test_cg_linear_solver_matches_cholesky():
+    """The matrix-free CG path (SparseGaussNewtonSolver analog,
+    gauss_newton_solver_sparse.h:50-90) computes the same damped GN step as
+    the dense normal equations when CG runs to convergence."""
+    rng = np.random.default_rng(7)
+    A = jnp.asarray(rng.normal(0, 1, (12, 5)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 1, (12,)), jnp.float32)
+
+    def residual(x):
+        return A @ x - b
+
+    def energy(x):
+        r = residual(x)
+        return jnp.sum(r * r)
+
+    x0 = jnp.zeros(5)
+    res_c = solve_gauss_newton(residual, energy, x0,
+                               options=SolverOptions(max_iterations=8))
+    res_cg = solve_gauss_newton(residual, energy, x0,
+                                options=SolverOptions(max_iterations=8,
+                                                      linear_solver="cg",
+                                                      cg_iterations=32,
+                                                      cg_tol=1e-9))
+    np.testing.assert_allclose(np.asarray(res_c.params),
+                               np.asarray(res_cg.params), atol=2e-4)
+    # enabled-mask semantics: frozen parameters stay at x0 exactly
+    mask = jnp.asarray([1, 1, 0, 1, 0], jnp.float32)
+    res_m = solve_gauss_newton(residual, energy, x0, enabled_mask=mask,
+                               options=SolverOptions(max_iterations=8,
+                                                     linear_solver="cg"))
+    assert float(res_m.params[2]) == 0.0 and float(res_m.params[4]) == 0.0
+
+    # batched: each element runs its own CG (per-element inner products)
+    x0b = jnp.asarray(rng.normal(0, 0.1, (4, 5)), jnp.float32)
+
+    def residual_b(x):
+        return jnp.einsum("rp,...p->...r", A, x) - b
+
+    def energy_b(x):
+        r = residual_b(x)
+        return jnp.sum(r * r, axis=-1)
+
+    res_b = solve_gauss_newton(residual_b, energy_b, x0b,
+                               options=SolverOptions(max_iterations=8,
+                                                     linear_solver="cg"))
+    for i in range(4):
+        np.testing.assert_allclose(np.asarray(res_b.params[i]),
+                                   np.asarray(res_c.params), atol=5e-4)
+
+
+def test_sparse_gn_high_dim_blendshape():
+    """P≈1000 synthetic blendshape rig solved matrix-free — the workload the
+    reference routes to SparseGaussNewtonSolverT (sparse JᵀJ + SimplicialLLT;
+    gauss_newton_solver_sparse.h:50-90). CG fits ~990 blendshape coefficients
+    + pose through the vertex-position residual without ever materializing a
+    P×P system, and matches the dense-Cholesky optimum of the identical
+    damped problem."""
+    from momentum_tpu.character.blend_shape import BlendShape
+    from momentum_tpu.errors.vertex import VertexPositionErrorFunction
+    from momentum_tpu.solver.solvers import SparseGaussNewtonSolver
+
+    char0 = create_test_character(4)
+    rng = np.random.default_rng(11)
+    v = char0.mesh.vertices.shape[0]
+    k = 1000 - char0.num_model_parameters  # → P = 1000 exactly
+    basis = rng.normal(0, 0.02, (k, v, 3)).astype(np.float32)
+    bs = BlendShape(base_shape=char0.mesh.vertices,
+                    shape_vectors=jnp.asarray(basis))
+    char = char0.with_blend_shape(bs)
+    p = char.num_model_parameters
+    assert p == 1000
+
+    gt = np.zeros(p, np.float32)
+    gt[char0.num_model_parameters:] = rng.normal(0, 0.3, k)
+    gt = jnp.asarray(gt)
+
+    ef0 = VertexPositionErrorFunction.create(np.arange(v), np.zeros((v, 3)))
+    reg = ModelParametersErrorFunction.create(np.zeros(p), weight=1e-4)
+    fn_t = SkeletonSolverFunction(char, (ef0,))
+    target = fn_t.context(gt).mesh_vertices
+
+    ef = VertexPositionErrorFunction.create(np.arange(v), np.asarray(target))
+    fn = SkeletonSolverFunction(char, (ef, reg))
+    opts = SolverOptions(max_iterations=10, regularization=1e-5,
+                         energy_from_residual=True, cg_iterations=200,
+                         cg_tol=1e-8)
+
+    sol = SparseGaussNewtonSolver(fn, opts)
+    assert sol.options.linear_solver == "cg"
+    x = sol.solve(jnp.zeros(p))
+    # judge the vertex FIT alone — the total energy floor is the (wanted)
+    # tradeoff against the L2 regularizer on the underdetermined basis
+    fn_v = SkeletonSolverFunction(char, (ef,))
+    e_cg = float(fn_v.error(jnp.asarray(x)))
+    e0 = float(fn_v.error(jnp.zeros(p)))
+    assert e_cg < 1e-5 * e0  # the fit actually lands
+
+    # the damped problem is identical → dense Cholesky lands on the same
+    # vertex fit (params may differ along the basis null space; compare
+    # through the forward model)
+    res_d = solve_ik(fn, jnp.zeros(p), None,
+                     dataclasses.replace(opts, linear_solver="cholesky"))
+    v_cg = fn.context(jnp.asarray(x)).mesh_vertices
+    v_d = fn.context(res_d.params).mesh_vertices
+    np.testing.assert_allclose(np.asarray(v_cg), np.asarray(v_d), atol=1e-3)
