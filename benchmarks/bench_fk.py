@@ -15,8 +15,13 @@ Usage: python benchmarks/bench_fk.py [batch]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo not in sys.path:  # `python benchmarks/bench_fk.py` from any cwd
+    sys.path.insert(0, _repo)
 
 import jax
 import jax.numpy as jnp

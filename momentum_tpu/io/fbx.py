@@ -1,13 +1,19 @@
-"""FBX binary import (characters: skeleton + mesh + skinning).
+"""FBX import, binary AND ASCII containers (skeleton + mesh + skinning).
 
 Reference: momentum/io/fbx/ loads FBX through the bundled OpenFBX C++ parser
-(openfbx_loader.h; saving requires the proprietary Autodesk SDK and is not
-supported here either, CMakeLists.txt:69-80). This is a from-scratch reader
-of the standard Kaydara FBX binary container:
+(openfbx_loader.h; ofbx::load handles both text and binary files; saving
+requires the proprietary Autodesk SDK and is not supported there,
+CMakeLists.txt:69-80). This is a from-scratch reader of both standard
+containers feeding one shared character-assembly path:
 
-  header "Kaydara FBX Binary  \\x00" + version; nested node records
+  binary: header "Kaydara FBX Binary  \\x00" + version; nested node records
   (u32 offsets < v7500, u64 from v7500) with typed properties
   (Y/C/I/F/D/L scalars, f/d/l/i/b arrays with optional zlib encoding 1).
+
+  ASCII: `Name: props { children }` records with `;` comments; 7.x `*N
+  { a: ... }` arrays and 6.x direct comma-separated arrays / name-based
+  `Connect:` records are normalized to the binary-7.x node conventions
+  (_normalize_ascii).
 
 Character assembly mirrors the reference's mapping:
   * Model nodes of type LimbNode/Root → joints; Lcl Translation →
@@ -120,18 +126,193 @@ def _read_node(data, off, big):
 
 
 def _parse(data):
-    if not data.startswith(_MAGIC):
-        raise ValueError("not a binary FBX file")
-    version = struct.unpack_from("<I", data, 23)[0]
-    big = version >= 7500
-    off = 27
+    if data.startswith(_MAGIC):
+        version = struct.unpack_from("<I", data, 23)[0]
+        big = version >= 7500
+        off = 27
+        root = _Node("", [])
+        while off < len(data) - 16:
+            node, off = _read_node(data, off, big)
+            if node is None:
+                break
+            root.children.append(node)
+        return root, version
+    # ASCII FBX (the reference's bundled OpenFBX parses both containers,
+    # openfbx_loader.h; ofbx::load handles text and binary alike)
+    try:
+        text = data.decode("utf-8")
+    except UnicodeDecodeError:
+        raise ValueError("not an FBX file (no binary magic, not UTF-8 text)")
+    if "FBXHeaderExtension" not in text[:8192]:
+        raise ValueError("not an FBX file (no binary magic, no ASCII header)")
+    return _parse_ascii(text)
+
+
+# --------------------------------------------------------------------------
+# ASCII container: `Name: prop, prop, ... { children }` records with `;`
+# line comments. Arrays appear either as `*N { a: v,v,... }` (7.x text) or
+# as direct comma-separated values on known array nodes (6.x text). The
+# parser produces the SAME _Node tree as the binary reader so the character
+# assembly below is container-agnostic.
+# --------------------------------------------------------------------------
+
+# nodes whose payload is one homogeneous numeric array in the binary form
+_ARRAY_NODES = frozenset({
+    "Vertices", "PolygonVertexIndex", "Normals", "NormalsIndex", "UV",
+    "UVIndex", "Indexes", "Weights", "Matrix", "Transform", "TransformLink",
+    "Points", "KeyTime", "KeyValueFloat", "KeyAttrFlags", "KeyAttrDataFloat",
+    "KeyAttrRefCount",
+})
+
+
+def _tokenize_ascii(text):
+    i, n = 0, len(text)
+    toks = []
+    while i < n:
+        c = text[i]
+        if c in " \t\r\n":
+            i += 1
+            continue
+        if c == ";":
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == '"':
+            j = text.find('"', i + 1)
+            if j < 0:
+                raise ValueError("FBX ASCII: unterminated string")
+            toks.append(("str", text[i + 1:j]))
+            i = j + 1
+            continue
+        if c in "{},":
+            toks.append((c, c))
+            i += 1
+            continue
+        if c == "*":
+            j = i + 1
+            while j < n and text[j].isdigit():
+                j += 1
+            toks.append(("count", int(text[i + 1:j] or 0)))
+            i = j
+            continue
+        j = i
+        while j < n and text[j] not in " \t\r\n{},;\"":
+            j += 1
+        tok = text[i:j]
+        i = j
+        if tok.endswith(":"):
+            toks.append(("name", tok[:-1]))
+        else:
+            toks.append(("atom", tok))
+    return toks
+
+
+def _coerce_atom(tok):
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return tok
+
+
+def _parse_ascii_children(toks, pos):
+    children = []
+    while pos < len(toks):
+        kind, val = toks[pos]
+        if kind == "}":
+            return children, pos + 1
+        if kind != "name":
+            raise ValueError(f"FBX ASCII: expected node name, got {val!r}")
+        pos += 1
+        props = []
+        is_array = False
+        while pos < len(toks) and toks[pos][0] in ("atom", "str", "count", ","):
+            k2, v2 = toks[pos]
+            pos += 1
+            if k2 == ",":
+                continue
+            if k2 == "count":
+                is_array = True
+                continue
+            props.append(_coerce_atom(v2) if k2 == "atom" else v2)
+        node = _Node(val, props)
+        if pos < len(toks) and toks[pos][0] == "{":
+            node.children, pos = _parse_ascii_children(toks, pos + 1)
+        if is_array or (val in _ARRAY_NODES and node.children == []
+                        and len(props) > 0
+                        and all(isinstance(p, (int, float)) for p in props)):
+            # collapse `*N { a: ... }` / direct numeric payload into the
+            # single ndarray property the binary reader produces
+            payload = props
+            a = node.first("a")
+            if a is not None:
+                payload = a.props
+            arr = np.asarray(payload)
+            if arr.dtype == object:  # mixed tokens: force float
+                arr = np.asarray([float(x) for x in payload])
+            node.props = [arr]
+            node.children = []
+        children.append(node)
+    return children, pos
+
+
+def _parse_ascii(text):
+    toks = _tokenize_ascii(text)
+    children, _ = _parse_ascii_children(toks, 0)
     root = _Node("", [])
-    while off < len(data) - 16:
-        node, off = _read_node(data, off, big)
-        if node is None:
-            break
-        root.children.append(node)
+    root.children = children
+    version = 7400
+    hdr = root.first("FBXHeaderExtension")
+    if hdr is not None:
+        v = hdr.first("FBXVersion")
+        if v is not None and v.props:
+            version = int(v.props[0])
+    _normalize_ascii(root, version)
     return root, version
+
+
+def _normalize_ascii(root, version):
+    """Bring the ASCII node tree to binary-7.x conventions in place:
+
+    - object names: text files carry "Class::name"; the binary carries
+      "name\\x00\\x01Class" and the assembly takes split("\\x00")[0] — strip
+      the class prefix here so both containers agree.
+    - FBX 6.x text has no uids and name-based `Connect:` records: synthesize
+      uid = the full "Class::name" string (uids are only dict keys) and remap
+      Connect → C with "Model::Scene" as the root (0).
+    - Properties60/`Property:` records (values at props[3:]) → Properties70/
+      `P:` records (values at props[4:]).
+    """
+    objects = root.first("Objects")
+    if objects is None:
+        return
+    pre70 = version < 7000
+    for node in objects.children:
+        if pre70 and node.props and isinstance(node.props[0], str) \
+                and "::" in node.props[0]:
+            node.props = [node.props[0]] + list(node.props)
+        if len(node.props) > 1 and isinstance(node.props[1], str) \
+                and "::" in node.props[1]:
+            node.props[1] = node.props[1].split("::", 1)[1]
+        p60 = node.first("Properties60")
+        if p60 is not None:
+            p60.name = "Properties70"
+            for pn in p60.children:
+                if pn.name == "Property":
+                    pn.name = "P"
+                    pn.props = [pn.props[0], pn.props[1], "",
+                                pn.props[2] if len(pn.props) > 2 else ""] \
+                        + list(pn.props[3:])
+    conns = root.first("Connections")
+    if conns is not None and pre70:
+        for c in conns.children:
+            if c.name == "Connect":
+                c.name = "C"
+                c.props = [c.props[0]] + [
+                    0 if p == "Model::Scene" else p for p in c.props[1:]]
 
 
 def _euler_xyz_deg_to_quat(rx, ry, rz):

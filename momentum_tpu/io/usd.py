@@ -19,7 +19,14 @@ schema directly over a small prim/attribute document model:
   field / spec sections per the public crate layout, uncompressed structural
   sections). With no pxr in the image it is validated by round-trip and by
   sharing the exact same document model as the .usda path; `load_usd` prefers
-  pxr when importable.
+  pxr when importable. The container level (88-byte bootstrap: ident[8]
+  'PXR-USDC' + version uint8[8] + tocOffset int64 + reserved int64[8]; TOC of
+  32-byte records name char[16]/start int64/size int64) is pinned against the
+  published crate layout in tests/test_io.py::
+  test_usdc_bootstrap_and_toc_structural_pin; the VALUE encoding inside
+  sections is module-private (self-describing tags, _pack_value) — a pxr
+  reader parses the bootstrap/TOC but not the payloads, so .usdc files are
+  an intra-framework format until a pxr-produced golden can be pinned.
 
 Entry points: save_usd / load_usd dispatch on extension; save_usda /
 load_usda keep their original signatures.

@@ -356,6 +356,71 @@ class TestUsd:
                                    np.asarray(char.skin_weights.weight),
                                    atol=1e-6)
 
+    def test_usdc_bootstrap_and_toc_structural_pin(self, tmp_path):
+        """Structural pin of the crate container against the PUBLISHED crate
+        layout (pxr crateFile.cpp _BootStrap/_Section; reference writes
+        through the pxr runtime, io/usd/usd_io.cpp:60-240):
+
+        - bootstrap is exactly 88 bytes: ident char[8] 'PXR-USDC' +
+          version uint8[8] (major/minor/patch + 5 reserved) +
+          tocOffset int64 + reserved int64[8];
+        - the TOC is int64 count + count × 32-byte section records
+          (name char[16] NUL-padded, start int64, size int64);
+        - section payloads are in-bounds, contiguous from byte 88, and
+          TOKENS is an int64 count of NUL-terminated strings.
+
+        No pxr runtime exists in this image to cross-read a golden file;
+        the VALUE payload encoding inside sections is module-private and
+        documented as such (momentum_tpu/io/usd.py header) — this pin
+        covers the container level a crate-aware tool parses first."""
+        import struct
+
+        from momentum_tpu.io.usd import save_usd
+
+        char = create_test_character(3)
+        p = str(tmp_path / "pin.usdc")
+        save_usd(p, char)
+        buf = open(p, "rb").read()
+
+        # bootstrap
+        assert buf[:8] == b"PXR-USDC"
+        version = tuple(buf[8:16])
+        assert version[3:] == (0, 0, 0, 0, 0)  # 5 reserved version bytes
+        toc_off = struct.unpack_from("<q", buf, 16)[0]
+        assert buf[24:88] == b"\0" * 64  # reserved int64[8]
+        assert 88 <= toc_off <= len(buf) - 8
+
+        # TOC records
+        nsec = struct.unpack_from("<q", buf, toc_off)[0]
+        assert nsec >= 3
+        assert len(buf) == toc_off + 8 + 32 * nsec  # TOC is the file tail
+        secs = []
+        pos = toc_off + 8
+        for _ in range(nsec):
+            name = buf[pos:pos + 16].rstrip(b"\0").decode()
+            start, size = struct.unpack_from("<qq", buf, pos + 16)
+            secs.append((name, start, size))
+            pos += 32
+        names = [s[0] for s in secs]
+        # known section names from the published spec
+        assert set(names) <= {"TOKENS", "STRINGS", "FIELDS", "FIELDSETS",
+                              "PATHS", "SPECS"}
+        assert {"TOKENS", "FIELDS", "SPECS"} <= set(names)
+
+        # payloads contiguous from the end of the bootstrap to the TOC
+        expect = 88
+        for name, start, size in secs:
+            assert start == expect, (name, start, expect)
+            assert start + size <= toc_off
+            expect = start + size
+        assert expect == toc_off
+
+        # TOKENS: int64 count + count NUL-terminated strings
+        tname, tstart, tsize = secs[names.index("TOKENS")]
+        ntok = struct.unpack_from("<q", buf, tstart)[0]
+        blob = buf[tstart + 8:tstart + tsize]
+        assert blob.endswith(b"\0") and blob.count(b"\0") == ntok
+
     @pytest.mark.parametrize("asset,njoints", [
         ("simple_character.usda", 7),
         ("character_with_materials.usda", 17),

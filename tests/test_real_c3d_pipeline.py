@@ -83,6 +83,31 @@ def test_real_clip_motion_is_smooth(tracked):
     assert np.percentile(dpose, 95) < 0.5  # radians between sampled frames
 
 
+def test_real_clip_refine_improves(tracked):
+    """The refine stage of processMarkerFile (process_markers.cpp:292→359,
+    refineMotion in marker_tracker.cpp) exercised on MEASURED data: a
+    whole-sequence smoothed solve warm-started at the per-frame track must
+    tighten the residual tail (p90) without degrading the median — the
+    per-frame scan has no temporal coupling, so frames with marginal marker
+    visibility are where refine pays."""
+    from momentum_tpu.tracking import refine_motion
+    from momentum_tpu.tracking.config import RefineConfig
+
+    char2, seq, tr, _ = tracked
+    d0 = _marker_errors_mm(char2, seq, tr.motion)
+    cfg = RefineConfig(max_iter=10, regularization=1e-3, smoothing=1e-4,
+                       method="levenberg_marquardt")
+    refined, _ = refine_motion(char2, seq, tr.motion, cfg)
+    assert np.isfinite(np.asarray(refined.motion)).all()
+    d1 = _marker_errors_mm(char2, seq, refined.motion)
+    p90_0, p90_1 = np.percentile(d0, 90), np.percentile(d1, 90)
+    med0, med1 = np.median(d0), np.median(d1)
+    assert p90_1 < p90_0, (p90_0, p90_1)
+    assert med1 < med0 * 1.05, (med0, med1)
+    # record for BENCHMARKS config 6: refined stats land at mocap grade
+    assert med1 < 10.0 and p90_1 < 25.0
+
+
 def test_real_clip_save_roundtrip(tracked, tmp_path):
     """processMarkerFile's save step (process_markers.cpp:359): GLB with the
     solved motion + .mmo binary, both reloadable."""
