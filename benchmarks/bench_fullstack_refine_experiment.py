@@ -12,6 +12,13 @@ Usage: python benchmarks/bench_fullstack_refine_experiment.py (repo root)
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo not in _sys.path:  # runnable from any cwd without PYTHONPATH
+    _sys.path.insert(0, _repo)
+
 import dataclasses
 import functools
 import os

@@ -16,6 +16,13 @@ Usage: python benchmarks/bench_refine_experiment.py
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo not in _sys.path:  # runnable from any cwd without PYTHONPATH
+    _sys.path.insert(0, _repo)
+
 import dataclasses
 import functools
 import os
@@ -101,9 +108,11 @@ def main():
     run("baseline LM-6 (K=0)", 6, 0, 0.01, 0, n_rep=10)
     print(f"  [stage-1 compile+first timing took {time.perf_counter()-t0:.0f}s]",
           flush=True)
-    for cap in (1024,):
-        for r in (2, 3):
-            run(f"k=4 r={r} K={cap} (lam carry)", 4, r, 0.01, cap)
+    import sys
+
+    caps = tuple(int(a) for a in sys.argv[1:]) or (832, 896, 960, 1024)
+    for cap in caps:
+        run(f"k=4 r=2 K={cap} (lam carry)", 4, 2, 0.01, cap)
 
 
 if __name__ == "__main__":
