@@ -474,23 +474,38 @@ def config6():
                                    - np.percentile(dr, 90)))
 
     # 6c: THROUGHPUT mode on the same measured clip — all frames solved
-    # independently in one batch from the calibrated identity (no warm-start
-    # chain; real 41-marker data is dense enough to converge from rest),
-    # with compacted tail refinement. The sequential scan above is the
-    # reference pipeline's latency shape; this is the TPU-native layout.
+    # independently in one batch (no warm-start chain), initialized from the
+    # calibrated identity with each frame's root translation set to its
+    # visible-marker centroid (the same data-driven seed calibration uses;
+    # without it a walking clip's far frames start meters from the body and
+    # the cold batch diverges — measured median 19.7 mm). Compacted tail
+    # refinement carries the λ state. The whole call is jitted: eager
+    # dispatch over the tunnel costs ~25-30 ms/op (measured 9.6 frames/s).
     from momentum_tpu.tracking import track_poses_batched
 
+    f_cnt = int(seq.positions.shape[0])
     bcfg = dataclasses.replace(tcfg, refine=(10, 5, 64))
-    trb = track_poses_batched(char2, seq, bcfg, initial=identity)  # compile
-    float(jnp.sum(trb.motion))
+    names = seq.names
+
+    @jax.jit
+    def _track_batched(pos, occ, init):
+        sq = MarkerSequence(positions=pos, occluded=occ, names=names)
+        return track_poses_batched(char2, sq, bcfg, initial=init).motion
+
+    vis = (~seq.occluded)[..., None].astype(jnp.float32)
+    cent = (seq.positions * vis).sum(1) / jnp.maximum(vis.sum(1), 1.0)
+    init_b = jnp.broadcast_to(identity, (f_cnt, p)).at[:, :3].set(cent)
+
+    motion_b = _track_batched(seq.positions, seq.occluded, init_b)  # compile
+    float(jnp.sum(motion_b))
     t0 = time.perf_counter()
     for _ in range(reps):
-        trb = track_poses_batched(char2, seq, bcfg, initial=identity)
-    float(jnp.sum(trb.motion))
+        motion_b = _track_batched(seq.positions, seq.occluded, init_b)
+    float(jnp.sum(motion_b))
     dt_b = (time.perf_counter() - t0) / reps
-    db = _err_mm(trb.motion)
+    db = _err_mm(motion_b)
     _emit(config=6, metric="real_clip_batched_tracking_frames_per_sec",
-          value=seq.positions.shape[0] / dt_b, unit="frames/s",
+          value=f_cnt / dt_b, unit="frames/s",
           median_marker_err_mm=float(np.median(db)),
           p90_marker_err_mm=float(np.percentile(db, 90)))
 

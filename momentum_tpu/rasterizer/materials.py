@@ -158,7 +158,8 @@ def render_mesh_phong(camera, vertices, faces, width: int, height: int,
                       texcoords=None, supersample: int = 1,
                       backface_culling: bool = True,
                       depth_offset: float = 0.0,
-                      image_offset=(0.0, 0.0), chunk: int = 64):
+                      image_offset=(0.0, 0.0), chunk: int = 64,
+                      method: str = "auto"):
     """Full material path of the reference rasterizer (rasterizeMesh,
     rasterizer.h:195-214): per-pixel smooth normals, Phong lighting under
     point/directional/ambient lights, per-vertex diffuse colors, diffuse +
@@ -197,7 +198,9 @@ def render_mesh_phong(camera, vertices, faces, width: int, height: int,
         faces_r = jnp.where(keep[:, None], faces, 0)
     else:
         faces_r = faces
-    buf = rasterize(screen, faces_r, w_s, h_s, chunk)
+    from momentum_tpu.rasterizer.render import _rasterize_dispatch
+
+    buf = _rasterize_dispatch(screen, faces_r, w_s, h_s, chunk, method)
 
     if vertex_normals is None:
         vertex_normals = update_normals(vertices, faces)

@@ -21,7 +21,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["rasterize", "shade_lambert", "shade_phong", "render_mesh"]
+__all__ = ["rasterize", "rasterize_windowed", "shade_lambert",
+           "shade_phong", "render_mesh"]
 
 
 def rasterize(verts_screen, faces, width: int, height: int, chunk: int = 64):
@@ -92,6 +93,161 @@ def rasterize(verts_screen, faces, width: int, height: int, chunk: int = 64):
     return dict(depth=depth, face=face, bary=bary)
 
 
+def rasterize_windowed(verts_screen, faces, width: int, height: int,
+                       window: int = 32, big_capacity: int = 64):
+    """Z-buffer rasterization in per-face pixel windows — the HBM-lean path.
+
+    The dense formulation above evaluates every face against every pixel
+    (O(H·W·F) HBM traffic: at 1280×960×5k faces that is ~10s of GB per
+    frame). Real meshes cover a tiny fraction of that product, so this path
+    rasterizes each face only inside a `window`×`window` pixel block around
+    its screen bbox and resolves visibility with a single deterministic
+    scatter-min of packed (quantized-depth | face-id) int32 keys — the
+    TPU-native equivalent of the reference's binned scanline traversal
+    (momentum/rasterizer/rasterizer.h walks only covered spans). Faces whose
+    bbox exceeds the window (ground planes, close-ups) are routed to ONE
+    dense pass over the `big_capacity` largest faces. Exact f32 depth and
+    barycentrics are recomputed per winning pixel afterward, so quantization
+    only affects tie-breaking between faces closer than ~range/2^zbits.
+
+    Cost: O(F·window² + H·W·big_capacity) vs O(H·W·F). Deterministic
+    (scatter-min of unique keys is order-free).
+    """
+    import numpy as np
+
+    f_count = faces.shape[0]
+    dt = verts_screen.dtype
+    npix = height * width
+    fid_bits = max(1, int(np.ceil(np.log2(f_count + 1))))
+    # cap depth bits at 23 so every quantized level is exactly representable
+    # in f32 (mantissa): otherwise the clip bound itself rounds UP past
+    # 2^zq_bits and the shift overflows int32 into a negative key that wins
+    # every min
+    zq_bits = min(31 - fid_bits, 23)
+    if zq_bits < 12:
+        raise ValueError(f"too many faces for packed scatter ({f_count})")
+    zq_max = (1 << zq_bits) - 1
+    int_max = jnp.iinfo(jnp.int32).max
+    big = jnp.asarray(jnp.inf, dt)
+
+    tri = jnp.take(verts_screen, faces, axis=0)  # (F, 3, 3)
+    x, y = tri[..., 0], tri[..., 1]
+    xmin, xmax = jnp.min(x, axis=1), jnp.max(x, axis=1)
+    ymin, ymax = jnp.min(y, axis=1), jnp.max(y, axis=1)
+    inside_img = (xmax >= 0) & (xmin <= width) & (ymax >= 0) & (ymin <= height)
+    extent = jnp.maximum(xmax - xmin, ymax - ymin)
+    small = inside_img & (extent <= window - 1)
+
+    ox = jnp.clip(jnp.floor(xmin - 0.5), 0, max(width - window, 0)).astype(jnp.int32)
+    oy = jnp.clip(jnp.floor(ymin - 0.5), 0, max(height - window, 0)).astype(jnp.int32)
+    ii = jnp.arange(window, dtype=jnp.int32)
+    py_i = oy[:, None, None] + ii[None, :, None]   # (F, K, 1)
+    px_i = ox[:, None, None] + ii[None, None, :]   # (F, 1, K)
+    py = py_i.astype(dt) + 0.5
+    px = px_i.astype(dt) + 0.5
+
+    ax, ay = tri[:, 0, 0, None, None], tri[:, 0, 1, None, None]
+    bx, by = tri[:, 1, 0, None, None], tri[:, 1, 1, None, None]
+    cx, cy = tri[:, 2, 0, None, None], tri[:, 2, 1, None, None]
+    area = ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))  # (F, 1, 1)
+    inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+    w0 = ((bx - px) * (cy - py) - (by - py) * (cx - px)) * inv_area
+    w1 = ((cx - px) * (ay - py) - (cy - py) * (ax - px)) * inv_area
+    w2 = 1.0 - w0 - w1
+    z = (w0 * tri[:, 0, 2, None, None] + w1 * tri[:, 1, 2, None, None]
+         + w2 * tri[:, 2, 2, None, None])
+    ok = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (z > 0)
+          & (jnp.abs(area) > 1e-12) & small[:, None, None])
+
+    # depth quantization over the face-vertex z range (only z > 0 matter)
+    zpos = jnp.where(tri[..., 2] > 0, tri[..., 2], big)
+    zmin = jnp.minimum(jnp.min(zpos), big - 1)
+    zneg = jnp.where(tri[..., 2] > 0, tri[..., 2], -big)
+    zmax = jnp.max(zneg)
+    zrange = jnp.maximum(zmax - zmin, 1e-6)
+    # mask non-drawn lanes BEFORE the float→int cast (inf/NaN conversion is
+    # implementation-defined); zq_max ≤ 2^23-1 is f32-exact so the clip is
+    # tight
+    zf = jnp.where(ok, (z - zmin) / zrange * zq_max, 0.0)
+    zq = jnp.clip(zf, 0, zq_max).astype(jnp.int32)
+    fids = jnp.arange(f_count, dtype=jnp.int32)[:, None, None]
+    packed = jnp.where(ok, (zq << fid_bits) | fids, int_max)
+    flat = (py_i * width + px_i).reshape(-1)
+    zbuf = jnp.full((npix,), int_max, jnp.int32).at[flat].min(packed.reshape(-1))
+    zbuf = zbuf.reshape(height, width)
+    hit_w = zbuf != int_max
+    fid_w = jnp.where(hit_w, zbuf & ((1 << fid_bits) - 1), 0)
+
+    # exact per-pixel recompute for the windowed winners
+    xs = jnp.arange(width, dtype=dt) + 0.5
+    ys = jnp.arange(height, dtype=dt) + 0.5
+    gx, gy = jnp.meshgrid(xs, ys)
+
+    def _exact(fid_map):
+        t = jnp.take(tri, fid_map, axis=0)  # (H, W, 3, 3)
+        ax, ay = t[..., 0, 0], t[..., 0, 1]
+        bx, by = t[..., 1, 0], t[..., 1, 1]
+        cx, cy = t[..., 2, 0], t[..., 2, 1]
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        inv = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+        w0 = ((bx - gx) * (cy - gy) - (by - gy) * (cx - gx)) * inv
+        w1 = ((cx - gx) * (ay - gy) - (cy - gy) * (ax - gx)) * inv
+        w2 = 1.0 - w0 - w1
+        zz = w0 * t[..., 0, 2] + w1 * t[..., 1, 2] + w2 * t[..., 2, 2]
+        return jnp.stack([w0, w1, w2], axis=-1), zz
+
+    bary_w, z_w = _exact(fid_w)
+    z_w = jnp.where(hit_w, z_w, big)
+
+    depth, face, bary = z_w, jnp.where(hit_w, fid_w, -1), bary_w
+
+    if big_capacity > 0 and f_count > 0:
+        cap = min(big_capacity, f_count)
+        score = jnp.where(inside_img & ~small, extent, -big)
+        _, bidx = jax.lax.top_k(score, cap)
+        bt = jnp.take(tri, bidx, axis=0)  # (cap, 3, 3)
+        bvalid = jnp.take(score, bidx) > -big
+        ax, ay = bt[:, 0, 0], bt[:, 0, 1]
+        bx, by = bt[:, 1, 0], bt[:, 1, 1]
+        cx, cy = bt[:, 2, 0], bt[:, 2, 1]
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        inv = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+        w0 = ((bx - gx[..., None]) * (cy - gy[..., None])
+              - (by - gy[..., None]) * (cx - gx[..., None])) * inv
+        w1 = ((cx - gx[..., None]) * (ay - gy[..., None])
+              - (cy - gy[..., None]) * (ax - gx[..., None])) * inv
+        w2 = 1.0 - w0 - w1
+        zb = w0 * bt[:, 0, 2] + w1 * bt[:, 1, 2] + w2 * bt[:, 2, 2]
+        okb = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (zb > 0)
+               & (jnp.abs(area) > 1e-12)[None, None] & bvalid[None, None])
+        zb = jnp.where(okb, zb, big)
+        k = jnp.argmin(zb, axis=-1)
+        take = lambda a: jnp.take_along_axis(a, k[..., None], axis=-1)[..., 0]
+        zbest = take(zb)
+        better = zbest < depth
+        depth = jnp.where(better, zbest, depth)
+        face = jnp.where(better, jnp.take(bidx, k), face)
+        bary_b = jnp.stack([take(w0), take(w1), take(w2)], axis=-1)
+        bary = jnp.where(better[..., None], bary_b, bary)
+
+    empty = face < 0
+    return dict(depth=jnp.where(empty, big, depth), face=face,
+                bary=jnp.where(empty[..., None], 0.0, bary))
+
+
+def _rasterize_dispatch(verts_screen, faces, width: int, height: int,
+                        chunk: int = 64, method: str = "auto",
+                        window: int = 32, big_capacity: int = 64):
+    """auto → windowed for large images (the dense path's HBM traffic grows
+    with H·W·F), dense for small buffers where one fused pass wins."""
+    if method == "auto":
+        method = "windowed" if width * height >= 64 * 64 else "dense"
+    if method in ("windowed", "window"):
+        return rasterize_windowed(verts_screen, faces, width, height,
+                                  window=window, big_capacity=big_capacity)
+    return rasterize(verts_screen, faces, width, height, chunk)
+
+
 def shade_lambert(normals, light_dir, albedo=(0.8, 0.8, 0.8), ambient=0.15):
     l = light_dir / jnp.linalg.norm(light_dir)
     lam = jnp.maximum(jnp.einsum("...i,i->...", normals, -l), 0.0)
@@ -111,7 +267,8 @@ def shade_phong(normals, view_dir, light_dir, albedo=(0.8, 0.8, 0.8),
 
 
 def render_mesh(camera, vertices, faces, width: int, height: int,
-                vertex_normals=None, light_dir=(0.3, -0.7, 0.6), chunk: int = 64):
+                vertex_normals=None, light_dir=(0.3, -0.7, 0.6), chunk: int = 64,
+                method: str = "auto"):
     """Project + rasterize + Lambert-shade a mesh through a Camera.
 
     Returns dict with color (H, W, 3), depth, face, bary, mask.
@@ -121,7 +278,7 @@ def render_mesh(camera, vertices, faces, width: int, height: int,
     uvz, valid = camera.project(vertices)
     # points behind the camera: push far away so they never win the z-test
     screen = jnp.where(valid[..., None], uvz, jnp.asarray([0.0, 0.0, -1.0]))
-    buf = rasterize(screen, faces, width, height, chunk)
+    buf = _rasterize_dispatch(screen, faces, width, height, chunk, method)
 
     if vertex_normals is None:
         vertex_normals = update_normals(vertices, faces)
@@ -170,11 +327,11 @@ def sample_texture(texture, uv):
 
 def render_mesh_textured(camera, vertices, faces, texcoords, texture,
                          width: int, height: int, light_dir=(0.3, -0.7, 0.6),
-                         chunk: int = 64):
+                         chunk: int = 64, method: str = "auto"):
     """Textured + Lambert-lit render (texture path of the reference
     rasterizer)."""
     out = render_mesh(camera, vertices, faces, width, height,
-                      light_dir=light_dir, chunk=chunk)
+                      light_dir=light_dir, chunk=chunk, method=method)
     uv = interpolate_attribute(out, faces, texcoords)
     albedo = sample_texture(texture, uv)
     # reuse the Lambert term stored in out["color"] (grey albedo 0.8)
@@ -196,7 +353,7 @@ def _light_basis(light_dir):
 
 
 def render_shadow_map(vertices, faces, light_dir, resolution: int = 256,
-                      chunk: int = 64):
+                      chunk: int = 64, method: str = "auto"):
     """Orthographic depth map from the light's point of view (the shadow-map
     pass of the reference rasterizer). Returns (depth (R, R), to_light fn)
     where to_light maps world points → (u, v, z) in shadow-map coordinates."""
@@ -214,7 +371,8 @@ def render_shadow_map(vertices, faces, light_dir, resolution: int = 256,
         uv = (l[..., :2] - lo[:2]) * scale
         return jnp.concatenate([uv, (l[..., 2:] - z0)], axis=-1)
 
-    buf = rasterize(to_light(vertices), faces, resolution, resolution, chunk)
+    buf = _rasterize_dispatch(to_light(vertices), faces, resolution,
+                              resolution, chunk, method)
     return buf["depth"], to_light
 
 
@@ -229,15 +387,17 @@ def shadow_factor(shadow_depth, light_uvz, bias: float = 5e-2):
 
 def render_mesh_shadowed(camera, vertices, faces, width: int, height: int,
                          light_dir=(0.3, -0.7, 0.6), shadow_resolution: int = 256,
-                         shadow_bias: float = 5e-2, chunk: int = 64):
+                         shadow_bias: float = 5e-2, chunk: int = 64,
+                         method: str = "auto"):
     """Lambert render with shadow mapping (rasterizer.h shadow maps): a depth
     pass from the light, then per-pixel occlusion tests on reconstructed
     world positions."""
     light = jnp.asarray(light_dir, vertices.dtype)
     out = render_mesh(camera, vertices, faces, width, height,
-                      light_dir=light_dir, chunk=chunk)
+                      light_dir=light_dir, chunk=chunk, method=method)
     sdepth, to_light = render_shadow_map(vertices, faces, light,
-                                         shadow_resolution, chunk)
+                                         shadow_resolution, chunk,
+                                         method=method)
     world = interpolate_attribute(out, faces, vertices)  # (H, W, 3)
     lit = shadow_factor(sdepth, to_light(world), shadow_bias)
     lit = jnp.where(out["mask"], lit, 0.0)

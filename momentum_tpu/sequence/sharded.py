@@ -193,6 +193,30 @@ def _sharded_step(fn, pf_local, u, opts, axis, q, f_real):
         fn, pf_local, u, axis, q, f_real)
     diag = diag + opts.regularization * jnp.eye(p, dtype=dtype)[None]
 
+    # GLOBAL per-DoF Jacobi equilibration + roundoff jitter: same guard and
+    # SAME scale as solve_sequence (f32 JᵀJ on mm-scale data is indefinite
+    # at roundoff — fatal to the block factorization). pmax of local maxes
+    # == the single-device global max, so both solvers apply an identical
+    # D; edge-coupling blocks scale locally with no extra halo traffic.
+    from momentum_tpu.sequence.solver import _EQUILIBRATED_JITTER
+
+    dloc = jnp.diagonal(diag, axis1=-2, axis2=-1)  # (l_frames, p)
+    s_g = jax.lax.rsqrt(jnp.maximum(
+        jax.lax.pmax(jnp.max(dloc, axis=0), axis), 1e-30))  # (p,)
+    diag = diag * s_g[None, :, None] * s_g[None, None, :] \
+        + _EQUILIBRATED_JITTER * jnp.eye(p, dtype=dtype)[None]
+    offs = [o * s_g[None, :, None] * s_g[None, None, :] for o in offs]
+    s_qp_vec = jnp.tile(s_g, q)
+    b_edge = b_edge * s_qp_vec[:, None] * s_qp_vec[None, :]
+    ublock_sum = jax.lax.psum(ublock, axis) \
+        + opts.regularization * jnp.eye(nu, dtype=dtype)
+    s_u = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(ublock_sum), 1e-30))
+    ublock_sum = ublock_sum * s_u[:, None] * s_u[None, :] \
+        + _EQUILIBRATED_JITTER * jnp.eye(nu, dtype=dtype)
+    uc = uc * s_g[None, :, None] * s_u[None, None, :]
+    rhs = rhs * s_g[None, :]
+    rhs_u = rhs_u * s_u
+
     # aggregate to superblocks: in-shard band → tridiagonal of qp-blocks
     if q == 1:
         sd, su = diag, offs[0]
@@ -237,8 +261,6 @@ def _sharded_step(fn, pf_local, u, opts, axis, q, f_real):
          tiu[0], tiu[-1], ut_g, ut_v, ut_w, ut_tiu), axis)
     (g0_all, gl_all, v0_all, vl_all, w0_all, wl_all,
      tiu0_all, tiul_all, utg_all, utv_all, utw_all, uttiu_all) = gathered
-    ublock_sum = jax.lax.psum(ublock, axis) \
-        + opts.regularization * jnp.eye(nu, dtype=dtype)
     rhs_u_sum = jax.lax.psum(rhs_u, axis)
 
     # replicated reduced system: unknowns z = [x_{0,0}, x_{0,G-1}, ...,
@@ -293,7 +315,8 @@ def _sharded_step(fn, pf_local, u, opts, axis, q, f_real):
         - jnp.einsum("fpq,q->fp", w_spike, x_right)
     if nu:
         d_pf = d_pf - jnp.einsum("fpu,u->fp", tiu, d_u)
-    return d_pf.reshape(l_frames, p), d_u
+    # undo the equilibration: the solved unknowns are D⁻½-scaled
+    return d_pf.reshape(l_frames, p) * s_g[None, :], d_u * s_u
 
 
 def solve_sequence_sharded(

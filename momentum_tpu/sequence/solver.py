@@ -217,6 +217,18 @@ def _solve_banded_arrowhead(diag, offs, u_coupling, u_block, rhs_f, rhs_u, q):
     return x.reshape(fp, p)[:f], x_u
 
 
+# multiplicative damping applied on the equilibrated (unit) diagonal —
+# shared by solve_sequence, solve_sequence_sharded, and the dense-equivalence
+# test reference
+_EQUILIBRATED_JITTER = 1e-5
+
+
+def _equilibration_scale(diag: jnp.ndarray) -> jnp.ndarray:
+    """(f, p, p) block diagonals → (p,) global per-DoF D⁻½ scale."""
+    d = jnp.diagonal(diag, axis1=-2, axis2=-1)  # (f, p)
+    return jax.lax.rsqrt(jnp.maximum(jnp.max(d, axis=0), 1e-30))
+
+
 def solve_sequence(
     fn: SequenceSolverFunction,
     pf0: jnp.ndarray,
@@ -242,7 +254,30 @@ def solve_sequence(
         eye = jnp.eye(p, dtype=pf.dtype) * opts.regularization
         diag = diag + eye[None]
         ub = ub + opts.regularization * jnp.eye(nu, dtype=pf.dtype)
+        # GLOBAL per-DoF Jacobi equilibration + roundoff jitter: real marker
+        # data is mm-scale, so JᵀJ spans ~1e-3..1e8 across DoFs (unobserved
+        # finger rotations vs root translation) and the f32 block
+        # factorization loses positive definiteness (measured min eig −1.4e-9
+        # RELATIVE — NaN in Cholesky). Symmetric diagonal scaling D⁻½ A D⁻½
+        # (one scale per DoF, max over frames — the same D the sharded
+        # solver computes via pmax, so both paths stay bit-comparable) plus
+        # a 1e-5 jitter on the now-unit diagonal restores PD. The jitter is
+        # a solver semantic: multiplicative damping 1e-5·diag(JᵀJ), three
+        # orders below LM's λ₀=0.01 — the dense-equivalence test applies the
+        # identical damping to its reference step.
+        s = _equilibration_scale(diag)  # (p,)
+        s_u = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(ub), 1e-30))  # (nu,)
+        jitter = _EQUILIBRATED_JITTER * jnp.eye(p, dtype=pf.dtype)
+        diag = diag * s[None, :, None] * s[None, None, :] + jitter[None]
+        offs = [o * s[None, :, None] * s[None, None, :] for o in offs]
+        uc = uc * s[None, :, None] * s_u[None, None, :]
+        ub = ub * s_u[:, None] * s_u[None, :] \
+            + _EQUILIBRATED_JITTER * jnp.eye(nu, dtype=pf.dtype)
+        rf = rf * s[None, :]
+        ru = ru * s_u
         d_pf, d_u = _solve_banded_arrowhead(diag, offs, uc, ub, rf, ru, q)
+        d_pf = d_pf * s[None, :]
+        d_u = d_u * s_u
         err = fn.error(pf, u)
         if opts.do_line_search:
             # backtracking Armijo over the step scale (sequence_solver.cpp

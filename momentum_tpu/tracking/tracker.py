@@ -938,7 +938,17 @@ def refine_motion(
         per_frame_errors=tuple(per_frame_errors), sequence_errors=seq_errors)
     pf0, u0 = fn.split(motion)
     res = solve_sequence(fn, pf0, u0, SolverOptions(
-        max_iterations=config.max_iter, regularization=config.regularization))
-    refined = fn.join(res.per_frame, res.universal)
+        max_iterations=config.max_iter, regularization=config.regularization,
+        # mm-scale marker data can overshoot under plain GN exactly as in
+        # track_sequence; Armijo backtracking (sequence_solver.cpp:531-555)
+        do_line_search=(config.line_search
+                        or config.method != "gauss_newton")))
+    # NaN guard (tensor_ik.cpp:168-175 semantics): a diverged refine reverts
+    # to the input motion rather than poisoning it
+    pf_bad = ~jnp.all(jnp.isfinite(res.per_frame))
+    u_bad = ~jnp.all(jnp.isfinite(res.universal))
+    per_frame_out = jnp.where(pf_bad, pf0, res.per_frame)
+    universal_out = jnp.where(u_bad, u0, res.universal)
+    refined = fn.join(per_frame_out, universal_out)
     return TrackingResult(motion=refined,
-                          errors=jnp.broadcast_to(res.error, (f,))), res.universal
+                          errors=jnp.broadcast_to(res.error, (f,))), universal_out

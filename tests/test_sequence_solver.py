@@ -130,6 +130,17 @@ class TestSequenceSolve:
         r = joined_residual(x0)
         n = x0.shape[0]
         h = j.T @ j + 1e-3 * jnp.eye(n)
+        # solve_sequence applies multiplicative damping jitter·diag on the
+        # equilibrated system (per-frame DoFs damped by the max diagonal
+        # over frames, universal by its own diagonal) — the f32-PD guard
+        # for mm-scale data; mirror it here so the pin stays exact
+        from momentum_tpu.sequence.solver import _EQUILIBRATED_JITTER
+
+        hd = jnp.diagonal(h)
+        npf = f * fn.num_per_frame
+        dmax = jnp.max(hd[:npf].reshape(f, fn.num_per_frame), axis=0)
+        damp = jnp.concatenate([jnp.tile(dmax, f), hd[npf:]])
+        h = h + _EQUILIBRATED_JITTER * jnp.diag(damp)
         delta = jnp.linalg.solve(h, j.T @ r)
         x1 = x0 - delta
 
