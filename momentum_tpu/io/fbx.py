@@ -341,6 +341,62 @@ def _euler_xyz_deg_to_quat(rx, ry, rz):
     return qmul(axis_q(r[2], 2), qmul(axis_q(r[1], 1), axis_q(r[0], 0)))
 
 
+def _layer_scalar(layer, name, default=""):
+    node = layer.first(name)
+    if node is None or not node.props:
+        return default
+    v = node.props[0]
+    if isinstance(v, bytes):
+        v = v.decode("utf-8", "replace")
+    return v
+
+
+def _extract_uvs(geom, faces, corner_faces):
+    """LayerElementUV → (texcoords (T, 2) f32, texcoord_faces (F, 3) i32).
+
+    Handles the two FBX addressing axes (mesh.h:51-55 target layout):
+    MappingInformationType ByVertice/ByControlPoint (one UV slot per control
+    point) vs ByPolygonVertex (one slot per polygon corner), each crossed
+    with ReferenceInformationType Direct (slot IS the UV row) vs
+    IndexToDirect (slot indexes UVIndex). Returns (None, None) when the
+    geometry has no UV layer — Mesh.texcoords stays unset, matching the
+    reference loader's optional texcoords (openfbx_loader.cpp mesh walk).
+    """
+    layer = geom.first("LayerElementUV")
+    if layer is None:
+        return None, None
+    uv_node = layer.first("UV")
+    if uv_node is None or not uv_node.props or len(uv_node.props[0]) == 0:
+        return None, None
+    uv = np.asarray(uv_node.props[0], np.float32).reshape(-1, 2)
+    mapping = _layer_scalar(layer, "MappingInformationType")
+    ref = _layer_scalar(layer, "ReferenceInformationType", "Direct")
+    idx_node = layer.first("UVIndex")
+    uvindex = None
+    if idx_node is not None and idx_node.props and len(idx_node.props[0]):
+        uvindex = np.asarray(idx_node.props[0], np.int64)
+
+    if mapping in ("ByVertice", "ByVertex", "ByControlPoint"):
+        if ref == "IndexToDirect" and uvindex is not None:
+            per_vertex = uvindex
+        else:
+            per_vertex = np.arange(uv.shape[0], dtype=np.int64)
+        tf = per_vertex[faces.astype(np.int64)]
+    elif mapping == "ByPolygonVertex":
+        if ref == "IndexToDirect" and uvindex is not None:
+            per_corner = uvindex
+        else:
+            per_corner = np.arange(uv.shape[0], dtype=np.int64)
+        tf = per_corner[corner_faces]
+    elif mapping == "AllSame":
+        tf = np.zeros_like(faces, dtype=np.int64)
+    else:
+        return None, None
+    if tf.size and int(tf.max()) >= uv.shape[0]:
+        return None, None  # malformed indices: drop the layer, keep the mesh
+    return uv, tf.astype(np.int32)
+
+
 def load_fbx(path, strip_namespaces: bool = True):
     """→ Character (skeleton + optional skinned mesh). `strip_namespaces`
     drops FBX "ns:" prefixes from joint names (character_pybind.cpp:743,
@@ -517,16 +573,27 @@ def _load_fbx_impl(path, strip_namespaces: bool = True):
             verts = np.asarray(v_node.props[0], np.float32).reshape(-1, 3)
             poly = np.asarray(i_node.props[0], np.int64)
             faces = []
+            corner_faces = []  # positions into the poly array, same fan
             start = 0
             for k, idx in enumerate(poly):
                 if idx < 0:
                     closing = -idx - 1
                     ring = list(poly[start:k]) + [closing]
+                    corners = list(range(start, k + 1))
                     for t in range(1, len(ring) - 1):
                         faces.append([ring[0], ring[t], ring[t + 1]])
+                        corner_faces.append(
+                            [corners[0], corners[t], corners[t + 1]])
                     start = k + 1
+            faces = np.asarray(faces, np.int32)
+            texcoords, texcoord_faces = _extract_uvs(
+                g, faces, np.asarray(corner_faces, np.int64))
             mesh = Mesh(vertices=jnp.asarray(verts),
-                        faces=jnp.asarray(np.asarray(faces, np.int32)))
+                        faces=jnp.asarray(faces),
+                        texcoords=(None if texcoords is None
+                                   else jnp.asarray(texcoords)),
+                        texcoord_faces=(None if texcoord_faces is None
+                                        else jnp.asarray(texcoord_faces)))
 
             # skinning via clusters
             geo_uid = g.props[0]

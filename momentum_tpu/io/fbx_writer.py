@@ -261,13 +261,38 @@ def _build_scene(character, joint_params=None, fps: float = 120.0,
         poly = faces.copy()
         poly[:, 2] = -poly[:, 2] - 1  # end-of-polygon complement encoding
         gu, mu = uid(), uid()
-        objects.append(_N("Geometry", [
-            _p_long(gu), _p_str("mesh\x00\x01Geometry"), _p_str("Mesh"),
-        ], [
+        geom_children = [
             _N("Vertices", [_p_arr("d", verts.reshape(-1))]),
             _N("PolygonVertexIndex", [_p_arr("i", poly.reshape(-1))]),
             _N("GeometryVersion", [_p_int(124)]),
-        ]))
+        ]
+        if character.mesh.texcoords is not None:
+            # ByPolygonVertex + IndexToDirect is the general encoding: it
+            # carries texcoord_faces exactly even when UV topology differs
+            # from vertex topology (mesh.h:55 texcoord_faces semantics)
+            tc = np.asarray(character.mesh.texcoords, np.float64)
+            tf = np.asarray(
+                character.mesh.texcoord_faces
+                if character.mesh.texcoord_faces is not None
+                else character.mesh.faces, np.int32)
+            geom_children.append(_N("LayerElementUV", [_p_int(0)], [
+                _N("Version", [_p_int(101)]),
+                _N("Name", [_p_str("st")]),
+                _N("MappingInformationType", [_p_str("ByPolygonVertex")]),
+                _N("ReferenceInformationType", [_p_str("IndexToDirect")]),
+                _N("UV", [_p_arr("d", tc.reshape(-1))]),
+                _N("UVIndex", [_p_arr("i", tf.reshape(-1))]),
+            ]))
+            geom_children.append(_N("Layer", [_p_int(0)], [
+                _N("Version", [_p_int(100)]),
+                _N("LayerElement", children=[
+                    _N("Type", [_p_str("LayerElementUV")]),
+                    _N("TypedIndex", [_p_int(0)]),
+                ]),
+            ]))
+        objects.append(_N("Geometry", [
+            _p_long(gu), _p_str("mesh\x00\x01Geometry"), _p_str("Mesh"),
+        ], geom_children))
         objects.append(_N("Model", [
             _p_long(mu), _p_str("mesh\x00\x01Model"), _p_str("Mesh"),
         ], [_N("Version", [_p_int(232)])]))

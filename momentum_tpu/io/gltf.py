@@ -547,7 +547,10 @@ def load_character_glb(path, return_markers=False):
         motion = jnp.asarray(flat.reshape(nf, -1))
     elif doc.get("animations"):
         # standard glTF animation fallback (Blender-style exports): sample
-        # the node TRS channels and invert into momentum joint parameters
+        # the node TRS channels at the file's native keyframe rate
+        # (gltf_io.cpp extracts motion at the stored rate, not a fixed
+        # clock) and invert into momentum joint parameters
+        fps = float(_animation_fps(doc, blob) or fps)
         jp = _animation_to_joint_params(
             doc, blob, joint_ids, skeleton, fps)
         if jp is not None:

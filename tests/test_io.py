@@ -281,14 +281,46 @@ class TestFbx:
         states = char.skeleton_states(jnp.zeros(char.num_model_parameters))
         assert states.shape == (3, 8)
 
-    def test_reference_cube_fbx(self):
-        path = "/root/reference/momentum/test/resources/cube_uvs_per_vertex.fbx"
+    @pytest.mark.parametrize("name", ["cube_uvs_per_vertex.fbx",
+                                      "cube_uvs_per_face.fbx"])
+    def test_reference_cube_fbx(self, name):
+        """Both FBX UV addressing modes (ByVertice/Direct and
+        ByPolygonVertex/IndexToDirect) land in Mesh.texcoords +
+        texcoord_faces (mesh.h:51-55)."""
+        path = f"/root/reference/momentum/test/resources/{name}"
         if not os.path.exists(path):
             pytest.skip("reference asset unavailable")
         from momentum_tpu.io.fbx import load_fbx
         char = load_fbx(path)
         assert char.mesh is not None and char.mesh.num_vertices == 8
         assert char.mesh.faces.shape[0] == 12  # cube quads fan-triangulated
+        tc = np.asarray(char.mesh.texcoords)
+        tf = np.asarray(char.mesh.texcoord_faces)
+        assert tc.shape == (8, 2) and tf.shape == (12, 3)
+        assert tf.min() >= 0 and tf.max() < tc.shape[0]
+        # the cube's UV atlas lives in the unit square, all slots used
+        assert tc.min() >= 0.0 and tc.max() <= 1.0
+        assert len(np.unique(tf)) == 8
+
+    def test_fbx_uv_save_round_trip(self, tmp_path):
+        """Writer emits LayerElementUV (ByPolygonVertex/IndexToDirect);
+        per-corner UVs survive a save→load round trip."""
+        src = "/root/reference/momentum/test/resources/cube_uvs_per_face.fbx"
+        if not os.path.exists(src):
+            pytest.skip("reference asset unavailable")
+        from momentum_tpu.io.fbx import load_fbx
+        from momentum_tpu.io.fbx_writer import save_fbx
+        char = load_fbx(src)
+        out = str(tmp_path / "uv_rt.fbx")
+        save_fbx(out, char)
+        char2 = load_fbx(out)
+        tc1 = np.asarray(char.mesh.texcoords)
+        tf1 = np.asarray(char.mesh.texcoord_faces)
+        tc2 = np.asarray(char2.mesh.texcoords)
+        tf2 = np.asarray(char2.mesh.texcoord_faces)
+        np.testing.assert_allclose(tc1[tf1], tc2[tf2], atol=1e-6)
+        assert np.array_equal(np.asarray(char.mesh.faces),
+                              np.asarray(char2.mesh.faces))
 
 
 class TestUsd:
@@ -647,6 +679,21 @@ class TestReferenceWrittenGlbs:
             np.asarray(char.limits.minmax_bounds[0]), [-0.1, 0.1], atol=1e-6)
         # FK on the embedded motion runs and is finite
         states = jax.vmap(char.skeleton_states)(jnp.asarray(motion))
+        assert bool(jnp.all(jnp.isfinite(states)))
+
+    @pytest.mark.parametrize("name,fps", [("animations/test_24fps.glb", 24.0),
+                                          ("animations/test_30fps.glb", 30.0)])
+    def test_animation_native_keyframe_rate(self, name, fps):
+        """Standard glTF animations load at the file's native keyframe rate
+        (not a fixed 120 Hz clock): the 24/30 fps reference exports report
+        their own rate and resample to the same duration."""
+        path = f"{REF}/{name}"
+        if not os.path.exists(path):
+            pytest.skip("reference asset unavailable")
+        char, motion, got = load_character_glb(path)
+        assert abs(got - fps) < 0.01
+        assert motion is not None and motion.shape[0] == 100  # same clip
+        states = jax.vmap(char.skeleton_states)(jnp.asarray(motion[:3]))
         assert bool(jnp.all(jnp.isfinite(states)))
 
     @pytest.mark.parametrize("name", ["animations/test_24fps.glb",
