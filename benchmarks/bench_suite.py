@@ -473,39 +473,38 @@ def config6():
           p90_improvement_mm=float(np.percentile(d, 90)
                                    - np.percentile(dr, 90)))
 
-    # 6c: THROUGHPUT mode on the same measured clip — all frames solved
-    # independently in one batch (no warm-start chain), initialized from the
-    # calibrated identity with each frame's root translation set to its
-    # visible-marker centroid (the same data-driven seed calibration uses;
-    # without it a walking clip's far frames start meters from the body and
-    # the cold batch diverges — measured median 19.7 mm). Compacted tail
-    # refinement carries the λ state. The whole call is jitted: eager
-    # dispatch over the tunnel costs ~25-30 ms/op (measured 9.6 frames/s).
-    from momentum_tpu.tracking import track_poses_batched
+    # 6c: THROUGHPUT mode on the same measured clip — hierarchical tracking:
+    # a warm-started scan over every 8th frame, linear interpolation of the
+    # keyframe solutions, then ALL frames refined independently in one
+    # batch (compacted tail). Cold batched starts are a measured dead end
+    # on this clip (centroid-root init: 32.7 mm median at 10+5 iterations,
+    # 9.2 mm at 20+10 — a walking pose is too far from rest for any
+    # practical iteration budget); the keyframe chain restores the scan's
+    # warm-start economics at ~stride× less sequential work. The whole call
+    # is jitted: eager dispatch over the tunnel costs ~25-30 ms/op
+    # (measured 9.6 frames/s).
+    from momentum_tpu.tracking import track_poses_hierarchical
 
     f_cnt = int(seq.positions.shape[0])
     bcfg = dataclasses.replace(tcfg, refine=(10, 5, 64))
     names = seq.names
 
     @jax.jit
-    def _track_batched(pos, occ, init):
+    def _track_hier(pos, occ):
         sq = MarkerSequence(positions=pos, occluded=occ, names=names)
-        return track_poses_batched(char2, sq, bcfg, initial=init).motion
+        return track_poses_hierarchical(char2, sq, bcfg, initial=identity,
+                                        stride=8).motion
 
-    vis = (~seq.occluded)[..., None].astype(jnp.float32)
-    cent = (seq.positions * vis).sum(1) / jnp.maximum(vis.sum(1), 1.0)
-    init_b = jnp.broadcast_to(identity, (f_cnt, p)).at[:, :3].set(cent)
-
-    motion_b = _track_batched(seq.positions, seq.occluded, init_b)  # compile
+    motion_b = _track_hier(seq.positions, seq.occluded)  # compile
     float(jnp.sum(motion_b))
     t0 = time.perf_counter()
     for _ in range(reps):
-        motion_b = _track_batched(seq.positions, seq.occluded, init_b)
+        motion_b = _track_hier(seq.positions, seq.occluded)
     float(jnp.sum(motion_b))
     dt_b = (time.perf_counter() - t0) / reps
     db = _err_mm(motion_b)
     _emit(config=6, metric="real_clip_batched_tracking_frames_per_sec",
-          value=f_cnt / dt_b, unit="frames/s",
+          value=f_cnt / dt_b, unit="frames/s", mode="hierarchical stride=8",
           median_marker_err_mm=float(np.median(db)),
           p90_marker_err_mm=float(np.percentile(db, 90)))
 

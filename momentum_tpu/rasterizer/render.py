@@ -115,6 +115,9 @@ def rasterize_windowed(verts_screen, faces, width: int, height: int,
     """
     import numpy as np
 
+    # a window wider than the image would let px_i/py_i escape the row and
+    # wrap into the next one through the flat scatter index
+    window = max(min(window, width, height), 1)
     f_count = faces.shape[0]
     dt = verts_screen.dtype
     npix = height * width
@@ -235,14 +238,37 @@ def rasterize_windowed(verts_screen, faces, width: int, height: int,
                 bary=jnp.where(empty[..., None], 0.0, bary))
 
 
+def _auto_window(f_count: int, width: int, height: int) -> int:
+    """Pick the per-face window size from trace-time statics.
+
+    Two costs trade off: the windowed pass is O(F·K²) and the dense
+    overflow pass is O(H·W·big_capacity) PER FRAME whether or not any face
+    lands in it. Since F, H, W are static at trace time, size K so the
+    windowed pass stays within ~4 full-image-equivalents of work while
+    being as wide as possible — wide windows mean typical meshes (whose
+    p99 screen extent is tens of pixels) overflow ZERO faces into the
+    dense pass, which is where the round-3 profile showed ~80% of the
+    frame time going at the reference-benchmark shape (612 faces,
+    1280×960: K=32/cap=64 spent H·W·64 dense lanes on an empty set)."""
+    import numpy as np
+
+    budget = 4 * width * height
+    k = np.sqrt(max(budget // max(f_count, 1), 64))
+    k = 1 << int(np.floor(np.log2(k)))
+    return int(np.clip(k, 8, 128))
+
+
 def _rasterize_dispatch(verts_screen, faces, width: int, height: int,
                         chunk: int = 64, method: str = "auto",
-                        window: int = 32, big_capacity: int = 64):
+                        window=None, big_capacity: int = 16):
     """auto → windowed for large images (the dense path's HBM traffic grows
-    with H·W·F), dense for small buffers where one fused pass wins."""
+    with H·W·F), dense for small buffers where one fused pass wins. The
+    window defaults to `_auto_window`'s static-cost heuristic."""
     if method == "auto":
         method = "windowed" if width * height >= 64 * 64 else "dense"
     if method in ("windowed", "window"):
+        if window is None:
+            window = _auto_window(faces.shape[0], width, height)
         return rasterize_windowed(verts_screen, faces, width, height,
                                   window=window, big_capacity=big_capacity)
     return rasterize(verts_screen, faces, width, height, chunk)

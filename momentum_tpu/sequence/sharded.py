@@ -193,18 +193,26 @@ def _sharded_step(fn, pf_local, u, opts, axis, q, f_real):
         fn, pf_local, u, axis, q, f_real)
     diag = diag + opts.regularization * jnp.eye(p, dtype=dtype)[None]
 
-    # GLOBAL per-DoF Jacobi equilibration + roundoff jitter: same guard and
-    # SAME scale as solve_sequence (f32 JᵀJ on mm-scale data is indefinite
-    # at roundoff — fatal to the block factorization). pmax of local maxes
-    # == the single-device global max, so both solvers apply an identical
-    # D; edge-coupling blocks scale locally with no extra halo traffic.
-    from momentum_tpu.sequence.solver import _EQUILIBRATED_JITTER
+    # GLOBAL per-DoF Jacobi equilibration + roundoff jitter + per-frame
+    # pivot floor: same guards and SAME scale as solve_sequence (f32 JᵀJ on
+    # mm-scale data is indefinite at roundoff — fatal to the block
+    # factorization; the global D leaves near-zero pivots in frames where a
+    # DoF is unobserved — see the sizing comments in sequence/solver.py).
+    # pmax of local maxes == the single-device global max, so both solvers
+    # apply an identical D, and the floor depends only on local scaled
+    # diagonals; edge-coupling blocks scale locally with no halo traffic.
+    from momentum_tpu.sequence.solver import (_EQUILIBRATED_DIAG_FLOOR,
+                                              _EQUILIBRATED_JITTER,
+                                              _EQUILIBRATED_JITTER_U)
 
     dloc = jnp.diagonal(diag, axis1=-2, axis2=-1)  # (l_frames, p)
     s_g = jax.lax.rsqrt(jnp.maximum(
         jax.lax.pmax(jnp.max(dloc, axis=0), axis), 1e-30))  # (p,)
-    diag = diag * s_g[None, :, None] * s_g[None, None, :] \
-        + _EQUILIBRATED_JITTER * jnp.eye(p, dtype=dtype)[None]
+    diag = diag * s_g[None, :, None] * s_g[None, None, :]
+    dsc = jnp.diagonal(diag, axis1=-2, axis2=-1)  # (l_frames, p), ≤ 1
+    lift = (jnp.maximum(_EQUILIBRATED_DIAG_FLOOR - dsc, 0.0)
+            + _EQUILIBRATED_JITTER)
+    diag = diag + lift[..., None] * jnp.eye(p, dtype=dtype)
     offs = [o * s_g[None, :, None] * s_g[None, None, :] for o in offs]
     s_qp_vec = jnp.tile(s_g, q)
     b_edge = b_edge * s_qp_vec[:, None] * s_qp_vec[None, :]
@@ -212,7 +220,7 @@ def _sharded_step(fn, pf_local, u, opts, axis, q, f_real):
         + opts.regularization * jnp.eye(nu, dtype=dtype)
     s_u = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(ublock_sum), 1e-30))
     ublock_sum = ublock_sum * s_u[:, None] * s_u[None, :] \
-        + _EQUILIBRATED_JITTER * jnp.eye(nu, dtype=dtype)
+        + _EQUILIBRATED_JITTER_U * jnp.eye(nu, dtype=dtype)
     uc = uc * s_g[None, :, None] * s_u[None, None, :]
     rhs = rhs * s_g[None, :]
     rhs_u = rhs_u * s_u

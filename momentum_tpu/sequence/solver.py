@@ -217,10 +217,41 @@ def _solve_banded_arrowhead(diag, offs, u_coupling, u_block, rhs_f, rhs_u, q):
     return x.reshape(fp, p)[:f], x_u
 
 
-# multiplicative damping applied on the equilibrated (unit) diagonal —
-# shared by solve_sequence, solve_sequence_sharded, and the dense-equivalence
-# test reference
-_EQUILIBRATED_JITTER = 1e-5
+# Numerical guards applied on the equilibrated system — shared by
+# solve_sequence, solve_sequence_sharded, and the dense-equivalence test
+# reference. Two distinct failure modes, two distinct sizes:
+#
+# - _EQUILIBRATED_JITTER (band): roundoff-PD margin. f32 JᵀJ accumulation
+#   on mm-scale marker data measures min-eig −1.4e-9 RELATIVE (indefinite →
+#   Cholesky NaN); 1e-7 restores PD with ~70× margin. It must NOT be sized
+#   up for solver damping: it is multiplicative (jitter·max-over-frames
+#   diag) on every pose DoF, and the band jitter is the quality-sensitive
+#   knob — measured real-clip calibration per-frame p90: 10.03 mm at 1e-7,
+#   14.75 at 1e-6, 17.68 at the original 1e-5 (1e-7 and 0 are identical).
+#
+# - _EQUILIBRATED_DIAG_FLOOR: per-frame pivot floor on the SCALED band
+#   diagonal. The global max-over-frames scale D (required so single-device
+#   and sharded solves stay bit-comparable) leaves a DoF that is observed
+#   strongly in SOME frame with near-zero scaled pivots in frames where it
+#   is unobserved (reg·s² ≪ 1); f32 block elimination through those pivots
+#   blows up (measured: synthetic scale calibration lands at 0.069 vs 0.25,
+#   refine steps all NaN-revert, at jitter 1e-7 with no floor). Lifting
+#   just those pivots to 1e-5 restores stability and is bias-free where it
+#   matters: well-observed pivots sit at ≈1 and are untouched, and an
+#   unobserved frame-DoF has no signal to bias.
+_EQUILIBRATED_JITTER = 1e-7
+_EQUILIBRATED_DIAG_FLOOR = 1e-5
+# Universal (arrowhead) block jitter: the Schur complement S = ub − UᵀT⁻¹U
+# is a small difference of ≈unit quantities accumulated over f·p f32
+# products — catastrophic cancellation leaves S with ~1e-6 relative noise
+# when the universal DoFs are weakly determined, and an undamped noisy S
+# throws the scale estimate (measured: synthetic scale calibration lands at
+# 0.069 instead of 0.25 at 1e-7; exact 0.25000 at 1e-6). 1e-6 is the noise
+# floor of that f32 accumulation, and the universal block tolerates it:
+# real-clip calibration p90 stays at the 10.03 mm optimum with U=1e-6 as
+# long as the BAND jitter stays at 1e-7 (the uniform-1e-6 p90 14.75 was
+# band-driven, not universal-driven — measured both ways).
+_EQUILIBRATED_JITTER_U = 1e-6
 
 
 def _equilibration_scale(diag: jnp.ndarray) -> jnp.ndarray:
@@ -261,18 +292,22 @@ def solve_sequence(
         # RELATIVE — NaN in Cholesky). Symmetric diagonal scaling D⁻½ A D⁻½
         # (one scale per DoF, max over frames — the same D the sharded
         # solver computes via pmax, so both paths stay bit-comparable) plus
-        # a 1e-5 jitter on the now-unit diagonal restores PD. The jitter is
-        # a solver semantic: multiplicative damping 1e-5·diag(JᵀJ), three
-        # orders below LM's λ₀=0.01 — the dense-equivalence test applies the
-        # identical damping to its reference step.
+        # a roundoff jitter and a per-frame pivot floor restore PD and
+        # elimination stability — see _EQUILIBRATED_JITTER /
+        # _EQUILIBRATED_DIAG_FLOOR above for the sizing rationale. The
+        # dense-equivalence test applies the identical damping to its
+        # reference step.
         s = _equilibration_scale(diag)  # (p,)
         s_u = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(ub), 1e-30))  # (nu,)
-        jitter = _EQUILIBRATED_JITTER * jnp.eye(p, dtype=pf.dtype)
-        diag = diag * s[None, :, None] * s[None, None, :] + jitter[None]
+        diag = diag * s[None, :, None] * s[None, None, :]
+        dsc = jnp.diagonal(diag, axis1=-2, axis2=-1)  # (f, p), ≤ 1
+        lift = (jnp.maximum(_EQUILIBRATED_DIAG_FLOOR - dsc, 0.0)
+                + _EQUILIBRATED_JITTER)
+        diag = diag + lift[..., None] * jnp.eye(p, dtype=pf.dtype)
         offs = [o * s[None, :, None] * s[None, None, :] for o in offs]
         uc = uc * s[None, :, None] * s_u[None, None, :]
         ub = ub * s_u[:, None] * s_u[None, :] \
-            + _EQUILIBRATED_JITTER * jnp.eye(nu, dtype=pf.dtype)
+            + _EQUILIBRATED_JITTER_U * jnp.eye(nu, dtype=pf.dtype)
         rf = rf * s[None, :]
         ru = ru * s_u
         d_pf, d_u = _solve_banded_arrowhead(diag, offs, uc, ub, rf, ru, q)

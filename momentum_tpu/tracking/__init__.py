@@ -14,6 +14,7 @@ from momentum_tpu.tracking.tracker import (  # noqa: F401
     refine_motion,
     track_poses_batched,
     track_poses_for_frames,
+    track_poses_hierarchical,
     track_poses_per_frame,
     track_sequence,
 )

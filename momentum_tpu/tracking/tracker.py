@@ -346,19 +346,22 @@ def track_poses_batched(
     kp_inputs = tuple((ckd.targets, ckd.confidence)
                       for ckd in camera_keypoints) if kp else ()
 
+    f_cnt = markers.positions.shape[0]
     refine = getattr(config, "refine", None)
     if refine is None:
-        def solve_one(pos_f, occ_f, kp_f):
+        def solve_one(pos_f, occ_f, kp_f, x0f):
             ef = per_frame(ef0, pos_f, occ_f)
             kp_efs = tuple(pf(e0, t_f, c_f)
                            for (e0, pf), (t_f, c_f) in zip(kp, kp_f))
             fn = SkeletonSolverFunction(character,
                                         (ef, limits) + floor + kp_efs)
-            res = solver(fn.residual, fn.error, x0, enabled_mask, opts)
+            res = solver(fn.residual, fn.error, x0f, enabled_mask, opts)
             return res.params, res.error
 
+        x_b = (jnp.broadcast_to(x0, (f_cnt, p)) if x0.ndim == 1 else x0)
         motion, errors = jax.vmap(solve_one)(markers.positions,
-                                             markers.occluded, kp_inputs)
+                                             markers.occluded, kp_inputs,
+                                             x_b)
         return TrackingResult(motion=motion, errors=errors)
 
     # compacted tail refinement: k_full iterations on every frame, then
@@ -369,7 +372,6 @@ def track_poses_batched(
     from momentum_tpu.solver.gauss_newton import solve_levenberg_marquardt
 
     k_full, r_refine, capacity = refine
-    f_cnt = markers.positions.shape[0]
     capacity = min(int(capacity), f_cnt)
     is_lm = solver is solve_levenberg_marquardt
 
@@ -470,6 +472,58 @@ def track_poses_for_frames(
     seg = np.minimum(np.searchsorted(sorted_idx, np.arange(f_all), "left"),
                      len(sorted_idx) - 1)
     return TrackingResult(motion=solved[seg], errors=errors[seg])
+
+
+def track_poses_hierarchical(
+    character: Character,
+    markers: MarkerSequence,
+    config: TrackingConfig = TrackingConfig(),
+    initial: Optional[jnp.ndarray] = None,
+    enabled_mask: Optional[jnp.ndarray] = None,
+    stride: int = 8,
+) -> TrackingResult:
+    """Keyframe-warm-started batched tracking — the throughput path that
+    keeps the sequential scan's quality.
+
+    `track_poses_batched` solves every frame independently, which is the
+    TPU-native layout (one vmap, MXU-saturating) but starts each frame cold:
+    on a real walking clip a rest-pose init is tens of mm from the optimum
+    and 10-15 LM iterations leave a fat error tail (measured 33.6 mm median
+    on CMU 02_01.c3d vs 3.7 mm for the warm-started scan). The reference
+    never faces this because its per-frame tracker is inherently sequential
+    (trackPosesPerFrame warm starts from the previous frame,
+    marker_tracker.cpp:754-846). This entry restores those economics at
+    batch throughput: solve every `stride`-th frame with the warm-start
+    chain (`track_poses_for_frames(is_continuous=True)`,
+    marker_tracker.cpp:848-1068), linearly interpolate the keyframe
+    solutions as per-frame inits, then refine ALL frames independently in
+    one batch. Latency is O(F/stride) sequential solves + one batched
+    solve; the batch starts within a stride's motion of the optimum."""
+    f = markers.num_frames
+    p = character.num_model_parameters
+    stride = int(max(stride, 1))
+    keys = np.arange(0, f, stride)
+    if keys[-1] != f - 1:
+        keys = np.append(keys, f - 1)
+    init0 = jnp.zeros(p) if initial is None else jnp.asarray(initial)
+    if init0.ndim == 1:
+        init0 = jnp.broadcast_to(init0, (f, p))
+    key_res = track_poses_for_frames(
+        character, markers, init0, config, frame_indices=keys,
+        is_continuous=True, enabled_mask=enabled_mask)
+    km = key_res.motion[jnp.asarray(keys)]  # (K, p)
+    if len(keys) == 1:
+        init_all = jnp.broadcast_to(km[0], (f, p))
+    else:
+        t = np.arange(f)
+        seg = np.clip(np.searchsorted(keys, t, "right") - 1,
+                      0, len(keys) - 2)
+        lo, hi = keys[seg], keys[seg + 1]
+        w = jnp.asarray(((t - lo) / np.maximum(hi - lo, 1))[:, None],
+                        km.dtype)
+        init_all = km[seg] * (1 - w) + km[seg + 1] * w
+    return track_poses_batched(character, markers, config,
+                               initial=init_all, enabled_mask=enabled_mask)
 
 
 def _match_names(names, markers: MarkerSequence):

@@ -130,17 +130,25 @@ class TestSequenceSolve:
         r = joined_residual(x0)
         n = x0.shape[0]
         h = j.T @ j + 1e-3 * jnp.eye(n)
-        # solve_sequence applies multiplicative damping jitter·diag on the
-        # equilibrated system (per-frame DoFs damped by the max diagonal
-        # over frames, universal by its own diagonal) — the f32-PD guard
-        # for mm-scale data; mirror it here so the pin stays exact
-        from momentum_tpu.sequence.solver import _EQUILIBRATED_JITTER
+        # solve_sequence applies, on the equilibrated system, a roundoff
+        # jitter (multiplicative on the max-over-frames diagonal for
+        # per-frame DoFs, on its own diagonal for universal) plus a
+        # per-frame pivot floor on the scaled band diagonal — the f32
+        # guards for mm-scale data; mirror both here in unscaled
+        # coordinates so the pin stays exact
+        from momentum_tpu.sequence.solver import (_EQUILIBRATED_DIAG_FLOOR,
+                                                  _EQUILIBRATED_JITTER,
+                                                  _EQUILIBRATED_JITTER_U)
 
         hd = jnp.diagonal(h)
         npf = f * fn.num_per_frame
-        dmax = jnp.max(hd[:npf].reshape(f, fn.num_per_frame), axis=0)
-        damp = jnp.concatenate([jnp.tile(dmax, f), hd[npf:]])
-        h = h + _EQUILIBRATED_JITTER * jnp.diag(damp)
+        hd_pf = hd[:npf].reshape(f, fn.num_per_frame)
+        dmax = jnp.max(hd_pf, axis=0)
+        lift = (jnp.maximum(_EQUILIBRATED_DIAG_FLOOR - hd_pf / dmax, 0.0)
+                + _EQUILIBRATED_JITTER)
+        add = jnp.concatenate([(lift * dmax).reshape(-1),
+                               _EQUILIBRATED_JITTER_U * hd[npf:]])
+        h = h + jnp.diag(add)
         delta = jnp.linalg.solve(h, j.T @ r)
         x1 = x0 - delta
 

@@ -68,6 +68,31 @@ class TestTracking:
         res = track_poses_batched(char, markers, cfg)
         assert float(jnp.max(res.errors)) < 1e-6
 
+    def test_hierarchical_tracking(self, char):
+        from momentum_tpu.tracking import track_poses_hierarchical
+
+        rng = _rng()
+        _, markers = _synthetic_markers(char, 13, rng)
+        # few refine iterations: hierarchical must still converge because the
+        # interpolated keyframe inits land near each frame's optimum
+        cfg = TrackingConfig(max_iter=30, regularization=1e-5,
+                             refine=(4, 2, 4))
+        res = jax.jit(
+            lambda m: track_poses_hierarchical(char, m, cfg, stride=4))(
+                markers)
+        assert res.motion.shape == (13, char.num_model_parameters)
+        assert float(jnp.max(res.errors)) < 1e-6
+
+    def test_hierarchical_single_keyframe(self, char):
+        from momentum_tpu.tracking import track_poses_hierarchical
+
+        rng = _rng()
+        _, markers = _synthetic_markers(char, 1, rng)
+        cfg = TrackingConfig(max_iter=30, regularization=1e-5)
+        res = track_poses_hierarchical(char, markers, cfg, stride=100)
+        assert res.motion.shape == (1, char.num_model_parameters)
+        assert float(jnp.max(res.errors)) < 1e-6
+
     def test_occluded_markers_ignored(self, char):
         rng = _rng()
         _, markers = _synthetic_markers(char, 6, rng, occlusion=0.3)
