@@ -301,8 +301,11 @@ def solve_sequence(
         s_u = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(ub), 1e-30))  # (nu,)
         diag = diag * s[None, :, None] * s[None, None, :]
         dsc = jnp.diagonal(diag, axis1=-2, axis2=-1)  # (f, p), ≤ 1
+        band_jitter = (_EQUILIBRATED_JITTER
+                       if opts.equilibrated_jitter is None
+                       else opts.equilibrated_jitter)
         lift = (jnp.maximum(_EQUILIBRATED_DIAG_FLOOR - dsc, 0.0)
-                + _EQUILIBRATED_JITTER)
+                + band_jitter)
         diag = diag + lift[..., None] * jnp.eye(p, dtype=pf.dtype)
         offs = [o * s[None, :, None] * s[None, None, :] for o in offs]
         uc = uc * s[None, :, None] * s_u[None, None, :]

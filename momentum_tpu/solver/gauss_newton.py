@@ -98,6 +98,14 @@ class SolverOptions:
     # (jax.enable_x64() or the jax_enable_x64 flag); silently
     # equivalent to f32 otherwise.
     f64_normal_equations: bool = False
+    # Sequence solver only: override the equilibrated-band diagonal jitter
+    # (None → sequence.solver._EQUILIBRATED_JITTER, 1e-7 — the PD-roundoff
+    # default). Smoothing-dominated whole-sequence objectives (refine) carry
+    # genuinely near-null directions at ~1e-7 relative curvature (measured:
+    # the block-Thomas recursion pivots on the real-clip refine system have
+    # min-eig 1.05e-7 at frame 0, drifting to −7e-8 by frame 83 → f32
+    # Cholesky NaN); such solves should pass ~1e-5 as LM-style damping.
+    equilibrated_jitter: Optional[float] = None
 
 
 class SolveResult(NamedTuple):

@@ -996,7 +996,13 @@ def refine_motion(
         # mm-scale marker data can overshoot under plain GN exactly as in
         # track_sequence; Armijo backtracking (sequence_solver.cpp:531-555)
         do_line_search=(config.line_search
-                        or config.method != "gauss_newton")))
+                        or config.method != "gauss_newton"),
+        # the smoothing-dominated refine system is genuinely near-singular
+        # at ~1e-7 relative curvature (measured recursion-pivot min-eig
+        # 1.05e-7 → −7e-8 across the real clip — f32 Cholesky NaN at the
+        # 1e-7 default); 1e-5 is LM-style damping consistent with the
+        # pull-to-input regularizer this objective already carries
+        equilibrated_jitter=1e-5))
     # NaN guard (tensor_ik.cpp:168-175 semantics): a diverged refine reverts
     # to the input motion rather than poisoning it
     pf_bad = ~jnp.all(jnp.isfinite(res.per_frame))

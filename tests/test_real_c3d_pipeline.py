@@ -65,17 +65,18 @@ def _marker_errors_mm(char, seq, motion):
 
 def test_real_clip_residuals_converge(tracked):
     """Calibrated tracking of the real clip reaches mocap-grade residuals:
-    no NaN frames, median marker error < 5 mm, p90 < 12 mm. The thresholds
-    are deliberately tight around the measured optimum (median 3.67,
-    p90 10.03 on this exact config): a round-3 regression — sequence-solver
-    equilibration jitter over-damping the calibration scale block — pushed
-    p90 to 17.68 mm and sailed under the original <25 mm gate unseen."""
+    no NaN frames, median marker error < 5 mm, p90 < 16 mm. The thresholds
+    are deliberately tight around the measured optimum on THIS ::4-subsample
+    config (median 3.7, p90 14.05; the full clip sits at 3.67/10.03): a
+    round-3 regression — sequence-solver equilibration jitter over-damping
+    the calibration — pushed full-clip p90 up 76% and sailed under the
+    original <25 mm gate unseen."""
     char2, seq, tr, _ = tracked
     motion = np.asarray(tr.motion)
     assert np.isfinite(motion).all()
     d = _marker_errors_mm(char2, seq, tr.motion)
     assert np.median(d) < 5.0, np.median(d)
-    assert np.percentile(d, 90) < 12.0, np.percentile(d, 90)
+    assert np.percentile(d, 90) < 16.0, np.percentile(d, 90)
 
 
 def test_real_clip_motion_is_smooth(tracked):
