@@ -26,6 +26,18 @@ _BLOCK = int(__import__("os").environ.get("MOMENTUM_TPU_CHOL_BLOCK", 32))
 _BLOCKED_MIN_N = 64
 
 
+def _use_blocked() -> bool:
+    """The blocked/unrolled path is a TPU optimization (10× at n=157 on v5e).
+
+    On CPU the fully-unrolled panels generate enormous HLO ("Very slow
+    compile") and LAPACK's cholesky is already fast — dispatch there instead.
+    Trace-time platform check: `jax.default_backend()` is a plain Python
+    query, safe inside jit tracing."""
+    if jax.default_backend() == "cpu":
+        return False
+    return True
+
+
 def _chol_unrolled(a: jnp.ndarray) -> jnp.ndarray:
     """Cholesky of a small (..., k, k) SPD block, fully unrolled.
 
@@ -148,7 +160,7 @@ def psd_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     vec = b.ndim == a.ndim - 1
     rhs = b[..., None] if vec else b
     n = a.shape[-1]
-    if n >= _BLOCKED_MIN_N:
+    if n >= _BLOCKED_MIN_N and _use_blocked():
         pad = (-n) % _BLOCK
         if pad:
             # embed in a block-diagonal [[a, 0], [0, I]] — same solution
