@@ -105,6 +105,44 @@ def _orchestrate() -> int:
     return 0
 
 
+def _roofline(rows: int, p: int, iters_equiv: float, solves_per_sec: float):
+    """Analytic flops/bytes roofline for the batched LM solve (VERDICT r3 #5).
+
+    Per-element, per-LM-iteration cost model (R = residual rows, P = params):
+      JtJ (MXU matmul)          2·R·P²      — the dominant term
+      Jt r                      2·R·P
+      blocked Cholesky          P³/3
+      two triangular solves     2·2·P²
+      Jacobian assembly + FK    ~6·R·P      (fused model-space analytic rows)
+    HBM bytes (f32): J written+read (2·R·P·4), JtJ written + ~2 factorization
+    passes (3·P²·4), residuals/params noise (~10 KB).
+
+    Peaks: TPU v5e = 197 TFLOP/s bf16, 819 GB/s HBM. The solver runs f32 at
+    `highest` matmul precision = 6 bf16 MXU passes per f32 product, so the
+    effective f32 ceiling is 197/6 ≈ 32.8 TFLOP/s (bf16 NE mode was measured
+    a convergence dead end, docs/BENCHMARKS.md). The roofline throughput is
+    min(flops-bound, bandwidth-bound) at this arithmetic intensity.
+    """
+    flops_per_iter = (2 * rows * p * p + 2 * rows * p + p**3 / 3
+                      + 4 * p * p + 6 * rows * p)
+    bytes_per_iter = (2 * rows * p + 3 * p * p) * 4 + 10_000
+    flops = flops_per_iter * iters_equiv
+    bytes_ = bytes_per_iter * iters_equiv
+    peak_flops_f32eff = 197e12 / 6.0
+    peak_bw = 819e9
+    achieved_flops = flops * solves_per_sec
+    achieved_bw = bytes_ * solves_per_sec
+    bound_solves = min(peak_flops_f32eff / flops, peak_bw / bytes_)
+    return {
+        "arithmetic_intensity_flops_per_byte": round(flops / bytes_, 1),
+        "mfu_f32_effective": round(achieved_flops / peak_flops_f32eff, 4),
+        "mfu_bf16_peak": round(achieved_flops / 197e12, 4),
+        "hbm_frac": round(achieved_bw / peak_bw, 4),
+        "roofline_solves_per_sec": round(bound_solves, 0),
+        "roofline_frac": round(solves_per_sec / bound_solves, 4),
+    }
+
+
 def main():
     import jax
 
@@ -307,6 +345,13 @@ def main():
     full_conv = float(jnp.mean(pos_e < 1e-5))
     full_nan = float(jnp.mean(~jnp.isfinite(pos_e)))
 
+    # analytic roofline at the measured throughput (per-chip statement)
+    iters_equiv = (iters if refine is None
+                   else refine[0] + refine[1] * refine[2] / batch)
+    roof = _roofline(rows=3 * char.locators.num_locators,
+                     p=char.num_model_parameters,
+                     iters_equiv=iters_equiv, solves_per_sec=solves_per_sec)
+
     print(
         json.dumps(
             {
@@ -330,6 +375,7 @@ def main():
                 "full_stack_conv_1e5": round(full_conv, 4),
                 "full_stack_vs_baseline": round(
                     full_per_sec / TARGET_SOLVES_PER_SEC_PER_CHIP, 4),
+                **roof,
             }
         )
     )

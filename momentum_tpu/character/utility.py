@@ -100,6 +100,20 @@ def scale_character(character: Character, scale: float,
         out = dataclasses.replace(
             out, physical_properties=scale_physical_properties(
                 character.physical_properties, scale, mass_scale))
+    lim = character.limits
+    if lim is not None and lim.ellipsoid_parent.shape[0] > 0:
+        # reference scales ONLY ellipsoid limits (world-space lengths):
+        # character_utility.cpp:69-80 — translation of both the ellipsoid
+        # frame and its inverse (A⁻¹'s translation is −R⁻¹t, linear in t),
+        # plus the parent-frame point offset. MinMax/linear records are on
+        # model parameters and are deliberately NOT scaled (reference
+        # semantics; unit-converting a config must rescale those itself).
+        e_mat = lim.ellipsoid_mat.at[:, :3, 3].multiply(scale)
+        e_inv = lim.ellipsoid_inv.at[:, :3, 3].multiply(scale)
+        out = dataclasses.replace(
+            out, limits=dataclasses.replace(
+                lim, ellipsoid_mat=e_mat, ellipsoid_inv=e_inv,
+                ellipsoid_point_offset=lim.ellipsoid_point_offset * scale))
     out = dataclasses.replace(out, inverse_bind_pose=None)
     return out.with_inverse_bind_pose()
 

@@ -193,7 +193,15 @@ def _header_nodes(fps):
             _prop70("CustomFrameRate", "double", "", float(fps)),
         ]),
     ])
-    return [hdr, gs]
+    # FileId / CreationTime / Creator: the FBX-SDK golden
+    # (convert_model/test_data/character.fbx) carries these three records
+    # between the header extension and GlobalSettings; SDK-based readers
+    # expect the sequence. FileId is 16 opaque bytes ('R'); a fixed id keeps
+    # the writer deterministic.
+    file_id = _N("FileId", [("R", bytes(range(16)))])
+    ctime = _N("CreationTime", [_p_str("1970-01-01 00:00:00:000")])
+    creator = _N("Creator", [_p_str("momentum_tpu fbx writer")])
+    return [hdr, file_id, ctime, creator, gs]
 
 
 def _build_scene(character, joint_params=None, fps: float = 120.0,
@@ -449,6 +457,8 @@ def _write_document(path, objects, connections, fps: float) -> None:
         _definitions_node(objects),
         _N("Objects", children=objects),
         _N("Connections", children=connections),
+        # trailing Takes section (golden sequence; empty Current take)
+        _N("Takes", children=[_N("Current", [_p_str("")])]),
     ]
     with open(path, "wb") as f:
         f.write(_ser_document(doc))

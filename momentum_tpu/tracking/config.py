@@ -100,3 +100,12 @@ class RefineConfig(TrackingConfig):
     regularizer: float = 0.0  # pull toward the input motion
     calib_id: bool = False  # re-calibrate identity during refine
     calib_locators: bool = False
+    # Double-precision normal equations + factorization for the refine
+    # solve (the reference's answer to this exact system,
+    # sequence_cholesky_solver.h:31-33): the smoothing-dominated refine
+    # Hessian is genuinely near-singular at f32 resolution (measured
+    # recursion-pivot min-eig 1.05e-7 relative → −7e-8 by frame 83 → f32
+    # Cholesky NaN). f64 solves it exactly; False falls back to f32 with
+    # `equilibrated_jitter` LM-style damping (the round-3 band-aid, kept
+    # as the documented fallback for f64-hostile deployments).
+    f64: bool = True

@@ -973,8 +973,12 @@ def refine_motion(
 
     seq_errors = ()
     if config.smoothing > 0:
+        # honor per-parameter smoothing weights exactly as track_sequence
+        # does (unit-converted configs rescale translation-param entries)
+        pweight = (np.asarray(config.smoothing_weights, np.float32)
+                   if config.smoothing_weights else None)
         seq_errors = (ModelParametersSequenceErrorFunction.create(
-            p, weight=config.smoothing),)
+            p, pweight=pweight, weight=config.smoothing),)
 
     universal = None
     if config.calib_id:
@@ -991,7 +995,8 @@ def refine_motion(
         character, f, universal=universal,
         per_frame_errors=tuple(per_frame_errors), sequence_errors=seq_errors)
     pf0, u0 = fn.split(motion)
-    res = solve_sequence(fn, pf0, u0, SolverOptions(
+    use_f64 = getattr(config, "f64", True)
+    opts = SolverOptions(
         max_iterations=config.max_iter, regularization=config.regularization,
         # mm-scale marker data can overshoot under plain GN exactly as in
         # track_sequence; Armijo backtracking (sequence_solver.cpp:531-555)
@@ -999,10 +1004,20 @@ def refine_motion(
                         or config.method != "gauss_newton"),
         # the smoothing-dominated refine system is genuinely near-singular
         # at ~1e-7 relative curvature (measured recursion-pivot min-eig
-        # 1.05e-7 → −7e-8 across the real clip — f32 Cholesky NaN at the
-        # 1e-7 default); 1e-5 is LM-style damping consistent with the
-        # pull-to-input regularizer this objective already carries
-        equilibrated_jitter=1e-5))
+        # 1.05e-7 → −7e-8 across the real clip — f32 Cholesky NaN). The
+        # principled fix is double-precision normal equations + solve
+        # (sequence_cholesky_solver.h:31-33), the default; the f32 fallback
+        # keeps the LM-style 1e-5 equilibrated jitter consistent with the
+        # pull-to-input regularizer this objective already carries.
+        f64_normal_equations=use_f64,
+        equilibrated_jitter=None if use_f64 else 1e-5)
+    if use_f64:
+        # scope x64 to this solve: trace + execution see real float64
+        # (outside the context f64 requests silently truncate to f32)
+        with jax.enable_x64(True):
+            res = solve_sequence(fn, pf0, u0, opts)
+    else:
+        res = solve_sequence(fn, pf0, u0, opts)
     # NaN guard (tensor_ik.cpp:168-175 semantics): a diverged refine reverts
     # to the input motion rather than poisoning it
     pf_bad = ~jnp.all(jnp.isfinite(res.per_frame))

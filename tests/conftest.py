@@ -15,6 +15,32 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config flag wins.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's dominant cost is re-jitting solver
+# variants on every run (~50 min wall round 3). Caching compiled executables
+# across runs cuts repeat-run wall time; first run also benefits when multiple
+# tests hit the same (fn, shape) key. Entries over the 1 s default compile
+# threshold are kept; the dir is gitignored.
+_cache_dir = os.environ.get(
+    "MOMENTUM_TPU_JIT_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+if _cache_dir and _cache_dir != "0":
+    # key by host CPU features: XLA:CPU AOT executables embed the compile
+    # machine's ISA and reloading them on a different host risks SIGILL
+    # (observed when this checkout moved machines)
+    import hashlib
+    import platform
+    try:
+        with open("/proc/cpuinfo") as f:
+            _flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        _flags = ""
+    _host_key = hashlib.sha1(
+        (platform.machine() + _flags).encode()).hexdigest()[:12]
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_cache_dir, _host_key))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
