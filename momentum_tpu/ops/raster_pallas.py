@@ -1,0 +1,259 @@
+"""Pallas TPU kernel: plane-based z-buffer rasterization.
+
+Reference capability: momentum/rasterizer/rasterizer.h (SIMD scanline
+z-buffer with Phong/shadow shading, ~45 fps at 640x480 2xSS on an 8-core
+CPU). The TPU shape is completely different: every triangle edge function
+and the depth are AFFINE in screen space, w(x, y) = a*x + b*y + c, so
+visibility for a tile of pixels against ALL faces is a dense broadcasted
+FMA on (pixels, faces) tiles in VMEM followed by a lane min-reduction —
+no scanlines, no scatter, no gather. Attribute interpolation rides the
+same algebra: any screen-linear quantity (barycentrics, depth, world
+position, per-face constants) is a per-face plane, and the winning face's
+planes are fetched with a one-hot (pixels, faces) @ (faces, coefs) MXU
+matmul instead of a per-pixel gather.
+
+This replaces the round-3 windowed scatter-min path (render.py
+rasterize_windowed) on TPU, whose profile was 113 ms of the 156 ms frame:
+2.5M packed int32 scatter updates plus a dense big-face pass. The kernel
+keeps the whole (tile_px, faces) working set in VMEM and writes only the
+final per-pixel depth / face / barycentric / attribute images.
+
+Grid: (H/th, W/128) pixel tiles; faces padded to a 128 multiple. A
+612-face full-body mesh at 1280x960 runs one (512, 640) f32 working set
+per grid step. Cost is O(H*W*F) FLOPs but they are VPU/MXU flops at full
+tile utilization, not HBM scatter round-trips.
+
+Numerics match render.rasterize (same >= 0 edge convention, z > 0 clip,
+f32). Ties at equal depth resolve to the lowest face id (deterministic).
+CPU/tests run the identical kernel in interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = [
+    "raster_pallas_available",
+    "face_planes",
+    "attr_planes_from_vertex",
+    "attr_planes_from_face_const",
+    "rasterize_planes",
+]
+
+_LANES = 128
+_NOFACE = 1 << 30
+
+
+def raster_pallas_available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _pad_axis(a, axis, mult, value):
+    n = a.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths, constant_values=value)
+
+
+def face_planes(verts_screen, faces, valid=None):
+    """Per-face plane coefficients for the three barycentric edge functions
+    and depth: returns (12, F) f32 rows [a0 b0 c0 a1 b1 c1 a2 b2 c2 az bz cz]
+    with w_k(x, y) = a_k*x + b_k*y + c_k and z(x, y) = az*x + bz*y + cz.
+
+    Derivation: w0 = ((bx-x)(cy-y) - (by-y)(cx-x)) / area expands to
+    x*(by-cy)/area + y*(cx-bx)/area + (bx*cy-by*cx)/area; w1 analogous from
+    the (c, a) edge; w2 = 1 - w0 - w1. Degenerate or masked-out faces get
+    c0 = -BIG so they are outside every pixel.
+    """
+    tri = jnp.take(verts_screen, faces, axis=0)  # (F, 3, 3)
+    ax, ay, az = tri[:, 0, 0], tri[:, 0, 1], tri[:, 0, 2]
+    bx, by, bz = tri[:, 1, 0], tri[:, 1, 1], tri[:, 1, 2]
+    cx, cy, cz = tri[:, 2, 0], tri[:, 2, 1], tri[:, 2, 2]
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    ok = jnp.abs(area) > 1e-12
+    if valid is not None:
+        ok = ok & valid
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, area, 1.0), 0.0)
+    a0 = (by - cy) * inv
+    b0 = (cx - bx) * inv
+    # killed faces have a0 = b0 = 0 (inv = 0), so c0 = -1 keeps w0 < 0 at
+    # every pixel; a -BIG sentinel would overflow to inf in the attribute
+    # plane tables and poison the one-hot matmul with 0*inf = NaN
+    c0 = jnp.where(ok, (bx * cy - by * cx) * inv, -1.0)
+    a1 = (cy - ay) * inv
+    b1 = (ax - cx) * inv
+    c1 = (cx * ay - cy * ax) * inv
+    a2 = -a0 - a1
+    b2 = -b0 - b1
+    c2 = 1.0 - c0 - c1
+    pz_a = a0 * az + a1 * bz + a2 * cz
+    pz_b = b0 * az + b1 * bz + b2 * cz
+    pz_c = c0 * az + c1 * bz + c2 * cz
+    return jnp.stack([a0, b0, c0, a1, b1, c1, a2, b2, c2,
+                      pz_a, pz_b, pz_c]).astype(jnp.float32)
+
+
+def attr_planes_from_vertex(planes, faces, vertex_attr):
+    """Plane coefficients of a per-vertex attribute interpolated with the
+    screen-space barycentrics: attr(x, y) = sum_k w_k(x, y) * attr[f_k].
+    Returns (F, 3, C): per-face (a, b, c) rows per channel."""
+    va = jnp.take(vertex_attr, faces, axis=0)  # (F, 3, C)
+    p = planes.reshape(4, 3, -1)  # [w0|w1|w2|z][a|b|c][F]
+    # coef_c(attr) = sum_k coef_c(w_k) * attr[f_k]
+    return jnp.einsum("kcf,fkq->fcq", p[:3], va)
+
+
+def attr_planes_from_face_const(num_faces, face_attr):
+    """Plane coefficients of a per-face constant attribute (flat shading):
+    a = b = 0, c = attr. Returns (F, 3, C)."""
+    f, c = face_attr.shape
+    zeros = jnp.zeros((f, 2, c), face_attr.dtype)
+    return jnp.concatenate([zeros, face_attr[:, None, :]], axis=1)
+
+
+def _kernel(planes_ref, attr_ref, depth_ref, face_ref, bary_ref, attr_out_ref,
+            *, th, n_attr, want_bary):
+    # tile-local (x, y): lane = column, sublane row = image row
+    gi = jax.lax.broadcasted_iota(jnp.int32, (th, _LANES), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (th, _LANES), 1)
+    row0 = pl.program_id(0) * th
+    col0 = pl.program_id(1) * _LANES
+    x2 = (col0 + gj).astype(jnp.float32) + 0.5  # (th, LANES)
+    y2 = (row0 + gi).astype(jnp.float32) + 0.5
+    x = x2.reshape(th * _LANES, 1)
+    y = y2.reshape(th * _LANES, 1)
+
+    pr = lambda k: planes_ref[k, :][None, :]  # (1, Fp)
+    w0 = x * pr(0) + y * pr(1) + pr(2)
+    w1 = x * pr(3) + y * pr(4) + pr(5)
+    w2 = x * pr(6) + y * pr(7) + pr(8)
+    z = x * pr(9) + y * pr(10) + pr(11)
+    ok = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0) & (z > 0.0)
+    inf = jnp.float32(jnp.inf)
+    zsel = jnp.where(ok, z, inf)
+    zmin = jnp.min(zsel, axis=1, keepdims=True)  # (N, 1)
+    hit = (zsel == zmin) & ok
+    fio = jax.lax.broadcasted_iota(jnp.int32, zsel.shape, 1)
+    fmin = jnp.min(jnp.where(hit, fio, jnp.int32(_NOFACE)), axis=1,
+                   keepdims=True)
+    oh = (fio == fmin) & hit  # strict one-hot: lowest face id at min depth
+
+    depth_ref[...] = zmin.reshape(th, _LANES)
+    face_ref[...] = jnp.where(fmin == _NOFACE, -1, fmin).reshape(th, _LANES)
+
+    if want_bary:
+        ohf = oh.astype(jnp.float32)
+        for k, w in enumerate((w0, w1, w2)):
+            bary_ref[k] = jnp.sum(ohf * w, axis=1, keepdims=True
+                                  ).reshape(th, _LANES)
+    if n_attr:
+        ohf = oh.astype(jnp.float32)
+        abc = jax.lax.dot_general(
+            ohf, attr_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (N, 3*Cp)
+        cp = attr_ref.shape[1] // 3
+        vals = (abc[:, :cp] * x + abc[:, cp:2 * cp] * y + abc[:, 2 * cp:])
+        for ch in range(n_attr):
+            attr_out_ref[ch] = vals[:, ch:ch + 1].reshape(th, _LANES)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "n_attr", "want_bary", "th",
+                     "interpret"))
+def _raster_call(planes, attr_tab, width, height, n_attr, want_bary,
+                 th, interpret):
+    hp = height + ((-height) % th)
+    wp = width + ((-width) % _LANES)
+    grid = (hp // th, wp // _LANES)
+    fp = planes.shape[1]
+
+    kern = functools.partial(_kernel, th=th, n_attr=n_attr,
+                             want_bary=want_bary)
+    out_shapes = [
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),   # depth
+        jax.ShapeDtypeStruct((hp, wp), jnp.int32),     # face
+        jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),  # bary
+        jax.ShapeDtypeStruct((max(n_attr, 1), hp, wp), jnp.float32),
+    ]
+    px_spec = pl.BlockSpec((th, _LANES), lambda i, j: (i, j))
+    ch_spec = lambda c: pl.BlockSpec((c, th, _LANES), lambda i, j: (0, i, j))
+    depth, face, bary, attrs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((12, fp), lambda i, j: (0, 0)),
+            pl.BlockSpec((fp, attr_tab.shape[1]), lambda i, j: (0, 0)),
+        ],
+        out_specs=[px_spec, px_spec, ch_spec(3), ch_spec(max(n_attr, 1))],
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(planes, attr_tab)
+    return depth, face, bary, attrs
+
+
+def rasterize_planes(verts_screen, faces, width: int, height: int,
+                     vertex_attrs=None, face_attrs=None, valid=None,
+                     want_bary: bool = True, th: int = 4,
+                     interpret: bool | None = None):
+    """Plane-based rasterization (+ fused attribute interpolation).
+
+    verts_screen: (V, 3) pixel-space x, y, depth z (z > 0 drawn).
+    vertex_attrs: optional (V, Ca) per-vertex attributes, interpolated with
+    screen-space barycentrics (matches render.interpolate_attribute).
+    face_attrs: optional (F, Cb) per-face constants (flat shading).
+    Returns dict(depth (H, W), face (H, W) int32 -1=empty, bary (H, W, 3),
+    attrs (H, W, Ca+Cb)).
+    """
+    if interpret is None:
+        # run the identical kernel everywhere: compiled on TPU, interpreter
+        # mode on CPU backends (tests, reference comparisons)
+        interpret = jax.default_backend() != "tpu"
+    f_count = faces.shape[0]
+    planes = face_planes(verts_screen, faces, valid=valid)
+    planes = _pad_axis(planes, 1, _LANES, 0.0)
+    # padded faces: a = b = 0 from the zero-pad, so c0 = -1 forces w0 < 0
+    # at every pixel (see face_planes on why not -BIG)
+    if planes.shape[1] != f_count:
+        mask = jnp.arange(planes.shape[1]) < f_count
+        planes = planes.at[2].set(jnp.where(mask, planes[2], -1.0))
+
+    tabs = []
+    if vertex_attrs is not None:
+        tabs.append(attr_planes_from_vertex(
+            planes[:, :f_count], faces, vertex_attrs.astype(jnp.float32)))
+    if face_attrs is not None:
+        tabs.append(attr_planes_from_face_const(
+            f_count, face_attrs.astype(jnp.float32)))
+    n_attr = sum(t.shape[2] for t in tabs)
+    if n_attr:
+        tab = jnp.concatenate(tabs, axis=2)  # (F, 3, C)
+        cp = n_attr + ((-n_attr) % 8)
+        tab = _pad_axis(tab, 2, cp if cp else 1, 0.0)
+        tab = _pad_axis(tab, 0, _LANES, 0.0)
+        # (Fp, 3*Cp) laid out [A | B | C]
+        attr_tab = jnp.concatenate([tab[:, 0], tab[:, 1], tab[:, 2]], axis=1)
+    else:
+        attr_tab = jnp.zeros((planes.shape[1], 3 * 8), jnp.float32)
+
+    depth, face, bary, attrs = _raster_call(
+        planes, attr_tab, width, height, n_attr, want_bary, th, interpret)
+    empty = face[:height, :width] < 0
+    out = dict(
+        depth=jnp.where(empty, jnp.inf, depth[:height, :width]),
+        face=jnp.where(empty, -1, face[:height, :width]),
+    )
+    if want_bary:
+        b = jnp.moveaxis(bary[:, :height, :width], 0, -1)
+        out["bary"] = jnp.where(empty[..., None], 0.0, b)
+    if n_attr:
+        a = jnp.moveaxis(attrs[:n_attr, :height, :width], 0, -1)
+        out["attrs"] = jnp.where(empty[..., None], 0.0, a)
+    return out

@@ -260,12 +260,27 @@ def _auto_window(f_count: int, width: int, height: int) -> int:
 
 def _rasterize_dispatch(verts_screen, faces, width: int, height: int,
                         chunk: int = 64, method: str = "auto",
-                        window=None, big_capacity: int = 16):
-    """auto → windowed for large images (the dense path's HBM traffic grows
-    with H·W·F), dense for small buffers where one fused pass wins. The
-    window defaults to `_auto_window`'s static-cost heuristic."""
+                        window=None, big_capacity: int = 16,
+                        vertex_attrs=None, face_attrs=None):
+    """auto → the Pallas plane kernel on TPU (ops/raster_pallas.py: whole
+    (pixel-tile, faces) visibility in VMEM, no scatter/gather), windowed for
+    large images on other backends (the dense path's HBM traffic grows with
+    H·W·F), dense for small buffers where one fused pass wins. The window
+    defaults to `_auto_window`'s static-cost heuristic. vertex_attrs /
+    face_attrs are fused into the kernel on the planes path and ignored
+    otherwise (callers interpolate separately)."""
+    from momentum_tpu.ops.raster_pallas import (
+        raster_pallas_available, rasterize_planes)
+
     if method == "auto":
-        method = "windowed" if width * height >= 64 * 64 else "dense"
+        if raster_pallas_available():
+            method = "planes"
+        else:
+            method = "windowed" if width * height >= 64 * 64 else "dense"
+    if method == "planes":
+        return rasterize_planes(verts_screen, faces, width, height,
+                                vertex_attrs=vertex_attrs,
+                                face_attrs=face_attrs)
     if method in ("windowed", "window"):
         if window is None:
             window = _auto_window(faces.shape[0], width, height)
@@ -294,17 +309,25 @@ def shade_phong(normals, view_dir, light_dir, albedo=(0.8, 0.8, 0.8),
 
 def render_mesh(camera, vertices, faces, width: int, height: int,
                 vertex_normals=None, light_dir=(0.3, -0.7, 0.6), chunk: int = 64,
-                method: str = "auto"):
+                method: str = "auto", extra_vertex_attrs=None):
     """Project + rasterize + Lambert-shade a mesh through a Camera.
 
-    Returns dict with color (H, W, 3), depth, face, bary, mask.
+    Returns dict with color (H, W, 3), depth, face, bary, mask. If
+    `extra_vertex_attrs` (V, C) is given, its barycentric interpolation is
+    returned under "extra" (H, W, C) — fused into the Pallas kernel on the
+    planes path, an `interpolate_attribute` pass otherwise.
+
+    Shading is flat (per-face normal), so on the planes path the Lambert
+    color is computed once per FACE (F × a few flops) and emitted through
+    the kernel's constant-attribute planes instead of per pixel — the
+    shading stage drops from O(H·W) gathers+math to O(F).
     """
     from momentum_tpu.character.skinning import update_normals
+    from momentum_tpu.ops.raster_pallas import raster_pallas_available
 
     uvz, valid = camera.project(vertices)
     # points behind the camera: push far away so they never win the z-test
     screen = jnp.where(valid[..., None], uvz, jnp.asarray([0.0, 0.0, -1.0]))
-    buf = _rasterize_dispatch(screen, faces, width, height, chunk, method)
 
     if vertex_normals is None:
         vertex_normals = update_normals(vertices, faces)
@@ -313,12 +336,35 @@ def render_mesh(camera, vertices, faces, width: int, height: int,
               + jnp.take(vertex_normals, faces[:, 2], axis=0))
     face_n = face_n / jnp.maximum(
         jnp.linalg.norm(face_n, axis=-1, keepdims=True), 1e-12)
+    light = jnp.asarray(light_dir, vertices.dtype)
+
+    use_planes = method == "planes" or (
+        method == "auto" and raster_pallas_available())
+    if use_planes:
+        face_color = shade_lambert(face_n, light)  # (F, 3) flat shading
+        buf = _rasterize_dispatch(screen, faces, width, height, chunk,
+                                  "planes", vertex_attrs=extra_vertex_attrs,
+                                  face_attrs=face_color)
+        attrs = buf.pop("attrs")
+        ca = (0 if extra_vertex_attrs is None
+              else extra_vertex_attrs.shape[-1])
+        mask = buf["face"] >= 0
+        color = jnp.where(mask[..., None], attrs[..., ca:ca + 3], 0.0)
+        out = dict(color=color, mask=mask, **buf)
+        if ca:
+            out["extra"] = attrs[..., :ca]
+        return out
+
+    buf = _rasterize_dispatch(screen, faces, width, height, chunk, method)
     fid = jnp.maximum(buf["face"], 0)
     n_pix = jnp.take(face_n, fid, axis=0)
-    color = shade_lambert(n_pix, jnp.asarray(light_dir, vertices.dtype))
+    color = shade_lambert(n_pix, light)
     mask = buf["face"] >= 0
     color = jnp.where(mask[..., None], color, 0.0)
-    return dict(color=color, mask=mask, **buf)
+    out = dict(color=color, mask=mask, **buf)
+    if extra_vertex_attrs is not None:
+        out["extra"] = interpolate_attribute(buf, faces, extra_vertex_attrs)
+    return out
 
 
 def interpolate_attribute(buf, faces, vertex_attr):
@@ -420,11 +466,12 @@ def render_mesh_shadowed(camera, vertices, faces, width: int, height: int,
     world positions."""
     light = jnp.asarray(light_dir, vertices.dtype)
     out = render_mesh(camera, vertices, faces, width, height,
-                      light_dir=light_dir, chunk=chunk, method=method)
+                      light_dir=light_dir, chunk=chunk, method=method,
+                      extra_vertex_attrs=vertices)
     sdepth, to_light = render_shadow_map(vertices, faces, light,
                                          shadow_resolution, chunk,
                                          method=method)
-    world = interpolate_attribute(out, faces, vertices)  # (H, W, 3)
+    world = out.pop("extra")  # (H, W, 3) fused on the planes path
     lit = shadow_factor(sdepth, to_light(world), shadow_bias)
     lit = jnp.where(out["mask"], lit, 0.0)
     ambient = 0.15
