@@ -15,18 +15,14 @@ schema directly over a small prim/attribute document model:
 
 - `.usda` text: full parser + writer (handles the reference's own test assets
   in /root/reference/momentum/test/resources/usd/).
-- `.usdc`: a crate-container reader/writer (bootstrap header + TOC + token /
-  field / spec sections per the public crate layout, uncompressed structural
-  sections). With no pxr in the image it is validated by round-trip and by
-  sharing the exact same document model as the .usda path; `load_usd` prefers
-  pxr when importable. The container level (88-byte bootstrap: ident[8]
-  'PXR-USDC' + version uint8[8] + tocOffset int64 + reserved int64[8]; TOC of
-  32-byte records name char[16]/start int64/size int64) is pinned against the
-  published crate layout in tests/test_io.py::
-  test_usdc_bootstrap_and_toc_structural_pin; the VALUE encoding inside
-  sections is module-private (self-describing tags, _pack_value) — a pxr
-  reader parses the bootstrap/TOC but not the payloads, so .usdc files are
-  an intra-framework format until a pxr-produced golden can be pinned.
+- `.usdc`: the crate binary, written and read by io/usdc_crate.py in the
+  PUBLIC crate layout (version 0.2.0: bootstrap + TOC + TOKENS/STRINGS/
+  FIELDS/FIELDSETS/PATHS/SPECS sections, standard 64-bit ValueReps with the
+  pxr type enums — not a private encoding). Writer and reader are
+  independent codepaths cross-tested in tests/test_usdc_crate.py; see that
+  module's docstring for the conformance caveat (no pxr in the image to
+  verify byte-level goldens against). Files written by the round-3 private
+  format (version 0.0.1) remain readable via the legacy fallback.
 
 Entry points: save_usd / load_usd dispatch on extension; save_usda /
 load_usda keep their original signatures.
@@ -404,15 +400,9 @@ def write_usda(stage: Stage) -> str:
 
 
 # --------------------------------------------------------------------------
-# .usdc crate container
-#
-# Layout follows the public crate container structure (pxr crateFile.cpp):
-# 88-byte bootstrap ("PXR-USDC" ident + version + toc offset), a TOC of
-# (name[16], start, size) sections, TOKENS / FIELDS / SPECS sections. The
-# value encoding here serializes this module's document model (typed python
-# values) with an explicit self-describing representation; structural
-# sections are uncompressed. With no USD runtime in the image, compatibility
-# is validated by round-trip; `load_usd` prefers pxr when importable.
+# .usdc crate container: public-layout encode/decode lives in usdc_crate.py.
+# Below: the version-dispatching entry points plus the LEGACY (round-3,
+# version 0.0.1) private container decoder kept for old files.
 # --------------------------------------------------------------------------
 
 _USDC_IDENT = b"PXR-USDC"
@@ -483,9 +473,17 @@ def _unpack_value(buf, pos):
 
 
 def write_usdc(stage: Stage, path) -> None:
-    """Serialize the stage into a crate-style container: bootstrap + TOC +
-    TOKENS (interned strings) + FIELDS (attribute payloads) + SPECS (prim
-    tree with field references)."""
+    """Serialize the stage as a crate file (public layout, version 0.2.0 —
+    see io/usdc_crate.py for the full encoding contract and its
+    validation caveats)."""
+    from momentum_tpu.io.usdc_crate import write_crate
+
+    write_crate(stage, path)
+
+
+def _write_usdc_legacy(stage: Stage, path) -> None:
+    """Round-3 private container format (version bytes 0.0.1): kept only so
+    old files remain decodable via `_read_usdc_legacy`; no longer written."""
     tokens = []
     tok_idx = {}
 
@@ -557,10 +555,21 @@ def write_usdc(stage: Stage, path) -> None:
 
 
 def read_usdc(path) -> Stage:
-    with open(path, "rb") as f:
-        buf = f.read()
+    if isinstance(path, bytes):
+        buf = path
+    else:
+        with open(path, "rb") as f:
+            buf = f.read()
     if buf[:8] != _USDC_IDENT:
         raise ValueError("not a usdc file (bad ident)")
+    if tuple(buf[8:11]) >= (0, 1, 0):
+        from momentum_tpu.io.usdc_crate import read_crate
+
+        return read_crate(buf)
+    return _read_usdc_legacy(buf)
+
+
+def _read_usdc_legacy(buf) -> Stage:
     toc_off = struct.unpack_from("<q", buf, 16)[0]
     nsec = struct.unpack_from("<q", buf, toc_off)[0]
     secs = {}

@@ -402,9 +402,9 @@ class TestUsd:
           TOKENS is an int64 count of NUL-terminated strings.
 
         No pxr runtime exists in this image to cross-read a golden file;
-        the VALUE payload encoding inside sections is module-private and
-        documented as such (momentum_tpu/io/usd.py header) — this pin
-        covers the container level a crate-aware tool parses first."""
+        the VALUE encoding now follows the public ValueRep layout too
+        (io/usdc_crate.py, tests/test_usdc_crate.py) — this pin covers the
+        container level a crate-aware tool parses first."""
         import struct
 
         from momentum_tpu.io.usd import save_usd
@@ -439,10 +439,12 @@ class TestUsd:
                               "PATHS", "SPECS"}
         assert {"TOKENS", "FIELDS", "SPECS"} <= set(names)
 
-        # payloads contiguous from the end of the bootstrap to the TOC
+        # sections ordered, non-overlapping, ending exactly at the TOC;
+        # the region [88, first section) is the out-of-line value data area
+        # (crate writes value payloads first, structural sections after)
         expect = 88
         for name, start, size in secs:
-            assert start == expect, (name, start, expect)
+            assert start >= expect, (name, start, expect)
             assert start + size <= toc_off
             expect = start + size
         assert expect == toc_off
