@@ -187,10 +187,12 @@ def main():
     # Compacted tail refinement (solver/compaction.py): run k_full full-batch
     # LM iterations, then r_refine more on only the worst-K elements (λ state
     # carried, so refined elements follow the exact LM-(k+r) iterate
-    # sequence). Measured: 18.2k solves/s @ the same 0.9844 conv as plain
-    # LM-6 (k=4/r=2/K=768); defaults keep a ≥1.3× capacity margin over the
-    # unconverged count. "off" or "0,0,0" disables.
-    refine_spec = os.environ.get("MOMENTUM_TPU_BENCH_REFINE", "4,2,1024")
+    # sequence). Round-4 sweep (benchmarks/bench_refine_experiment.py,
+    # docs/BENCHMARKS.md): k=5,r=6,K=128 → 16.5k solves/s @ 0.9971 conv@1e-5
+    # — chosen over 4,2,1024 (17.4k @ 0.9844) to clear BASELINE's "match
+    # converged residuals to 1e-5" with conv ≥ 0.99. "off" or "0,0,0"
+    # disables.
+    refine_spec = os.environ.get("MOMENTUM_TPU_BENCH_REFINE", "5,6,128")
     if refine_spec.lower() in ("off", "0", ""):
         refine = None
     else:

@@ -110,9 +110,14 @@ def main():
           flush=True)
     import sys
 
-    caps = tuple(int(a) for a in sys.argv[1:]) or (832, 896, 960, 1024)
+    caps = tuple(int(a) for a in sys.argv[1:]) or (128, 256, 1024)
     for cap in caps:
-        run(f"k=4 r=2 K={cap} (lam carry)", 4, 2, 0.01, cap)
+        # capacities below the unconverged-at-4 count (~760) only make
+        # sense with k >= 5; wide capacities sweep k=4 too
+        krs = ((5, 2), (5, 4), (5, 6), (6, 2), (6, 4)) if cap < 512 \
+            else ((4, 2), (4, 4), (4, 6), (5, 2), (5, 4))
+        for k, r in krs:
+            run(f"k={k} r={r} K={cap} (lam carry)", k, r, 0.01, cap)
 
 
 if __name__ == "__main__":
