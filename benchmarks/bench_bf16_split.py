@@ -72,25 +72,18 @@ def main():
 
     from momentum_tpu.solver import solve_compacted
 
-    def make_split(k_bf16, r_f32, refine=None):
-        @jax.jit
-        def run(targets_, x):
-            r1 = stage_bf16(x, k_bf16, None)
-            if refine is None:
-                return stage_f32(r1.params, r_f32, r1.lambda_final)
-            kf, rr, cap = refine
+    # k/r passed as TRACED scalars so ONE compile serves the whole sweep
+    # (verify-skill learning: tunnel compiles are the bottleneck)
+    @jax.jit
+    def run_split(targets_, x, k_bf16, r_f32):
+        del targets_
+        r1 = stage_bf16(x, k_bf16, None)
+        return stage_f32(r1.params, r_f32, r1.lambda_final)
 
-            def _stage(tg, xx, iters, lam0):
-                del tg
-                return stage_f32(xx, iters, lam0)
-
-            r2 = stage_f32(r1.params, kf, r1.lambda_final)
-            # compacted tail on the f32 stage
-            return solve_compacted(_stage, targets_, r2.params,
-                                   capacity=cap, k_full=0, r_refine=rr,
-                                   lambda0=r2.lambda_final,
-                                   init_error=r2.error)
-        return run
+    def make_split(k_bf16, r_f32):
+        k = jnp.asarray(k_bf16, jnp.int32)
+        r = jnp.asarray(r_f32, jnp.int32)
+        return lambda targets_, x: run_split(targets_, x, k, r)
 
     def bench(run, label):
         res = run(targets, x0)

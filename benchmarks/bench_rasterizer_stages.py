@@ -111,6 +111,25 @@ def main():
     ms, _ = timeit(do_raster0, screen)
     rec("raster0", ms, "big_capacity=0")
 
+    # --- Pallas plane kernel at the same shape -----------------------------
+    from momentum_tpu.ops.raster_pallas import (
+        raster_pallas_available, rasterize_planes)
+    if raster_pallas_available():
+        @jax.jit
+        def do_planes(screen):
+            return rasterize_planes(screen, faces, W, H, want_bary=True)
+
+        ms, _ = timeit(do_planes, screen)
+        rec("planes", ms, "pallas visibility+bary")
+
+        @jax.jit
+        def do_planes_fused(screen, verts):
+            return rasterize_planes(screen, faces, W, H, want_bary=False,
+                                    vertex_attrs=verts)
+
+        ms, _ = timeit(do_planes_fused, screen, verts)
+        rec("planesF", ms, "pallas + fused world-pos attrs")
+
     # --- scatter-min microbench at the same shapes ------------------------
     npix = H * W
     K = win
