@@ -18,8 +18,9 @@ rasterize_windowed) on TPU, whose profile was 113 ms of the 156 ms frame:
 keeps the whole (tile_px, faces) working set in VMEM and writes only the
 final per-pixel depth / face / barycentric / attribute images.
 
-Grid: (H/th, W/128) pixel tiles; faces padded to a 128 multiple. A
-612-face full-body mesh at 1280x960 runs one (512, 640) f32 working set
+Grid: (H/th, W/128) pixel tiles with th >= 8 (Mosaic requires the last
+two block dims divisible by (8, 128)); faces padded to a 128 multiple. A
+612-face full-body mesh at 1280x960 runs one (1024, 640) f32 working set
 per grid step. Cost is O(H*W*F) FLOPs but they are VPU/MXU flops at full
 tile utilization, not HBM scatter round-trips.
 
@@ -201,7 +202,7 @@ def _raster_call(planes, attr_tab, width, height, n_attr, want_bary,
 
 def rasterize_planes(verts_screen, faces, width: int, height: int,
                      vertex_attrs=None, face_attrs=None, valid=None,
-                     want_bary: bool = True, th: int = 4,
+                     want_bary: bool = True, th: int = 8,
                      interpret: bool | None = None):
     """Plane-based rasterization (+ fused attribute interpolation).
 
