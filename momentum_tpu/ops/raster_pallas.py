@@ -18,11 +18,19 @@ rasterize_windowed) on TPU, whose profile was 113 ms of the 156 ms frame:
 keeps the whole (tile_px, faces) working set in VMEM and writes only the
 final per-pixel depth / face / barycentric / attribute images.
 
-Grid: (H/th, W/128) pixel tiles with th >= 8 (Mosaic requires the last
-two block dims divisible by (8, 128)); faces padded to a 128 multiple. A
-612-face full-body mesh at 1280x960 runs one (1024, 640) f32 working set
-per grid step. Cost is O(H*W*F) FLOPs but they are VPU/MXU flops at full
-tile utilization, not HBM scatter round-trips.
+Grid: (H/th, W/128) pixel tiles; faces padded to a 128 multiple. The
+kernel works on a FLAT (th*128, F) pixels-by-faces layout: pixels live in
+sublanes, faces in lanes, so the visibility min and the one-hot attribute
+matmul are both lane-axis operations. Pixel coordinates are generated
+directly in that flat layout from one iota (x = col0 + n % 128,
+y = row0 + n // 128) — Mosaic cannot shape-cast an (8, 128) register
+block into (1024, 1), so there is deliberately NO reshape between the
+pixel-tile layout and the compute layout. Outputs are written tile-flat
+((gi, gj, th*128, 1) arrays) and un-tiled into (H, W) images by one cheap
+XLA transpose after the call. A 612-face full-body mesh at 1280x960 runs
+a (512, 640) f32 working set per grid step (th=4 default, ~8 MB peak of
+the ~16 MB VMEM). Cost is O(H*W*F) FLOPs but they are VPU/MXU flops at
+full tile utilization, not HBM scatter round-trips.
 
 Numerics match render.rasterize (same >= 0 edge convention, z > 0 clip,
 f32). Ties at equal depth resolve to the lowest face id (deterministic).
@@ -121,15 +129,16 @@ def attr_planes_from_face_const(num_faces, face_attr):
 
 def _kernel(planes_ref, attr_ref, depth_ref, face_ref, bary_ref, attr_out_ref,
             *, th, n_attr, want_bary):
-    # tile-local (x, y): lane = column, sublane row = image row
-    gi = jax.lax.broadcasted_iota(jnp.int32, (th, _LANES), 0)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (th, _LANES), 1)
+    # Flat pixel coordinates, generated directly in the (N, 1) compute
+    # layout (pixels in sublanes): n // 128 is the tile-local row, n % 128
+    # the column. No reshape from a (th, 128) register block — Mosaic
+    # rejects that shape cast (infer-vector-layout).
+    npx = th * _LANES
+    n = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
     row0 = pl.program_id(0) * th
     col0 = pl.program_id(1) * _LANES
-    x2 = (col0 + gj).astype(jnp.float32) + 0.5  # (th, LANES)
-    y2 = (row0 + gi).astype(jnp.float32) + 0.5
-    x = x2.reshape(th * _LANES, 1)
-    y = y2.reshape(th * _LANES, 1)
+    x = (col0 + (n % _LANES)).astype(jnp.float32) + 0.5  # (N, 1)
+    y = (row0 + (n // _LANES)).astype(jnp.float32) + 0.5
 
     pr = lambda k: planes_ref[k, :][None, :]  # (1, Fp)
     w0 = x * pr(0) + y * pr(1) + pr(2)
@@ -146,14 +155,15 @@ def _kernel(planes_ref, attr_ref, depth_ref, face_ref, bary_ref, attr_out_ref,
                    keepdims=True)
     oh = (fio == fmin) & hit  # strict one-hot: lowest face id at min depth
 
-    depth_ref[...] = zmin.reshape(th, _LANES)
-    face_ref[...] = jnp.where(fmin == _NOFACE, -1, fmin).reshape(th, _LANES)
+    # tile-flat writes: the out blocks are (1, 1, N, 1) / (C, 1, 1, N, 1),
+    # so only leading unit axes are added (layout-preserving in Mosaic)
+    depth_ref[...] = zmin[None, None]
+    face_ref[...] = jnp.where(fmin == _NOFACE, -1, fmin)[None, None]
 
     if want_bary:
         ohf = oh.astype(jnp.float32)
         for k, w in enumerate((w0, w1, w2)):
-            bary_ref[k] = jnp.sum(ohf * w, axis=1, keepdims=True
-                                  ).reshape(th, _LANES)
+            bary_ref[k] = jnp.sum(ohf * w, axis=1, keepdims=True)[None, None]
     if n_attr:
         ohf = oh.astype(jnp.float32)
         abc = jax.lax.dot_general(
@@ -162,7 +172,7 @@ def _kernel(planes_ref, attr_ref, depth_ref, face_ref, bary_ref, attr_out_ref,
         cp = attr_ref.shape[1] // 3
         vals = (abc[:, :cp] * x + abc[:, cp:2 * cp] * y + abc[:, 2 * cp:])
         for ch in range(n_attr):
-            attr_out_ref[ch] = vals[:, ch:ch + 1].reshape(th, _LANES)
+            attr_out_ref[ch] = vals[:, ch:ch + 1][None, None]
 
 
 @functools.partial(
@@ -173,22 +183,26 @@ def _raster_call(planes, attr_tab, width, height, n_attr, want_bary,
                  th, interpret):
     hp = height + ((-height) % th)
     wp = width + ((-width) % _LANES)
-    grid = (hp // th, wp // _LANES)
+    gi, gj = hp // th, wp // _LANES
+    npx = th * _LANES
     fp = planes.shape[1]
 
     kern = functools.partial(_kernel, th=th, n_attr=n_attr,
                              want_bary=want_bary)
+    # tile-flat outputs: block (.., N, 1) keeps the kernel's pixels-in-
+    # sublanes layout end to end; untile() below is one cheap XLA transpose
     out_shapes = [
-        jax.ShapeDtypeStruct((hp, wp), jnp.float32),   # depth
-        jax.ShapeDtypeStruct((hp, wp), jnp.int32),     # face
-        jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),  # bary
-        jax.ShapeDtypeStruct((max(n_attr, 1), hp, wp), jnp.float32),
+        jax.ShapeDtypeStruct((gi, gj, npx, 1), jnp.float32),   # depth
+        jax.ShapeDtypeStruct((gi, gj, npx, 1), jnp.int32),     # face
+        jax.ShapeDtypeStruct((3, gi, gj, npx, 1), jnp.float32),  # bary
+        jax.ShapeDtypeStruct((max(n_attr, 1), gi, gj, npx, 1), jnp.float32),
     ]
-    px_spec = pl.BlockSpec((th, _LANES), lambda i, j: (i, j))
-    ch_spec = lambda c: pl.BlockSpec((c, th, _LANES), lambda i, j: (0, i, j))
+    px_spec = pl.BlockSpec((1, 1, npx, 1), lambda i, j: (i, j, 0, 0))
+    ch_spec = lambda c: pl.BlockSpec((c, 1, 1, npx, 1),
+                                     lambda i, j: (0, i, j, 0, 0))
     depth, face, bary, attrs = pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(gi, gj),
         in_specs=[
             pl.BlockSpec((12, fp), lambda i, j: (0, 0)),
             pl.BlockSpec((fp, attr_tab.shape[1]), lambda i, j: (0, 0)),
@@ -197,12 +211,19 @@ def _raster_call(planes, attr_tab, width, height, n_attr, want_bary,
         out_shape=out_shapes,
         interpret=interpret,
     )(planes, attr_tab)
-    return depth, face, bary, attrs
+
+    def untile(a):
+        lead = a.shape[:-4]
+        a = a.reshape(lead + (gi, gj, th, _LANES))
+        a = jnp.swapaxes(a, -3, -2)
+        return a.reshape(lead + (hp, wp))
+
+    return untile(depth), untile(face), untile(bary), untile(attrs)
 
 
 def rasterize_planes(verts_screen, faces, width: int, height: int,
                      vertex_attrs=None, face_attrs=None, valid=None,
-                     want_bary: bool = True, th: int = 8,
+                     want_bary: bool = True, th: int = 4,
                      interpret: bool | None = None):
     """Plane-based rasterization (+ fused attribute interpolation).
 
