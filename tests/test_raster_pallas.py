@@ -59,6 +59,35 @@ def test_planes_fused_attributes():
     assert np.all(attrs[~hit] == 0.0)
 
 
+def test_planes_culled_matches_uncull():
+    # enough faces for several chunks; tiny chunk to exercise the skip mask
+    verts, faces, W, H = _random_scene(7, V=80, F=70, W=256, H=40)
+    rng = np.random.default_rng(8)
+    vattr = jnp.asarray(rng.normal(size=(verts.shape[0], 2)), jnp.float32)
+    fattr = jnp.asarray(rng.normal(size=(faces.shape[0], 1)), jnp.float32)
+    a = rasterize_planes(verts, faces, W, H, vertex_attrs=vattr,
+                         face_attrs=fattr, cull=False, interpret=True)
+    # bin_capacity=8 forces overflow tiles (full-scan fallback) as well as
+    # binned tiles; chunk=16 exercises the chunked overflow loop
+    b = rasterize_planes(verts, faces, W, H, vertex_attrs=vattr,
+                         face_attrs=fattr, cull=True, chunk=16, th=8,
+                         bin_capacity=8, interpret=True)
+    fa, fb = np.asarray(a["face"]), np.asarray(b["face"])
+    # tie-breaking at exactly equal depth may differ; everywhere else the
+    # winning face must agree
+    da, db = np.asarray(a["depth"]), np.asarray(b["depth"])
+    hit = fa >= 0
+    np.testing.assert_array_equal(hit, fb >= 0)
+    np.testing.assert_allclose(da[hit], db[hit], atol=1e-5)
+    same = fa == fb
+    ties = hit & ~same
+    assert np.all(np.abs(da[ties] - db[ties]) <= 1e-5)
+    np.testing.assert_allclose(np.asarray(a["bary"])[same & hit],
+                               np.asarray(b["bary"])[same & hit], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a["attrs"])[same & hit],
+                               np.asarray(b["attrs"])[same & hit], atol=1e-4)
+
+
 def test_planes_nonaligned_image_and_empty_scene():
     verts, faces, W, H = _random_scene(3, W=100, H=6)
     out = rasterize_planes(verts, faces, W, H, interpret=True)
