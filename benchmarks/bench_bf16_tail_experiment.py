@@ -45,11 +45,11 @@ import jax.numpy as jnp
 
 from momentum_tpu.errors import PositionErrorFunction
 from momentum_tpu.solver import SkeletonSolverFunction, SolverOptions
+from momentum_tpu.solver import solve_compacted
 from momentum_tpu.solver.gauss_newton import solve_levenberg_marquardt
 from momentum_tpu.testing.fixtures import create_fullbody_character
 
 BATCH = int(_os.environ.get("MOMENTUM_TPU_BENCH_BATCH", 2048))
-_BIG = 1e30
 
 
 def main():
@@ -93,19 +93,22 @@ def main():
     @functools.partial(jax.jit, static_argnames=("capacity", "use_bf16"))
     def solve_mixed(tg, x, k_lead, m_f32, r_ref, capacity: int,
                     use_bf16: bool):
-        if use_bf16:
-            res = stage_bf16(tg, x, k_lead, None)
-            res = stage_f32(tg, res.params, m_f32, res.lambda_final)
-        else:
-            res = stage_f32(tg, x, k_lead + m_f32, None)
-        if capacity > 0:
-            key = jnp.nan_to_num(res.error, nan=_BIG, posinf=_BIG)
-            _, idx = jax.lax.top_k(key, capacity)
-            res2 = stage_f32(tg[idx], res.params[idx], r_ref,
-                             res.lambda_final[idx])
-            params = res.params.at[idx].set(res2.params)
-            error = res.error.at[idx].set(res2.error)
-            return params, error
+        # The whole schedule runs through the PRODUCTION compaction path
+        # (solver/compaction.py solve_compacted — 3.0e38 sentinel, λ carry,
+        # converged bookkeeping) so the PROD baseline row literally executes
+        # bench.py's code; only the full-batch lead is swapped per schedule
+        # (solve_compacted passes lam0=None on the lead stage and the carried
+        # per-element λ on the refinement stage — a static branch here).
+        def stage(tg, x, iters, lam0):
+            if lam0 is None:  # full-batch lead
+                if use_bf16:
+                    res = stage_bf16(tg, x, k_lead, None)
+                    return stage_f32(tg, res.params, m_f32, res.lambda_final)
+                return stage_f32(tg, x, k_lead + m_f32, None)
+            return stage_f32(tg, x, iters, lam0)
+
+        res = solve_compacted(stage, tg, x, capacity=capacity,
+                              k_full=0, r_refine=r_ref)
         return res.params, res.error
 
     def sync(t):
@@ -128,8 +131,13 @@ def main():
 
     t0 = time.perf_counter()
     # production reference point: all-f32 5 full + 6 compacted @128
-    run("PROD f32 5 + 6@128", 5, 0, 6, 128, bf16=False)
+    # (capacity scaled below the production 128 only for small smoke batches)
+    cap = min(128, BATCH // 2)
+    run(f"PROD f32 5 + 6@{cap}", 5, 0, 6, cap, bf16=False)
     print(f"  [first compile took {time.perf_counter()-t0:.0f}s]", flush=True)
+    if _os.environ.get("MOMENTUM_TPU_BENCH_SMOKE"):
+        run("smoke mix bf16-3 + f32-2 + 6@cap", 3, 2, 6, cap)
+        return
 
     # pure split, no compaction: k bf16 + m f32, full batch both
     for k, m in ((3, 2), (3, 3), (4, 2), (4, 3), (5, 2)):
@@ -137,7 +145,7 @@ def main():
 
     # split + compacted f32 tail (the production schedule with bf16 lead)
     for k, m in ((2, 3), (3, 2), (3, 3), (4, 1), (4, 2), (5, 1)):
-        run(f"mix bf16-{k} + f32-{m} + 6@128", k, m, 6, 128)
+        run(f"mix bf16-{k} + f32-{m} + 6@{cap}", k, m, 6, cap)
 
 
 if __name__ == "__main__":
