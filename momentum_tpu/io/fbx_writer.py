@@ -115,42 +115,50 @@ def _ser_prop(p) -> bytes:
 
 # ---------------------------------------------------------------- records
 
-_NULL_RECORD = b"\x00" * 13
+_NULL_RECORD = b"\x00" * 13      # v7400: 3×u32 + u8 name-len sentinel
+_NULL_RECORD_BIG = b"\x00" * 25  # v7500+: 3×u64 + u8 (openfbx_loader.h reads
+                                 # both; the SDK emits 64-bit from 7.5)
 
 
-def _ser_node(node: _N, off: int) -> bytes:
-    """Serialize one node record at absolute file offset `off` (v7400 u32)."""
+def _ser_node(node: _N, off: int, big: bool = False) -> bytes:
+    """Serialize one node record at absolute file offset `off`.
+
+    big=False → v7400 u32 (EndOffset, NumProperties, PropertyListLen);
+    big=True  → v7500+ u64 record headers (the modern SDK layout the
+    reference's goldens use — character.fbx/motion.fbx are v7700)."""
     name = node.name.encode("utf-8")
     props = b"".join(_ser_prop(p) for p in node.props)
-    header_len = 13 + len(name)
+    header_len = (25 if big else 13) + len(name)
     child_off = off + header_len + len(props)
     children = b""
     if node.children:
         parts = []
         co = child_off
         for c in node.children:
-            b = _ser_node(c, co)
+            b = _ser_node(c, co, big)
             co += len(b)
             parts.append(b)
-        children = b"".join(parts) + _NULL_RECORD
+        children = b"".join(parts) + (_NULL_RECORD_BIG if big else _NULL_RECORD)
     end = off + header_len + len(props) + len(children)
-    return (struct.pack("<III", end, len(node.props), len(props))
+    fmt = "<QQQ" if big else "<III"
+    return (struct.pack(fmt, end, len(node.props), len(props))
             + bytes([len(name)]) + name + props + children)
 
 
-def _ser_document(top_nodes) -> bytes:
+def _ser_document(top_nodes, version: int = _VERSION) -> bytes:
+    big = version >= 7500
     out = bytearray(_MAGIC)
-    out += struct.pack("<I", _VERSION)
+    out += struct.pack("<I", version)
     off = len(out)
     for n in top_nodes:
-        b = _ser_node(n, off)
+        b = _ser_node(n, off, big)
         off += len(b)
         out += b
-    out += _NULL_RECORD
+    out += _NULL_RECORD_BIG if big else _NULL_RECORD
     # footer: unknown id + pad-to-16 + version + 120 zeros + closing magic
     out += bytes(16)
     out += bytes((16 - len(out) % 16) % 16)
-    out += struct.pack("<I", _VERSION)
+    out += struct.pack("<I", version)
     out += bytes(120)
     out += bytes.fromhex("f85a8c6a de f5 d9 7e ec e9 0c e3 75 8f 29 0b".replace(" ", ""))
     return bytes(out)
@@ -450,7 +458,8 @@ def _documents_node():
     ])
 
 
-def _write_document(path, objects, connections, fps: float) -> None:
+def _write_document(path, objects, connections, fps: float,
+                    version: int = _VERSION) -> None:
     doc = _header_nodes(fps) + [
         _documents_node(),
         _N("References"),
@@ -461,27 +470,33 @@ def _write_document(path, objects, connections, fps: float) -> None:
         _N("Takes", children=[_N("Current", [_p_str("")])]),
     ]
     with open(path, "wb") as f:
-        f.write(_ser_document(doc))
+        f.write(_ser_document(doc, version))
 
 
 def save_fbx_with_joint_params(path, character, joint_params=None,
-                               fps: float = 120.0) -> None:
+                               fps: float = 120.0,
+                               version: int = _VERSION) -> None:
     """Save character (+ optional per-frame joint parameters, (F, nJ·7)) as
-    binary FBX (fbx_io.h:100 saveFbxWithJointParams)."""
+    binary FBX (fbx_io.h:100 saveFbxWithJointParams).
+
+    version: 7400 (u32 record headers, widest importer support) or ≥7500
+    (u64 big headers — the modern SDK layout; the reference's goldens are
+    v7700)."""
     objects, connections = _build_scene(character, joint_params, fps)
-    _write_document(path, objects, connections, fps)
+    _write_document(path, objects, connections, fps, version)
 
 
-def save_fbx(path, character, motion=None, fps: float = 120.0) -> None:
+def save_fbx(path, character, motion=None, fps: float = 120.0,
+             version: int = _VERSION) -> None:
     """Save character with optional model-parameter motion (F, P), mapped
     through the parameter transform (fbx_io.h:77 saveFbx)."""
     jp = None
     if motion is not None:
         motion = np.asarray(motion, np.float32)
         jp = np.asarray(character.parameter_transform.apply(motion))
-    save_fbx_with_joint_params(path, character, jp, fps)
+    save_fbx_with_joint_params(path, character, jp, fps, version)
 
 
-def save_fbx_model(path, character) -> None:
+def save_fbx_model(path, character, version: int = _VERSION) -> None:
     """Save character rest data only (fbx_io.h:131 saveFbxModel)."""
-    save_fbx_with_joint_params(path, character, None)
+    save_fbx_with_joint_params(path, character, None, version=version)

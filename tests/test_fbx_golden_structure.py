@@ -162,6 +162,48 @@ def test_record_typecode_conventions_match_golden(golden, ours):
     assert not mismatches, mismatches
 
 
+@pytest.fixture(scope="module")
+def ours_big(tmp_path_factory):
+    """Writer output in the SDK's modern v7500+ 64-bit record layout
+    (version=7700, matching the golden's header width exactly)."""
+    from momentum_tpu.io.fbx_writer import save_fbx
+    from momentum_tpu.testing.fixtures import create_fullbody_character
+
+    char = create_fullbody_character()
+    rng = np.random.default_rng(0)
+    motion = rng.uniform(-0.2, 0.2,
+                         (4, char.num_model_parameters)).astype(np.float32)
+    path = tmp_path_factory.mktemp("fbx") / "ours_big.fbx"
+    save_fbx(str(path), char, motion=motion, version=7700)
+    return str(path), walk_fbx(str(path))
+
+
+def test_big_header_writer_walks_cleanly(ours_big):
+    """v7500+ output walks with u64 record-header arithmetic end-to-end —
+    the walker takes the `big` branch it validated on the SDK golden."""
+    _, (version, records) = ours_big
+    assert version == 7700
+    assert len(records) > 300
+
+
+def test_big_header_matches_small_header_structure(ours, ours_big):
+    """The 64-bit layout must be a pure container change: identical record
+    paths and typecode strings as the v7400 output of the same scene."""
+    _, (_, records_big) = ours_big
+    assert records_big == ours[1]
+
+
+def test_big_header_round_trips_through_parser(ours_big):
+    """The repo's own parser (io/fbx.py) loads the v7700 output — same
+    code path it uses for the SDK's v7700 goldens."""
+    path, _ = ours_big
+    from momentum_tpu.io.fbx import load_fbx
+
+    char = load_fbx(path)
+    assert char.skeleton.num_joints > 1
+    assert char.mesh is not None and len(np.asarray(char.mesh.vertices)) > 0
+
+
 def test_load_bearing_typecodes_exact(ours):
     """Pin the SDK conventions for the records OpenFBX keys on
     (openfbx_loader.h record handling): double arrays for geometry and
