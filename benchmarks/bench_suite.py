@@ -61,6 +61,25 @@ def _emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
+def _roofline_frac(flops_per_unit: float, bytes_per_unit: float,
+                   units_per_sec: float) -> dict:
+    """min(MXU, HBM) bound at this arithmetic intensity — same peaks as
+    bench.py's _roofline (v5e: 197 TFLOP/s bf16 MXU / 6 passes for
+    f32-highest matmul precision = 32.8 TF/s effective; 819 GB/s HBM).
+    flops/bytes are the IDEAL per-unit costs (no layout padding) so
+    roofline_frac states how far the shipped program is from a perfect
+    implementation, padding included in the gap."""
+    peak_flops = 197e12 / 6.0
+    peak_bw = 819e9
+    bound = min(peak_flops / flops_per_unit, peak_bw / bytes_per_unit)
+    return {
+        "roofline_units_per_sec": round(bound, 0),
+        "roofline_frac": round(units_per_sec / bound, 5),
+        "arithmetic_intensity_flops_per_byte": round(
+            flops_per_unit / bytes_per_unit, 1),
+    }
+
+
 def config1():
     """Single-frame position GN IK on the bundled test character."""
     import jax
@@ -323,10 +342,29 @@ def config4():
             _stage_4b, targets_b, x0, capacity=c4, k_full=k4, r_refine=r4))
     dt_b, res_b = _timeit(solve_b, x0_b, reps=3)
     err_b = jnp.sum((res_b.params - gt_b) ** 2, axis=-1)
+    # analytic roofline for the vertex-fit shape (VERDICT r4 #4): per GN
+    # iteration per element — K_infl masked point-Jacobian accumulations
+    # over the (C, 3, nJ·7) joint-space block (skinned_point_jacobian's
+    # influence loop), the dense PT chain matmul, JᵀJ/Jᵀr, and the damped
+    # factor+solve. Bytes: the (C, 3, nJ·7) accumulator r/w per influence
+    # (the dominant traffic), J in model space, JᵀJ ~3 passes.
+    c_rows = 3 * len(vid)
+    nj7 = char.skeleton.num_joints * 7
+    k_infl = int(char.skin_weights.index.shape[1])
+    iters_eq = (6.0 if refine_4b is None
+                else refine_4b[0] + refine_4b[1] * refine_4b[2] / b)
+    fl_it = (6.0 * k_infl * c_rows * nj7          # influence-loop assembly
+             + 2.0 * c_rows * nj7 * p             # PT chain matmul
+             + 2.0 * c_rows * p * p + 2 * c_rows * p   # JᵀJ + Jᵀr
+             + p ** 3 / 3 + 4.0 * p * p)          # factor + substitutions
+    by_it = (2.0 * k_infl * c_rows * nj7 * 4      # accumulator r/w
+             + 2.0 * c_rows * p * 4               # J write+read
+             + 3.0 * p * p * 4)                   # JᵀJ passes
+    roof_4b = _roofline_frac(fl_it * iters_eq, by_it * iters_eq, b / dt_b)
     _emit(config=4, metric="shape_pose_vertex_fit_batched", value=b / dt_b,
           unit="solves/s", batch=b, vertices=int(len(vid)), blend_shapes=k,
           refine=spec_4b if refine_4b else "off",
-          median_param_sq_err=float(jnp.median(err_b)))
+          median_param_sq_err=float(jnp.median(err_b)), **roof_4b)
     # A/B: same workload with the AD Jacobian (shows the analytic LBS
     # vertex-walk gain)
     fn_ad = SkeletonSolverFunction(char, (ef_b,), force_ad=True)
@@ -381,9 +419,23 @@ def config5(frames: int = 1024, fullbody: bool = False):
 
     solve = jax.jit(lambda pf, u: solve_sequence(fn, pf, u, opts))
     dt, res = _timeit(solve, pf0, u0, reps=3)
+    # analytic roofline for the banded sequence shape (VERDICT r4 #4): per
+    # frame per GN iteration — per-frame Jacobian/JᵀJ assembly, the
+    # block-tridiagonal factor (diag Cholesky p³/3 + off-diag triangular
+    # solve p³ + Schur update 2p³ — SPIKE adds only the small interface
+    # system), substitutions. Bytes: the (F, p, p) diag+off band blocks at
+    # ~4 passes (assemble, factor r/w, solve).
+    p_f = int(fn.num_per_frame)
+    r_rows = 3 * char.locators.num_locators
+    fl_fr = (2.0 * r_rows * p_f * p_f          # JᵀJ
+             + (10.0 / 3.0) * p_f ** 3          # factor + off-diag + Schur
+             + 6.0 * p_f * p_f)                 # substitutions
+    by_fr = 2.0 * p_f * p_f * 4 * 4             # diag+off blocks, ~4 passes
+    roof_5 = _roofline_frac(fl_fr * opts.max_iterations,
+                            by_fr * opts.max_iterations, frames / dt)
     _emit(config=5, metric="sequence_calibration_frames_per_sec",
           value=frames / dt, unit="frames/s", frames=frames,
-          fullbody=fullbody, error=float(res.error))
+          fullbody=fullbody, error=float(res.error), **roof_5)
 
 
 def config6():
