@@ -47,8 +47,10 @@ def build_fullbody_ik_problem(batch: int, seed: int = 0, noise: float = 0.05,
     rng = np.random.default_rng(seed)
     gt = jnp.asarray(
         rng.uniform(-0.3, 0.3, (batch, char.num_model_parameters)), jnp.float32)
-    states = jax.vmap(char.skeleton_states)(gt)
-    targets = jax.vmap(char.locators.world_positions)(states)
+    # jit the target synthesis: eagerly-dispatched vmapped FK costs minutes
+    # over the 25-30 ms/op axon tunnel at B=2048
+    states = jax.jit(jax.vmap(char.skeleton_states))(gt)
+    targets = jax.jit(jax.vmap(char.locators.world_positions))(states)
     ef0 = PositionErrorFunction.create(
         np.asarray(char.locators.parent),
         np.asarray(char.locators.offset),
