@@ -170,7 +170,7 @@ def main():
     def stage_factor(a):
         def body(i, a):
             _, (linvs, cols) = blocked_cholesky(a)
-            return a + EPS * cols[0][..., :1, :].swapaxes(-1, -2)
+            return a + EPS * cols[0][:, :1, :1]
         return jax.lax.fori_loop(0, N, body, a)
 
     report("D1 blocked_cholesky factor only", timeit(stage_factor, a0))

@@ -1,0 +1,153 @@
+"""Pallas TPU kernel for the batched damped-solve factorization.
+
+Round-5 stage budget (benchmarks/bench_lm_stage_budget.py, v5e, B=2048,
+n=160): the damped solve (math/linalg.psd_solve) costs 12.6 ms per LM
+iteration where the bandwidth bound is <1 ms. The time is op-count overhead:
+the unrolled 32-wide panel factorization alone is ~640 tiny XLA ops
+(32 column steps × ~4 ops × 5 panels), each a separate HBM-round-trip kernel
+on a (B, ≤32, 32) slab, plus the recursive triangular-inverse ops.
+
+`_panel_cholinv_call` replaces that op-storm: per 32×32 diagonal panel, one
+kernel computes Cholesky AND the triangular inverse in a **batch-in-lanes
+layout** (32, 32, B) — every column/row step is a full-width (32, 128) VPU
+op across 128 batch elements, so the serial column chain costs ~32 dependent
+rsqrt latencies per 128 problems. This is deliberately different from the
+two recorded kernel dead ends (ops/chol_pallas.py, docs/BENCHMARKS.md):
+those ran batch-major (bt, n, n) tiles, where the rank-1 chain at n=160 is
+VPU-flop-bound (full-square updates) and 32-wide panel math pays a 4×
+lane-padding tax. Batch-in-lanes removes both: lanes are batch (no pad) and
+the n³ syrk/l21 work stays OUT of the kernel, on the MXU via XLA batched
+matmuls, which the budget shows are near-bound already.
+
+Reference semantics: gauss_newton_solver.cpp:237-250 (Eigen::LLT per
+problem); this is its TPU shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["factor_pallas", "psd_solve_pallas", "psd_solve_pallas_available"]
+
+_PW = 32       # panel width (matches math/linalg._BLOCK)
+_LANES = 128   # batch elements per panel-kernel grid step
+
+
+def psd_solve_pallas_available(n: int, batch: int) -> bool:
+    """TPU, panelizable n, and a batch that fills the lane layout."""
+    if jax.default_backend() != "tpu":
+        return False
+    return batch % _LANES == 0 and batch >= _LANES and n >= 64
+
+
+# ---------------------------------------------------------------- panel kernel
+
+def _panel_kernel(a_ref, l_ref, inv_ref):
+    """Cholesky + lower-triangular inverse of one (32, 32, 128) panel batch.
+
+    Layout [i, j, b]: lanes are BATCH, so each of the 32 serial column steps
+    is a (32, 128) full-width VPU op. The trailing matrix stays symmetric
+    (full-square rank-1 downdate), so column j can be read as row j — no
+    lane-strided access anywhere."""
+    f32 = jnp.float32
+    s = a_ref[...]  # (32, 32, 128)
+    l = jnp.zeros_like(s)
+    # index masks built in-kernel (captured host constants are not allowed)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (_PW, 1), 0)
+    invs = []
+    for j in range(_PW):
+        col = s[:, j, :]  # (32, 128) == column j of the symmetric trailing
+        inv = jax.lax.rsqrt(jnp.maximum(col[j:j + 1, :], 1e-30))  # (1, 128)
+        c = col * inv * (ii >= j).astype(f32)
+        invs.append(inv)
+        l = l.at[:, j, :].set(c)
+        s = s - c[:, None, :] * c[None, :, :]
+    l_ref[...] = l
+
+    # triangular inverse, rows forward: Linv[r, c] =
+    #   (δ_rc − Σ_{k<r} L[r,k]·Linv[k,c]) / L[r,r].
+    # linv rows ≥ r are still zero, so the k-sum runs unmasked.
+    linv = jnp.zeros_like(l)
+    for r in range(_PW):
+        lr = l[r, :, :]  # (32, 128): L[r, k] over k
+        acc = jnp.sum(lr[:, None, :] * linv, axis=0)  # (32, 128) over c
+        linv = linv.at[r, :, :].set(((ii == r).astype(f32) - acc) * invs[r])
+    inv_ref[...] = linv
+
+
+def _panel_cholinv_call(a_t: jnp.ndarray, interpret: bool = False):
+    """a_t (32, 32, B) → (L_t, Linv_t), same layout."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = a_t.shape[-1]
+    spec = pl.BlockSpec((_PW, _PW, _LANES), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _panel_kernel,
+        grid=(b // _LANES,),
+        in_specs=[spec],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct(a_t.shape, a_t.dtype),
+                   jax.ShapeDtypeStruct(a_t.shape, a_t.dtype)),
+        interpret=interpret,
+    )(a_t)
+
+
+# ----------------------------------------------------------------- driver
+
+def factor_pallas(a: jnp.ndarray, interpret: bool = False):
+    """Blocked right-looking Cholesky of SPD a (B, n, n), n % 32 == 0.
+
+    Returns (linvs, cols) in the exact format of math/linalg
+    blocked_cholesky's factors (consumed by blocked_cholesky_solve): per
+    32-panel, one fused Pallas chol+inv kernel + two MXU matmuls in XLA."""
+    n = a.shape[-1]
+    nb = n // _PW
+    mm = jnp.matmul
+    cols = []
+    linvs = []
+    trail = a
+    for _ in range(nb):
+        dkk_t = jnp.transpose(trail[..., :_PW, :_PW], (1, 2, 0))
+        lkk_t, linv_t = _panel_cholinv_call(dkk_t, interpret=interpret)
+        lkk = jnp.transpose(lkk_t, (2, 0, 1))
+        linv = jnp.transpose(linv_t, (2, 0, 1))
+        a21 = trail[..., _PW:, :_PW]
+        l21 = mm(a21, jnp.swapaxes(linv, -1, -2))
+        cols.append(jnp.concatenate([lkk, l21], axis=-2))
+        linvs.append(linv)
+        a22 = trail[..., _PW:, _PW:]
+        trail = a22 - mm(l21, jnp.swapaxes(l21, -1, -2))
+    return linvs, cols
+
+
+def psd_solve_pallas(a: jnp.ndarray, b: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Drop-in psd_solve for (B, n, n) SPD `a`, rhs (B, n) or (B, n, k).
+
+    Caller guarantees psd_solve_pallas_available(n, B). n pads to a
+    32-multiple with an identity block (same embedding as math/linalg)."""
+    from momentum_tpu.math.linalg import blocked_cholesky_solve
+
+    vec = b.ndim == a.ndim - 1
+    rhs = b[..., None] if vec else b
+    n = a.shape[-1]
+    pad = (-n) % _PW
+    if pad:
+        bsz = a.shape[0]
+        ap = jnp.zeros((bsz, n + pad, n + pad), a.dtype)
+        ap = ap.at[:, :n, :n].set(a)
+        idx = jnp.arange(n, n + pad)
+        a = ap.at[:, idx, idx].set(1.0)
+        rhs = jnp.concatenate(
+            [rhs, jnp.zeros((bsz, pad) + rhs.shape[-1:], rhs.dtype)], axis=-2)
+    factors = factor_pallas(a, interpret=interpret)
+    x = blocked_cholesky_solve(None, factors, rhs)
+    x = x[..., :n, :]
+    return x[..., 0] if vec else x
