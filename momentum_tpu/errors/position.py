@@ -83,15 +83,23 @@ class PositionErrorFunction(VectorErrorFunction):
 
     def jacobian_model(self, character, ctx: EvalContext, jc, pt_mat):
         """Fused rows + d(rows)/d(model params) — never materializes the
-        joint-space Jacobian (analytic_jacobian.fused_point_jacobian_model)."""
-        from momentum_tpu.solver.analytic_jacobian import fused_point_jacobian_model
+        joint-space Jacobian (analytic_jacobian.fused_point_jacobian_model).
+        MOMENTUM_TPU_FUSED_STACKED selects the stacked-factor contraction
+        (one mask matmul; default 1 — round-5 A/B in docs/BENCHMARKS.md)."""
+        import os as _os
+
+        from momentum_tpu.solver.analytic_jacobian import (
+            fused_point_jacobian_model, fused_point_jacobian_model_stacked)
 
         states = jnp.take(ctx.skel_states, self.parent, axis=-2)
         world = ss.transform_points(states, self.offset)
         f = world - self.target
         sq = jnp.sum(f * f, axis=-1)
         scale = self._row_scale(self.cweight, sq)
-        j = fused_point_jacobian_model(jc, world, self.parent, pt_mat, scale=scale)
+        fused = (fused_point_jacobian_model_stacked
+                 if _os.environ.get("MOMENTUM_TPU_FUSED_STACKED", "1") != "0"
+                 else fused_point_jacobian_model)
+        j = fused(jc, world, self.parent, pt_mat, scale=scale)
         rows = (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
         j = j.reshape(j.shape[:-3] + (rows.shape[-1], pt_mat.shape[1]))
         return rows, j

@@ -47,49 +47,48 @@ def psd_solve_pallas_available(n: int, batch: int) -> bool:
 
 # ---------------------------------------------------------------- panel kernel
 
-def _panel_kernel(a_ref, l_ref, inv_ref):
-    """Cholesky + lower-triangular inverse of one (32, 32, 128) panel batch.
+def _panel_kernel(w, a_ref, l_ref, inv_ref):
+    """Cholesky + lower-triangular inverse of one (w, w, 128) panel batch.
 
-    Layout [i, j, b]: lanes are BATCH, so each of the 32 serial column steps
-    is a (32, 128) full-width VPU op. The trailing matrix stays symmetric
+    Layout [i, j, b]: lanes are BATCH, so each of the w serial column steps
+    is a (w, 128) full-width VPU op. The trailing matrix stays symmetric
     (full-square rank-1 downdate), so column j can be read as row j — no
     lane-strided access anywhere."""
     f32 = jnp.float32
-    s = a_ref[...]  # (32, 32, 128)
-    l = jnp.zeros_like(s)
-    # index masks built in-kernel (captured host constants are not allowed)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (_PW, 1), 0)
+    s = a_ref[...]  # (w, w, 128)
+    # index masks built in-kernel (captured host constants are not allowed);
+    # columns/rows are written straight into the output refs (value-level
+    # .at[].set lowers to scatter, which Mosaic does not implement)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
     invs = []
-    for j in range(_PW):
-        col = s[:, j, :]  # (32, 128) == column j of the symmetric trailing
+    for j in range(w):
+        col = s[:, j, :]  # (w, 128) == column j of the symmetric trailing
         inv = jax.lax.rsqrt(jnp.maximum(col[j:j + 1, :], 1e-30))  # (1, 128)
         c = col * inv * (ii >= j).astype(f32)
         invs.append(inv)
-        l = l.at[:, j, :].set(c)
+        l_ref[:, j, :] = c
         s = s - c[:, None, :] * c[None, :, :]
-    l_ref[...] = l
 
     # triangular inverse, rows forward: Linv[r, c] =
     #   (δ_rc − Σ_{k<r} L[r,k]·Linv[k,c]) / L[r,r].
     # linv rows ≥ r are still zero, so the k-sum runs unmasked.
-    linv = jnp.zeros_like(l)
-    for r in range(_PW):
-        lr = l[r, :, :]  # (32, 128): L[r, k] over k
-        acc = jnp.sum(lr[:, None, :] * linv, axis=0)  # (32, 128) over c
-        linv = linv.at[r, :, :].set(((ii == r).astype(f32) - acc) * invs[r])
-    inv_ref[...] = linv
+    inv_ref[...] = jnp.zeros_like(s)
+    for r in range(w):
+        lr = l_ref[r, :, :]  # (w, 128): L[r, k] over k
+        acc = jnp.sum(lr[:, None, :] * inv_ref[...], axis=0)  # (w,128) over c
+        inv_ref[r, :, :] = ((ii == r).astype(f32) - acc) * invs[r]
 
 
 def _panel_cholinv_call(a_t: jnp.ndarray, interpret: bool = False):
-    """a_t (32, 32, B) → (L_t, Linv_t), same layout."""
+    """a_t (w, w, B) → (L_t, Linv_t), same layout. w ∈ {32, 64}."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b = a_t.shape[-1]
-    spec = pl.BlockSpec((_PW, _PW, _LANES), lambda i: (0, 0, i),
+    w, _, b = a_t.shape
+    spec = pl.BlockSpec((w, w, _LANES), lambda i: (0, 0, i),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _panel_kernel,
+        functools.partial(_panel_kernel, w),
         grid=(b // _LANES,),
         in_specs=[spec],
         out_specs=(spec, spec),
@@ -101,30 +100,72 @@ def _panel_cholinv_call(a_t: jnp.ndarray, interpret: bool = False):
 
 # ----------------------------------------------------------------- driver
 
+def _panel_widths(n: int) -> list:
+    """64-wide super-panels + a 32 remainder: wider panels quarter the
+    trailing-update slices/ops and cut their HBM traffic ~5× at n=160
+    (Σ m² over trailing levels: 56320·B·8 bytes at w=32 vs 10240 at w=64)."""
+    w64 = int(__import__("os").environ.get("MOMENTUM_TPU_PSD_PW", 64))
+    widths = []
+    rem = n
+    while rem >= w64:
+        widths.append(w64)
+        rem -= w64
+    while rem:
+        widths.append(_PW)
+        rem -= _PW
+    return widths
+
+
 def factor_pallas(a: jnp.ndarray, interpret: bool = False):
     """Blocked right-looking Cholesky of SPD a (B, n, n), n % 32 == 0.
 
-    Returns (linvs, cols) in the exact format of math/linalg
-    blocked_cholesky's factors (consumed by blocked_cholesky_solve): per
-    32-panel, one fused Pallas chol+inv kernel + two MXU matmuls in XLA."""
+    Returns (linvs, cols, widths): per panel, the diagonal-block inverse
+    (B, w, w) and the column panel (B, n − off, w) of L — one fused Pallas
+    chol+inv kernel + two MXU matmuls in XLA per panel."""
     n = a.shape[-1]
-    nb = n // _PW
+    widths = _panel_widths(n)
     mm = jnp.matmul
     cols = []
     linvs = []
     trail = a
-    for _ in range(nb):
-        dkk_t = jnp.transpose(trail[..., :_PW, :_PW], (1, 2, 0))
+    for w in widths:
+        dkk_t = jnp.transpose(trail[..., :w, :w], (1, 2, 0))
         lkk_t, linv_t = _panel_cholinv_call(dkk_t, interpret=interpret)
         lkk = jnp.transpose(lkk_t, (2, 0, 1))
         linv = jnp.transpose(linv_t, (2, 0, 1))
-        a21 = trail[..., _PW:, :_PW]
+        a21 = trail[..., w:, :w]
         l21 = mm(a21, jnp.swapaxes(linv, -1, -2))
         cols.append(jnp.concatenate([lkk, l21], axis=-2))
         linvs.append(linv)
-        a22 = trail[..., _PW:, _PW:]
+        a22 = trail[..., w:, w:]
         trail = a22 - mm(l21, jnp.swapaxes(l21, -1, -2))
-    return linvs, cols
+    return linvs, cols, widths
+
+
+def _solve_panels(linvs, cols, widths, rhs):
+    """Blocked L Lᵀ x = rhs from mixed-width panel factors (the mixed-width
+    generalization of math/linalg blocked_cholesky_solve)."""
+    mm = jnp.matmul
+    nb = len(widths)
+    offs = np.concatenate([[0], np.cumsum(widths)]).astype(int)
+
+    def lblk(r, c):  # L block at panel-row r, panel-col c (r >= c)
+        off = offs[r] - offs[c]
+        return cols[c][..., off:off + widths[r], :]
+
+    ys = []
+    for k in range(nb):
+        b_k = rhs[..., offs[k]:offs[k + 1], :]
+        for j in range(k):
+            b_k = b_k - mm(lblk(k, j), ys[j])
+        ys.append(mm(linvs[k], b_k))
+    xs = [None] * nb
+    for k in reversed(range(nb)):
+        r = ys[k]
+        for j in range(k + 1, nb):
+            r = r - mm(jnp.swapaxes(lblk(j, k), -1, -2), xs[j])
+        xs[k] = mm(jnp.swapaxes(linvs[k], -1, -2), r)
+    return jnp.concatenate(xs, axis=-2)
 
 
 def psd_solve_pallas(a: jnp.ndarray, b: jnp.ndarray,
@@ -133,8 +174,6 @@ def psd_solve_pallas(a: jnp.ndarray, b: jnp.ndarray,
 
     Caller guarantees psd_solve_pallas_available(n, B). n pads to a
     32-multiple with an identity block (same embedding as math/linalg)."""
-    from momentum_tpu.math.linalg import blocked_cholesky_solve
-
     vec = b.ndim == a.ndim - 1
     rhs = b[..., None] if vec else b
     n = a.shape[-1]
@@ -147,7 +186,7 @@ def psd_solve_pallas(a: jnp.ndarray, b: jnp.ndarray,
         a = ap.at[:, idx, idx].set(1.0)
         rhs = jnp.concatenate(
             [rhs, jnp.zeros((bsz, pad) + rhs.shape[-1:], rhs.dtype)], axis=-2)
-    factors = factor_pallas(a, interpret=interpret)
-    x = blocked_cholesky_solve(None, factors, rhs)
+    linvs, cols, widths = factor_pallas(a, interpret=interpret)
+    x = _solve_panels(linvs, cols, widths, rhs)
     x = x[..., :n, :]
     return x[..., 0] if vec else x

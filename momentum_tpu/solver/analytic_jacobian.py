@@ -86,6 +86,48 @@ def vector_jacobian(jc: JacobianContext, vectors: jnp.ndarray, parents: jnp.ndar
     return j.reshape(j.shape[:-2] + (-1,))
 
 
+def fused_point_jacobian_model_stacked(jc: JacobianContext, points, parents,
+                                       pt_mat, scale=None):
+    """fused_point_jacobian_model with the four per-joint factors STACKED so
+    the constraint-side chain rule is ONE mask matmul + one elementwise
+    combine (round-5 stage budget: the jacobian stage ran at ~4× its
+    HBM bound, dominated by four separate J-sized mask contractions whose
+    outputs could not fuse; stacking contracts K=nJ once at N=12·P and the
+    ε/point combination happens in a single fused pointwise pass).
+
+    Factor slots k (each (..., nJ, 3, P)):
+      0: a_t  = transAxis·PT_t    (translation)
+      1: w_s  = t_j ⊗ pt6         (scale, joint-position part)
+      2: d_r  = rotAxis·PT_r      (rotation, crossed with p_c downstream)
+      3: q    = d_r × t_j         (rotation, joint-position part)
+    J = m@a_t + ln2·(p_c ⊗ m_pt6 − m@w_s) + (m@d_r) × p_c − m@q.
+    """
+    nj = jc.anc_mask.shape[0]
+    p_dim = pt_mat.shape[1]
+    ptj = pt_mat.reshape(nj, 7, p_dim)
+    mask = jnp.take(jc.anc_mask, parents, axis=1).T  # (C, nJ)
+    if scale is not None:
+        mask = mask * scale[..., :, None]
+    pt6 = ptj[:, 6]
+    m_pt6 = mask @ pt6  # (..., C, P)
+
+    a_t = jnp.einsum("...nij,njp->...nip", jc.trans_axis, ptj[:, :3])
+    w_s = jnp.einsum("...nv,np->...nvp", jc.joint_pos, pt6)
+    d_r = jnp.einsum("...nwk,nkp->...nwp", jc.rot_axis, ptj[:, 3:6])
+    q = jnp.cross(d_r, jc.joint_pos[..., :, :, None], axisa=-2, axisb=-2,
+                  axisc=-2)
+    f_cat = jnp.concatenate([a_t, w_s, d_r, q], axis=-2)  # (..., nJ, 12, P)
+    terms = jnp.einsum("...cn,...nkp->...ckp", mask, f_cat)
+    t_t = terms[..., 0:3, :]
+    t_ws = terms[..., 3:6, :]
+    h1 = terms[..., 6:9, :]
+    h2 = terms[..., 9:12, :]
+    term_s = _LN2 * (points[..., :, :, None] * m_pt6[..., :, None, :] - t_ws)
+    term_r = jnp.cross(h1, points[..., :, :, None], axisa=-2, axisb=-2,
+                       axisc=-2) - h2
+    return t_t + term_s + term_r
+
+
 def fused_point_jacobian_model(jc: JacobianContext, points, parents, pt_mat,
                                scale=None):
     """d(world point)/d(MODEL parameters) without materializing the

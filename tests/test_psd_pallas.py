@@ -27,13 +27,15 @@ def test_matches_psd_solve(rng, n):
                                np.asarray(x_ref) / scale, atol=2e-5)
 
 
-def test_factor_matches_blocked_cholesky(rng):
+def test_factor_matches_blocked_cholesky(rng, monkeypatch):
     from momentum_tpu.math.linalg import blocked_cholesky
 
+    monkeypatch.setenv("MOMENTUM_TPU_PSD_PW", "32")  # match XLA panel width
     b_sz, n = 128, 160
     j = rng.normal(size=(b_sz, n + 20, n)).astype(np.float32)
     a = jnp.einsum("brp,brq->bpq", j, j) + 0.5 * jnp.eye(n)
-    linvs_p, cols_p = factor_pallas(a, interpret=True)
+    linvs_p, cols_p, widths = factor_pallas(a, interpret=True)
+    assert widths == [32] * 5
     _, (linvs_x, cols_x) = blocked_cholesky(a)
     for cp, cx in zip(cols_p, cols_x):
         np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
