@@ -98,6 +98,88 @@ def _panel_cholinv_call(a_t: jnp.ndarray, interpret: bool = False):
     )(a_t)
 
 
+# ---------------------------------------------------------- substitution kernel
+
+_SUB_BT = 16  # batch tile: VMEM = Σ panel blocks ≈ 4 MB at n=160
+
+
+def _subst_kernel(widths, *refs):
+    """Blocked L Lᵀ x = b with every factor block VMEM-resident: replaces
+    ~30 HBM-round-trip XLA matvec ops with one kernel pass.
+
+    refs = linv_0..linv_{nb-1} (bt, w_k, w_k), col_0..col_{nb-1}
+    (bt, n − off_k, w_k), b_0..b_{nb-1} (bt, w_k) [rhs pre-split per panel —
+    avoids lane-dim slicing], then outputs x_0..x_{nb-1} (bt, w_k).
+    Matvecs run as VPU multiply+reduce (32-64 wide; MXU setup isn't worth
+    it at these shapes)."""
+    nb = len(widths)
+    offs = np.concatenate([[0], np.cumsum(widths)]).astype(int)
+    linvs = [refs[k][...] for k in range(nb)]
+    cols = [refs[nb + k][...] for k in range(nb)]
+    bs = [refs[2 * nb + k][...] for k in range(nb)]
+    outs = refs[3 * nb:]
+
+    def lblk(r, c):  # L block at panel-row r, panel-col c (r >= c)
+        off = offs[r] - offs[c]
+        return cols[c][:, off:off + widths[r], :]
+
+    def mv(m, v):  # (bt, a, b) @ (bt, b) -> (bt, a)
+        return jnp.sum(m * v[:, None, :], axis=-1)
+
+    def mv_t(m, v):  # mᵀ @ v contracting rows: (bt, a, b), (bt, a) -> (bt, b)
+        return jnp.sum(m * v[:, :, None], axis=-2)
+
+    ys = []
+    for k in range(nb):
+        rhs = bs[k]
+        for j in range(k):
+            rhs = rhs - mv(lblk(k, j), ys[j])
+        ys.append(mv(linvs[k], rhs))
+    xs = [None] * nb
+    for k in reversed(range(nb)):
+        rhs = ys[k]
+        for j in range(k + 1, nb):
+            rhs = rhs - mv_t(lblk(j, k), xs[j])
+        xs[k] = mv_t(linvs[k], rhs)
+    for k in range(nb):
+        outs[k][...] = xs[k]
+
+
+def _subst_call(linvs, cols, widths, b, interpret: bool = False):
+    """b (B, n) → x (B, n) from mixed-width panel factors."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, n = b.shape
+    nb = len(widths)
+    offs = np.concatenate([[0], np.cumsum(widths)]).astype(int)
+    bt = _SUB_BT if batch % _SUB_BT == 0 else _LANES
+
+    def bspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((bt,) + shape,
+                            (lambda i: (i, 0, 0)) if nd == 2 else
+                            (lambda i: (i, 0)),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = ([bspec((int(w), int(w))) for w in widths]
+                + [bspec((int(n - offs[k]), int(widths[k])))
+                   for k in range(nb)]
+                + [bspec((int(w),)) for w in widths])
+    out_specs = tuple(bspec((int(w),)) for w in widths)
+    b_split = [b[:, offs[k]:offs[k + 1]] for k in range(nb)]
+    xs = pl.pallas_call(
+        functools.partial(_subst_kernel, [int(w) for w in widths]),
+        grid=(batch // bt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=tuple(jax.ShapeDtypeStruct((batch, int(w)), b.dtype)
+                        for w in widths),
+        interpret=interpret,
+    )(*linvs, *cols, *b_split)
+    return jnp.concatenate(xs, axis=-1)
+
+
 # ----------------------------------------------------------------- driver
 
 def _panel_widths(n: int) -> list:
@@ -187,6 +269,15 @@ def psd_solve_pallas(a: jnp.ndarray, b: jnp.ndarray,
         rhs = jnp.concatenate(
             [rhs, jnp.zeros((bsz, pad) + rhs.shape[-1:], rhs.dtype)], axis=-2)
     linvs, cols, widths = factor_pallas(a, interpret=interpret)
-    x = _solve_panels(linvs, cols, widths, rhs)
+    # vector rhs goes through the fused substitution kernel; matrix rhs
+    # (rare in the solver) keeps the XLA blocked path
+    use_kernel = (vec and rhs.shape[-1] == 1
+                  and __import__("os").environ.get(
+                      "MOMENTUM_TPU_PSD_SUBST_PALLAS", "1") != "0")
+    if use_kernel:
+        x = _subst_call(linvs, cols, widths, rhs[..., 0],
+                        interpret=interpret)[..., None]
+    else:
+        x = _solve_panels(linvs, cols, widths, rhs)
     x = x[..., :n, :]
     return x[..., 0] if vec else x
