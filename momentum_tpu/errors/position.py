@@ -84,8 +84,10 @@ class PositionErrorFunction(VectorErrorFunction):
     def jacobian_model(self, character, ctx: EvalContext, jc, pt_mat):
         """Fused rows + d(rows)/d(model params) — never materializes the
         joint-space Jacobian (analytic_jacobian.fused_point_jacobian_model).
-        MOMENTUM_TPU_FUSED_STACKED selects the stacked-factor contraction
-        (one mask matmul; default 1 — round-5 A/B in docs/BENCHMARKS.md)."""
+        MOMENTUM_TPU_FUSED_STACKED=1 selects the stacked-factor contraction
+        (one mask matmul) — measured SLOWER (8.4 → 13.7 ms/iter, round-5 A/B
+        in docs/BENCHMARKS.md: the 12-slot concat is a J-sized copy and the
+        merged einsum loses the per-term fusion). Default 0; kept for A/B."""
         import os as _os
 
         from momentum_tpu.solver.analytic_jacobian import (
@@ -97,7 +99,7 @@ class PositionErrorFunction(VectorErrorFunction):
         sq = jnp.sum(f * f, axis=-1)
         scale = self._row_scale(self.cweight, sq)
         fused = (fused_point_jacobian_model_stacked
-                 if _os.environ.get("MOMENTUM_TPU_FUSED_STACKED", "1") != "0"
+                 if _os.environ.get("MOMENTUM_TPU_FUSED_STACKED", "0") != "0"
                  else fused_point_jacobian_model)
         j = fused(jc, world, self.parent, pt_mat, scale=scale)
         rows = (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))

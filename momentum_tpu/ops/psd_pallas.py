@@ -47,8 +47,12 @@ def psd_solve_pallas_available(n: int, batch: int) -> bool:
 
 # ---------------------------------------------------------------- panel kernel
 
-def _panel_kernel(w, a_ref, l_ref, inv_ref):
-    """Cholesky + lower-triangular inverse of one (w, w, 128) panel batch.
+def _panel_kernel(w, a_ref, inv_ref, l_scr):
+    """Triangular INVERSE of the Cholesky factor of one (w, w, 128) panel
+    batch — Linv is the only output the blocked solve ever reads (l21 comes
+    from a21·Linvᵀ and the off-diagonal substitution blocks from l21), so L
+    itself lives in scratch, keeping the kernel inside the 16 MB scoped-VMEM
+    budget at w=64 (an earlier two-output variant OOM'd by 1.4 MB).
 
     Layout [i, j, b]: lanes are BATCH, so each of the w serial column steps
     is a (w, 128) full-width VPU op. The trailing matrix stays symmetric
@@ -57,8 +61,8 @@ def _panel_kernel(w, a_ref, l_ref, inv_ref):
     f32 = jnp.float32
     s = a_ref[...]  # (w, w, 128)
     # index masks built in-kernel (captured host constants are not allowed);
-    # columns/rows are written straight into the output refs (value-level
-    # .at[].set lowers to scatter, which Mosaic does not implement)
+    # columns/rows are written straight into refs (value-level .at[].set
+    # lowers to scatter, which Mosaic does not implement)
     ii = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
     invs = []
     for j in range(w):
@@ -66,7 +70,7 @@ def _panel_kernel(w, a_ref, l_ref, inv_ref):
         inv = jax.lax.rsqrt(jnp.maximum(col[j:j + 1, :], 1e-30))  # (1, 128)
         c = col * inv * (ii >= j).astype(f32)
         invs.append(inv)
-        l_ref[:, j, :] = c
+        l_scr[:, j, :] = c
         s = s - c[:, None, :] * c[None, :, :]
 
     # triangular inverse, rows forward: Linv[r, c] =
@@ -74,13 +78,13 @@ def _panel_kernel(w, a_ref, l_ref, inv_ref):
     # linv rows ≥ r are still zero, so the k-sum runs unmasked.
     inv_ref[...] = jnp.zeros_like(s)
     for r in range(w):
-        lr = l_ref[r, :, :]  # (w, 128): L[r, k] over k
+        lr = l_scr[r, :, :]  # (w, 128): L[r, k] over k
         acc = jnp.sum(lr[:, None, :] * inv_ref[...], axis=0)  # (w,128) over c
         inv_ref[r, :, :] = ((ii == r).astype(f32) - acc) * invs[r]
 
 
 def _panel_cholinv_call(a_t: jnp.ndarray, interpret: bool = False):
-    """a_t (w, w, B) → (L_t, Linv_t), same layout. w ∈ {32, 64}."""
+    """a_t (w, w, B) → Linv_t, same layout. w ∈ {32, 64}."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -91,9 +95,9 @@ def _panel_cholinv_call(a_t: jnp.ndarray, interpret: bool = False):
         functools.partial(_panel_kernel, w),
         grid=(b // _LANES,),
         in_specs=[spec],
-        out_specs=(spec, spec),
-        out_shape=(jax.ShapeDtypeStruct(a_t.shape, a_t.dtype),
-                   jax.ShapeDtypeStruct(a_t.shape, a_t.dtype)),
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(a_t.shape, a_t.dtype),
+        scratch_shapes=[pltpu.VMEM((w, w, _LANES), jnp.float32)],
         interpret=interpret,
     )(a_t)
 
@@ -107,21 +111,22 @@ def _subst_kernel(widths, *refs):
     """Blocked L Lᵀ x = b with every factor block VMEM-resident: replaces
     ~30 HBM-round-trip XLA matvec ops with one kernel pass.
 
-    refs = linv_0..linv_{nb-1} (bt, w_k, w_k), col_0..col_{nb-1}
-    (bt, n − off_k, w_k), b_0..b_{nb-1} (bt, w_k) [rhs pre-split per panel —
-    avoids lane-dim slicing], then outputs x_0..x_{nb-1} (bt, w_k).
-    Matvecs run as VPU multiply+reduce (32-64 wide; MXU setup isn't worth
-    it at these shapes)."""
+    refs = linv_0..linv_{nb-1} (bt, w_k, w_k), l21_0..l21_{nb-2}
+    (bt, n − off_k − w_k, w_k) [the last panel has no sub-diagonal rows],
+    b_0..b_{nb-1} (bt, w_k) [rhs pre-split per panel — avoids lane-dim
+    slicing], then outputs x_0..x_{nb-1} (bt, w_k). Matvecs run as VPU
+    multiply+reduce (32-64 wide; MXU setup isn't worth it at these
+    shapes)."""
     nb = len(widths)
     offs = np.concatenate([[0], np.cumsum(widths)]).astype(int)
     linvs = [refs[k][...] for k in range(nb)]
-    cols = [refs[nb + k][...] for k in range(nb)]
-    bs = [refs[2 * nb + k][...] for k in range(nb)]
-    outs = refs[3 * nb:]
+    l21s = [refs[nb + k][...] for k in range(nb - 1)]
+    bs = [refs[2 * nb - 1 + k][...] for k in range(nb)]
+    outs = refs[3 * nb - 1:]
 
-    def lblk(r, c):  # L block at panel-row r, panel-col c (r >= c)
-        off = offs[r] - offs[c]
-        return cols[c][:, off:off + widths[r], :]
+    def lblk(r, c):  # L block at panel-row r > panel-col c
+        off = offs[r] - offs[c] - widths[c]
+        return l21s[c][:, off:off + widths[r], :]
 
     def mv(m, v):  # (bt, a, b) @ (bt, b) -> (bt, a)
         return jnp.sum(m * v[:, None, :], axis=-1)
@@ -145,7 +150,7 @@ def _subst_kernel(widths, *refs):
         outs[k][...] = xs[k]
 
 
-def _subst_call(linvs, cols, widths, b, interpret: bool = False):
+def _subst_call(linvs, l21s, widths, b, interpret: bool = False):
     """b (B, n) → x (B, n) from mixed-width panel factors."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -163,8 +168,8 @@ def _subst_call(linvs, cols, widths, b, interpret: bool = False):
                             memory_space=pltpu.VMEM)
 
     in_specs = ([bspec((int(w), int(w))) for w in widths]
-                + [bspec((int(n - offs[k]), int(widths[k])))
-                   for k in range(nb)]
+                + [bspec((int(n - offs[k + 1]), int(widths[k])))
+                   for k in range(nb - 1)]
                 + [bspec((int(w),)) for w in widths])
     out_specs = tuple(bspec((int(w),)) for w in widths)
     b_split = [b[:, offs[k]:offs[k + 1]] for k in range(nb)]
@@ -176,7 +181,7 @@ def _subst_call(linvs, cols, widths, b, interpret: bool = False):
         out_shape=tuple(jax.ShapeDtypeStruct((batch, int(w)), b.dtype)
                         for w in widths),
         interpret=interpret,
-    )(*linvs, *cols, *b_split)
+    )(*linvs, *l21s[:-1], *b_split)
     return jnp.concatenate(xs, axis=-1)
 
 
@@ -201,39 +206,40 @@ def _panel_widths(n: int) -> list:
 def factor_pallas(a: jnp.ndarray, interpret: bool = False):
     """Blocked right-looking Cholesky of SPD a (B, n, n), n % 32 == 0.
 
-    Returns (linvs, cols, widths): per panel, the diagonal-block inverse
-    (B, w, w) and the column panel (B, n − off, w) of L — one fused Pallas
-    chol+inv kernel + two MXU matmuls in XLA per panel."""
+    Returns (linvs, l21s, widths): per panel, the INVERSE of the diagonal
+    Cholesky block (B, w, w) and the sub-diagonal column panel
+    (B, n − off − w, w) of L — one fused Pallas chol+inv kernel + two MXU
+    matmuls in XLA per panel. (The diagonal block itself is never read by
+    the blocked substitutions, so it is not materialized.)"""
     n = a.shape[-1]
     widths = _panel_widths(n)
     mm = jnp.matmul
-    cols = []
+    l21s = []
     linvs = []
     trail = a
     for w in widths:
         dkk_t = jnp.transpose(trail[..., :w, :w], (1, 2, 0))
-        lkk_t, linv_t = _panel_cholinv_call(dkk_t, interpret=interpret)
-        lkk = jnp.transpose(lkk_t, (2, 0, 1))
+        linv_t = _panel_cholinv_call(dkk_t, interpret=interpret)
         linv = jnp.transpose(linv_t, (2, 0, 1))
         a21 = trail[..., w:, :w]
         l21 = mm(a21, jnp.swapaxes(linv, -1, -2))
-        cols.append(jnp.concatenate([lkk, l21], axis=-2))
+        l21s.append(l21)
         linvs.append(linv)
         a22 = trail[..., w:, w:]
         trail = a22 - mm(l21, jnp.swapaxes(l21, -1, -2))
-    return linvs, cols, widths
+    return linvs, l21s, widths
 
 
-def _solve_panels(linvs, cols, widths, rhs):
+def _solve_panels(linvs, l21s, widths, rhs):
     """Blocked L Lᵀ x = rhs from mixed-width panel factors (the mixed-width
     generalization of math/linalg blocked_cholesky_solve)."""
     mm = jnp.matmul
     nb = len(widths)
     offs = np.concatenate([[0], np.cumsum(widths)]).astype(int)
 
-    def lblk(r, c):  # L block at panel-row r, panel-col c (r >= c)
-        off = offs[r] - offs[c]
-        return cols[c][..., off:off + widths[r], :]
+    def lblk(r, c):  # L block at panel-row r > panel-col c
+        off = offs[r] - offs[c] - widths[c]
+        return l21s[c][..., off:off + widths[r], :]
 
     ys = []
     for k in range(nb):

@@ -34,11 +34,11 @@ def test_factor_matches_blocked_cholesky(rng, monkeypatch):
     b_sz, n = 128, 160
     j = rng.normal(size=(b_sz, n + 20, n)).astype(np.float32)
     a = jnp.einsum("brp,brq->bpq", j, j) + 0.5 * jnp.eye(n)
-    linvs_p, cols_p, widths = factor_pallas(a, interpret=True)
+    linvs_p, l21s_p, widths = factor_pallas(a, interpret=True)
     assert widths == [32] * 5
     _, (linvs_x, cols_x) = blocked_cholesky(a)
-    for cp, cx in zip(cols_p, cols_x):
-        np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
+    for lp, cx in zip(l21s_p, cols_x):  # cols_x = [lkk; l21]
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(cx)[..., 32:, :],
                                    rtol=2e-3, atol=2e-4)
     for ip, ix in zip(linvs_p, linvs_x):
         np.testing.assert_allclose(np.asarray(ip), np.asarray(ix),
