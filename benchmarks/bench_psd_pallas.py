@@ -64,8 +64,24 @@ def main():
             return jax.lax.fori_loop(0, N, body, (a, b))
         return run
 
-    for name, solver in (("XLA blocked psd_solve", psd_solve),
-                         ("Pallas panel factor+XLA subst", psd_solve_pallas)):
+    from momentum_tpu.math.linalg import blocked_cholesky, blocked_cholesky_solve
+
+    def psd_solve_xla(a, b):
+        # the pre-round-5 XLA blocked path, bypassing the Pallas dispatch
+        pad = (-a.shape[-1]) % 32
+        bsz, nn = a.shape[0], a.shape[-1]
+        ap = jnp.zeros((bsz, nn + pad, nn + pad), a.dtype)
+        ap = ap.at[:, :nn, :nn].set(a)
+        idx = jnp.arange(nn, nn + pad)
+        ap = ap.at[:, idx, idx].set(1.0)
+        rhs = jnp.concatenate([b, jnp.zeros((bsz, pad), b.dtype)], -1)[..., None]
+        _, factors = blocked_cholesky(ap)
+        return blocked_cholesky_solve(None, factors, rhs)[..., :nn, 0]
+
+    pw = _os.environ.get("MOMENTUM_TPU_PSD_PW", "64")
+    for name, solver in (("XLA blocked psd_solve", psd_solve_xla),
+                         (f"Pallas panels w={pw} + subst kernel",
+                          psd_solve_pallas)):
         run = chain(solver)
         out = run(a, b)
         float(jnp.sum(out[1]))

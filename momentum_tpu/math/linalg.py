@@ -19,7 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["psd_solve", "blocked_cholesky", "blocked_cholesky_solve"]
+__all__ = ["psd_solve", "damped_psd_solve", "blocked_cholesky",
+           "blocked_cholesky_solve"]
 
 _BLOCK = int(__import__("os").environ.get("MOMENTUM_TPU_CHOL_BLOCK", 32))
 # below this size XLA's native path wins (fewer dispatches)
@@ -153,6 +154,27 @@ def blocked_cholesky_solve(l_or_factors, linvs, b: jnp.ndarray,
             rhs = rhs - mm(jnp.swapaxes(lblk(j, k), -1, -2), xs[j])
         xs[k] = mm(jnp.swapaxes(linvs[k], -1, -2), rhs)
     return jnp.concatenate(xs, axis=-2)
+
+
+def damped_psd_solve(a: jnp.ndarray, damp_diag: jnp.ndarray,
+                     b: jnp.ndarray) -> jnp.ndarray:
+    """Solve (a + diag(damp_diag)) x = b for SPD a (..., n, n).
+
+    On the batched TPU fast path the damping folds into the factorization's
+    pad copy (ops/psd_pallas.py), saving the explicit a+diag materialization
+    pass (~2·n²·B·4 bytes of HBM per LM iteration at the bench shape)."""
+    n = a.shape[-1]
+    if (n >= _BLOCKED_MIN_N and a.ndim == 3
+            and __import__("os").environ.get("MOMENTUM_TPU_PSD_PALLAS", "1")
+            != "0"):
+        from momentum_tpu.ops.psd_pallas import (
+            psd_solve_pallas, psd_solve_pallas_available)
+
+        if psd_solve_pallas_available(n, a.shape[0]):
+            dd = jnp.broadcast_to(damp_diag, a.shape[:-1]).astype(a.dtype)
+            return psd_solve_pallas(a, b, damp_diag=dd)
+    eye = jnp.eye(n, dtype=a.dtype)
+    return psd_solve(a + damp_diag[..., None] * eye, b)
 
 
 def psd_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -75,11 +75,15 @@ def _panel_kernel(w, a_ref, inv_ref, l_scr):
 
     # triangular inverse, rows forward: Linv[r, c] =
     #   (δ_rc − Σ_{k<r} L[r,k]·Linv[k,c]) / L[r,r].
-    # linv rows ≥ r are still zero, so the k-sum runs unmasked.
+    # the k-sum reads only the rows already built (static triangular slices
+    # halve the VPU work vs a full-matrix sum).
     inv_ref[...] = jnp.zeros_like(s)
     for r in range(w):
-        lr = l_scr[r, :, :]  # (w, 128): L[r, k] over k
-        acc = jnp.sum(lr[:, None, :] * inv_ref[...], axis=0)  # (w,128) over c
+        if r == 0:
+            inv_ref[0, :, :] = (ii == 0).astype(f32) * invs[0]
+            continue
+        lr = l_scr[r, :r, :]  # (r, 128): L[r, k] over k < r
+        acc = jnp.sum(lr[:, None, :] * inv_ref[:r, :, :], axis=0)  # (w, 128)
         inv_ref[r, :, :] = ((ii == r).astype(f32) - acc) * invs[r]
 
 
@@ -197,9 +201,11 @@ def _panel_widths(n: int) -> list:
     while rem >= w64:
         widths.append(w64)
         rem -= w64
-    while rem:
+    while rem >= _PW:
         widths.append(_PW)
         rem -= _PW
+    if rem:  # n is a multiple of 8 (pad guarantees 32); ragged tail panel
+        widths.append(rem)
     return widths
 
 
@@ -257,15 +263,21 @@ def _solve_panels(linvs, l21s, widths, rhs):
 
 
 def psd_solve_pallas(a: jnp.ndarray, b: jnp.ndarray,
+                     damp_diag: jnp.ndarray | None = None,
                      interpret: bool = False) -> jnp.ndarray:
     """Drop-in psd_solve for (B, n, n) SPD `a`, rhs (B, n) or (B, n, k).
 
     Caller guarantees psd_solve_pallas_available(n, B). n pads to a
-    32-multiple with an identity block (same embedding as math/linalg)."""
+    32-multiple with an identity block (same embedding as math/linalg).
+    damp_diag (B, n) optionally adds per-element diagonal damping — folded
+    into the pad copy, so the LM damping costs no extra HBM pass."""
     vec = b.ndim == a.ndim - 1
     rhs = b[..., None] if vec else b
     n = a.shape[-1]
     pad = (-n) % _PW
+    if damp_diag is not None:
+        eye = jnp.eye(n, dtype=a.dtype)
+        a = a + damp_diag[..., None] * eye  # fuses into the pad copy below
     if pad:
         bsz = a.shape[0]
         ap = jnp.zeros((bsz, n + pad, n + pad), a.dtype)

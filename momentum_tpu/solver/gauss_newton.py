@@ -36,7 +36,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from momentum_tpu.math.linalg import psd_solve
+from momentum_tpu.math.linalg import damped_psd_solve, psd_solve
 
 __all__ = ["SolverOptions", "SolveResult", "solve_gauss_newton",
            "solve_gauss_newton_cg", "solve_levenberg_marquardt",
@@ -326,8 +326,8 @@ def solve_gauss_newton(
             if enabled_mask is not None:
                 jtj = jtj * (mask[:, None] * mask[None, :])
                 jtr = jtr * mask
-            a = jtj + (opts.regularization + (1.0 - mask)) * jnp.eye(p, dtype=x.dtype)
-            delta = psd_solve(a, jtr) * mask
+            delta = damped_psd_solve(
+                jtj, opts.regularization + (1.0 - mask), jtr) * mask
             err = sq if opts.energy_from_residual else error_fn(x)
         else:
             rows, jt = _jacobian(residual_fn, x, jacobian_fn)
@@ -338,8 +338,8 @@ def solve_gauss_newton(
             else:
                 jtj = jnp.einsum("...pr,...qr->...pq", jt, jt)
                 jtr = jnp.einsum("...pr,...r->...p", jt, rows)
-                a = jtj + (opts.regularization + (1.0 - mask)) * jnp.eye(p, dtype=x.dtype)
-                delta = psd_solve(a, jtr)
+                delta = damped_psd_solve(
+                    jtj, opts.regularization + (1.0 - mask), jtr)
                 delta = delta * mask
             err = jnp.sum(rows * rows, axis=-1) if opts.energy_from_residual else error_fn(x)
         if opts.verbose:
@@ -454,8 +454,7 @@ def solve_levenberg_marquardt(
         damp = lam[..., None] if batched else lam
         damp_diag = damp * jnp.maximum(diag, 1e-12) \
             + opts.regularization + (1.0 - mask)
-        a = jtj + damp_diag[..., None] * jnp.eye(p, dtype=jtj.dtype)
-        return psd_solve(a, jtr) * mask
+        return damped_psd_solve(jtj, damp_diag, jtr) * mask
 
     def _step(x, rows, jt, lam):
         """One damped step from the factorization at x."""
@@ -469,8 +468,7 @@ def solve_levenberg_marquardt(
         else:
             jtj = jnp.einsum("...pr,...qr->...pq", jt, jt)
             jtr = jnp.einsum("...pr,...r->...p", jt, rows)
-            a = jtj + damp_diag[..., None] * jnp.eye(p, dtype=x.dtype)
-            delta = psd_solve(a, jtr) * mask
+            delta = damped_psd_solve(jtj, damp_diag, jtr) * mask
         return x - delta
 
     # Note: a variant that carries (rows, Jᵀ) in the loop so the trial
