@@ -91,16 +91,22 @@ class PositionErrorFunction(VectorErrorFunction):
         import os as _os
 
         from momentum_tpu.solver.analytic_jacobian import (
-            fused_point_jacobian_model, fused_point_jacobian_model_stacked)
+            fused_point_jacobian_model, fused_point_jacobian_model_merged,
+            fused_point_jacobian_model_stacked)
 
         states = jnp.take(ctx.skel_states, self.parent, axis=-2)
         world = ss.transform_points(states, self.offset)
         f = world - self.target
         sq = jnp.sum(f * f, axis=-1)
         scale = self._row_scale(self.cweight, sq)
-        fused = (fused_point_jacobian_model_stacked
-                 if _os.environ.get("MOMENTUM_TPU_FUSED_STACKED", "0") != "0"
-                 else fused_point_jacobian_model)
+        if _os.environ.get("MOMENTUM_TPU_FUSED_STACKED", "0") != "0":
+            fused = fused_point_jacobian_model_stacked
+        elif _os.environ.get("MOMENTUM_TPU_FUSED_MERGED", "1") != "0":
+            # two mask matmuls instead of four (linearity reassociation);
+            # round-5 A/B in docs/BENCHMARKS.md
+            fused = fused_point_jacobian_model_merged
+        else:
+            fused = fused_point_jacobian_model
         j = fused(jc, world, self.parent, pt_mat, scale=scale)
         rows = (scale[..., None] * f).reshape(f.shape[:-2] + (-1,))
         j = j.reshape(j.shape[:-3] + (rows.shape[-1], pt_mat.shape[1]))

@@ -86,6 +86,41 @@ def vector_jacobian(jc: JacobianContext, vectors: jnp.ndarray, parents: jnp.ndar
     return j.reshape(j.shape[:-2] + (-1,))
 
 
+def fused_point_jacobian_model_merged(jc: JacobianContext, points, parents,
+                                      pt_mat, scale=None):
+    """fused_point_jacobian_model with the translation / scale-position /
+    rotation-position factors MERGED by linearity into one per-joint factor
+    before the mask contraction:
+
+        J = m@(a_t − ln2·w_s − q) + (m@d_r) × p_c + ln2·p_c ⊗ m_pt6
+
+    → TWO J-sized mask matmuls instead of four (the elementwise merge fuses
+    into the dot's operand read), halving both the contraction flops and the
+    J-sized intermediate traffic. Mathematically identical reassociation.
+    """
+    nj = jc.anc_mask.shape[0]
+    p_dim = pt_mat.shape[1]
+    ptj = pt_mat.reshape(nj, 7, p_dim)
+    mask = jnp.take(jc.anc_mask, parents, axis=1).T  # (C, nJ)
+    if scale is not None:
+        mask = mask * scale[..., :, None]
+    pt6 = ptj[:, 6]
+    m_pt6 = mask @ pt6  # (..., C, P)
+
+    a_t = jnp.einsum("...nij,njp->...nip", jc.trans_axis, ptj[:, :3])
+    w_s = jnp.einsum("...nv,np->...nvp", jc.joint_pos, pt6)
+    d_r = jnp.einsum("...nwk,nkp->...nwp", jc.rot_axis, ptj[:, 3:6])
+    q = jnp.cross(d_r, jc.joint_pos[..., :, :, None], axisa=-2, axisb=-2,
+                  axisc=-2)
+    g1 = a_t - _LN2 * w_s - q
+    t1 = jnp.einsum("...cn,...nvp->...cvp", mask, g1)
+    h1 = jnp.einsum("...cn,...nwp->...cwp", mask, d_r)
+    term_r = jnp.cross(h1, points[..., :, :, None], axisa=-2, axisb=-2,
+                       axisc=-2)
+    return (t1 + term_r
+            + _LN2 * points[..., :, :, None] * m_pt6[..., :, None, :])
+
+
 def fused_point_jacobian_model_stacked(jc: JacobianContext, points, parents,
                                        pt_mat, scale=None):
     """fused_point_jacobian_model with the four per-joint factors STACKED so
