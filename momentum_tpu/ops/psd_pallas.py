@@ -271,10 +271,16 @@ def psd_solve_pallas(a: jnp.ndarray, b: jnp.ndarray,
     32-multiple with an identity block (same embedding as math/linalg).
     damp_diag (B, n) optionally adds per-element diagonal damping — folded
     into the pad copy, so the LM damping costs no extra HBM pass."""
+    import os as _os
+
     vec = b.ndim == a.ndim - 1
     rhs = b[..., None] if vec else b
     n = a.shape[-1]
-    pad = (-n) % _PW
+    # no-pad mode: skip the (B, n→n32, n→n32) embedding copy entirely and
+    # let the LAST panel be ragged (Mosaic masks sub-tile block shapes);
+    # the damping add then fuses into the panel slices instead of the copy
+    pad = 0 if _os.environ.get("MOMENTUM_TPU_PSD_NOPAD", "0") != "0" \
+        else (-n) % _PW
     if damp_diag is not None:
         eye = jnp.eye(n, dtype=a.dtype)
         a = a + damp_diag[..., None] * eye  # fuses into the pad copy below

@@ -46,6 +46,21 @@ _FLT_EPS = float(jnp.finfo(jnp.float32).eps)
 _FLT_MIN = float(jnp.finfo(jnp.float32).tiny)
 
 
+def _jtj_precision():
+    """Matmul precision for the JᵀJ/Jᵀr contractions only (residuals and
+    Jacobian assembly keep the package-wide `highest`). The normal matrix
+    feeds a λ-damped factorization, so 3-pass bf16 ("high") noise is
+    absorbed by the damping — A/B'd on the driver bench before defaulting
+    (docs/BENCHMARKS.md round 5). MOMENTUM_TPU_JTJ_PRECISION ∈
+    {highest, high, default}."""
+    import os
+
+    name = os.environ.get("MOMENTUM_TPU_JTJ_PRECISION", "highest")
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[name]
+
+
 @dataclasses.dataclass(frozen=True)
 class SolverOptions:
     """Static solver configuration (solver.h:19-34 + gauss_newton_solver.h:17-30)."""
@@ -336,7 +351,8 @@ def solve_gauss_newton(
                 damp = jnp.broadcast_to(opts.regularization + (1.0 - mask), x.shape)
                 delta = _qr_step(jt, rows, damp, mask)
             else:
-                jtj = jnp.einsum("...pr,...qr->...pq", jt, jt)
+                jtj = jnp.einsum("...pr,...qr->...pq", jt, jt,
+                                  precision=_jtj_precision())
                 jtr = jnp.einsum("...pr,...r->...p", jt, rows)
                 delta = damped_psd_solve(
                     jtj, opts.regularization + (1.0 - mask), jtr)
@@ -466,7 +482,8 @@ def solve_levenberg_marquardt(
         if opts.linear_solver == "qr":
             delta = _qr_step(jt, rows, damp_diag, mask)
         else:
-            jtj = jnp.einsum("...pr,...qr->...pq", jt, jt)
+            jtj = jnp.einsum("...pr,...qr->...pq", jt, jt,
+                              precision=_jtj_precision())
             jtr = jnp.einsum("...pr,...r->...p", jt, rows)
             delta = damped_psd_solve(jtj, damp_diag, jtr) * mask
         return x - delta
