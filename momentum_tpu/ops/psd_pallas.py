@@ -39,10 +39,13 @@ _LANES = 128   # batch elements per panel-kernel grid step
 
 
 def psd_solve_pallas_available(n: int, batch: int) -> bool:
-    """TPU, panelizable n, and a batch that fills the lane layout."""
+    """TPU, panelizable n, and a batch that fills (or half-fills) the lane
+    layout — 64-lane chunks still beat the XLA op-storm (the sequence
+    solver's SPIKE locals run batched (parts=64, p, p) factorizations
+    inside a scan)."""
     if jax.default_backend() != "tpu":
         return False
-    return batch % _LANES == 0 and batch >= _LANES and n >= 64
+    return batch % 64 == 0 and batch >= 64 and n >= 64
 
 
 # ---------------------------------------------------------------- panel kernel
@@ -93,15 +96,16 @@ def _panel_cholinv_call(a_t: jnp.ndarray, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     w, _, b = a_t.shape
-    spec = pl.BlockSpec((w, w, _LANES), lambda i: (0, 0, i),
+    lanes = _LANES if b % _LANES == 0 else 64
+    spec = pl.BlockSpec((w, w, lanes), lambda i: (0, 0, i),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_panel_kernel, w),
-        grid=(b // _LANES,),
+        grid=(b // lanes,),
         in_specs=[spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(a_t.shape, a_t.dtype),
-        scratch_shapes=[pltpu.VMEM((w, w, _LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((w, w, lanes), jnp.float32)],
         interpret=interpret,
     )(a_t)
 
