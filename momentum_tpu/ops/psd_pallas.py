@@ -45,7 +45,7 @@ def psd_solve_pallas_available(n: int, batch: int) -> bool:
     inside a scan)."""
     if jax.default_backend() != "tpu":
         return False
-    return batch % 64 == 0 and batch >= 64 and n >= 64
+    return batch % 32 == 0 and batch >= 32 and n >= 64
 
 
 # ---------------------------------------------------------------- panel kernel
@@ -96,7 +96,9 @@ def _panel_cholinv_call(a_t: jnp.ndarray, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     w, _, b = a_t.shape
-    lanes = _LANES if b % _LANES == 0 else 64
+    # underfilled lanes waste VPU width but still beat the XLA op-storm —
+    # the SPIKE sequence locals factor (parts=32, p, p) blocks inside a scan
+    lanes = next(c for c in (_LANES, 64, 32) if b % c == 0)
     spec = pl.BlockSpec((w, w, lanes), lambda i: (0, 0, i),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(

@@ -96,25 +96,38 @@ def face_planes(verts_screen, faces, valid=None):
     bx, by, bz = tri[:, 1, 0], tri[:, 1, 1], tri[:, 1, 2]
     cx, cy, cz = tri[:, 2, 0], tri[:, 2, 1], tri[:, 2, 2]
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    ok = jnp.abs(area) > 1e-12
+    ok = jnp.isfinite(area) & (jnp.abs(area) > 1e-12)
+    # absurd screen coordinates (grazing projections divide by z ≈ 0) are
+    # killed outright — same 1e7 limit as the binning's bbox cull, so the
+    # binned and overflow-scan paths agree on the live face set
+    lim = jnp.float32(1e7)
+    for c in (ax, ay, bx, by, cx, cy):
+        ok = ok & (jnp.abs(c) < lim)
     if valid is not None:
         ok = ok & valid
     inv = jnp.where(ok, 1.0 / jnp.where(ok, area, 1.0), 0.0)
-    a0 = (by - cy) * inv
-    b0 = (cx - bx) * inv
-    # killed faces have a0 = b0 = 0 (inv = 0), so c0 = -1 keeps w0 < 0 at
-    # every pixel; a -BIG sentinel would overflow to inf in the attribute
-    # plane tables and poison the one-hot matmul with 0*inf = NaN
-    c0 = jnp.where(ok, (bx * cy - by * cx) * inv, -1.0)
-    a1 = (cy - ay) * inv
-    b1 = (ax - cx) * inv
-    c1 = (cx * ay - cy * ax) * inv
+    # EVERY row is where-guarded, not just c0: with grazing projections the
+    # screen coords can be huge/inf, so (by − cy)·inv evaluates inf·0 = NaN
+    # for killed faces — and the kernel's one-hot attribute matmul then
+    # poisons whole pixel tiles with NaN·0 (matmuls, unlike selects, touch
+    # every face column; the round-5 config-7 TPU capture rendered black).
+    # Killed faces get a0 = b0 = 0, c0 = -1, so w0 < 0 at every pixel; a
+    # -BIG sentinel would overflow to inf in the attribute plane tables.
+    def g(v, fallback=0.0):
+        return jnp.where(ok, jnp.where(jnp.isfinite(v), v, 0.0), fallback)
+
+    a0 = g((by - cy) * inv)
+    b0 = g((cx - bx) * inv)
+    c0 = g((bx * cy - by * cx) * inv, -1.0)
+    a1 = g((cy - ay) * inv)
+    b1 = g((ax - cx) * inv)
+    c1 = g((cx * ay - cy * ax) * inv)
     a2 = -a0 - a1
     b2 = -b0 - b1
     c2 = 1.0 - c0 - c1
-    pz_a = a0 * az + a1 * bz + a2 * cz
-    pz_b = b0 * az + b1 * bz + b2 * cz
-    pz_c = c0 * az + c1 * bz + c2 * cz
+    pz_a = g(a0 * az + a1 * bz + a2 * cz)
+    pz_b = g(b0 * az + b1 * bz + b2 * cz)
+    pz_c = g(c0 * az + c1 * bz + c2 * cz)
     return jnp.stack([a0, b0, c0, a1, b1, c1, a2, b2, c2,
                       pz_a, pz_b, pz_c]).astype(jnp.float32)
 
@@ -484,9 +497,17 @@ def rasterize_planes(verts_screen, faces, width: int, height: int,
         tj1 = jnp.floor(xmax / _LANES).astype(jnp.int32)
         ii = jnp.arange(gi, dtype=jnp.int32)
         jj = jnp.arange(gj, dtype=jnp.int32)
+        # grazing projections give huge/non-finite screen coords whose
+        # int-cast bboxes cover EVERY tile — they'd flood the K bin slots
+        # (and, pre-guard, poisoned attribute tables with NaN; round-5
+        # config-7 TPU fix). Their planes are killed anyway; drop them here.
+        lim = jnp.float32(1e7)  # also catches finite-but-absurd coords
+        finite = ((jnp.abs(xmin) < lim) & (jnp.abs(xmax) < lim)
+                  & (jnp.abs(ymin) < lim) & (jnp.abs(ymax) < lim))
         hit_i = (ii[:, None] >= ti0[None]) & (ii[:, None] <= ti1[None])
         hit_j = (jj[:, None] >= tj0[None]) & (jj[:, None] <= tj1[None])
-        hit = (hit_i[:, None, :] & hit_j[None, :, :] & live[None, None, :])
+        hit = (hit_i[:, None, :] & hit_j[None, :, :]
+               & (live & finite)[None, None, :])
         hit = hit.reshape(n_tiles, fp)
         counts = jnp.sum(hit, axis=1)
         overflow = (counts > K).astype(jnp.int32).reshape(gi, gj)
@@ -502,8 +523,14 @@ def rasterize_planes(verts_screen, faces, width: int, height: int,
         tile_planes = jnp.where(slot_ok[:, :, None], tile_planes,
                                 kill[None, None, :])
         tile_fids = jnp.where(slot_ok, tile_fids, _NOFACE)
-        # (T, 3*Cp, K) attribute tables, gathered from the transposed tab
-        tile_attrs = jnp.take(attr_tab, jnp.maximum(tile_fids, 0), axis=1)
+        # (T, 3*Cp, K) attribute tables, gathered from the transposed tab.
+        # Empty slots must gather row 0, NOT _NOFACE: jnp.take's default
+        # out-of-bounds mode FILLS float gathers with NaN, and one NaN
+        # column turns the kernel's one-hot matmul into NaN for every pixel
+        # of the tile (round-5 TPU config-7 black-frame regression; the
+        # overflow tiles' full-scan overwrite masked it in spot checks).
+        tile_attrs = jnp.take(attr_tab,
+                              jnp.where(slot_ok, tile_fids, 0), axis=1)
         tile_attrs = jnp.moveaxis(tile_attrs, 0, 1)
         depth, face, bary, attrs = _raster_call_binned(
             planes, attr_tab, tile_planes, tile_fids[:, :, None],

@@ -117,6 +117,50 @@ def block_tridiag_solve_thomas(diag: jnp.ndarray, upper: jnp.ndarray,
     return jnp.concatenate([x_rest, x_last[None]], axis=0)
 
 
+def _block_tridiag_solve_thomas_batched(diag, upper, rhs):
+    """Batched block Thomas: diag (K, F, p, p), upper (K, F−1, p, p),
+    rhs (K, F, p, k) → x (K, F, p, k).
+
+    Same math as block_tridiag_solve_thomas with the chunk axis batched
+    through every step, so each per-step factorization is a (K, p, p)
+    BATCHED psd_solve. This matters on TPU: under jax.vmap the trace-level
+    shapes are unbatched and psd_solve's batched Pallas fast path
+    (ops/psd_pallas.py) can never dispatch — scanning with explicit batch
+    dims lets the SPIKE locals ride the same kernel as the IK solver
+    (round-5; see docs/BENCHMARKS.md)."""
+    kb, f, p, _ = diag.shape
+    if f == 1:
+        return _chol_solve(diag[:, 0], rhs[:, 0])[:, None]
+    d_m = jnp.moveaxis(diag, 1, 0)   # (F, K, p, p)
+    u_m = jnp.moveaxis(upper, 1, 0)
+    r_m = jnp.moveaxis(rhs, 1, 0)
+
+    def fwd(carry, inp):
+        s_prev, y_prev = carry
+        a_f, b_prev, r_f = inp
+        w = _chol_solve(s_prev, jnp.concatenate([b_prev, y_prev], axis=-1))
+        btp = jnp.swapaxes(b_prev, -1, -2)
+        s_f = a_f - btp @ w[..., :p]
+        y_f = r_f - btp @ w[..., p:]
+        return (s_f, y_f), (s_f, y_f)
+
+    (s_last, y_last), (s_rest, y_rest) = jax.lax.scan(
+        fwd, (d_m[0], r_m[0]), (d_m[1:], u_m, r_m[1:]))
+    s_all = jnp.concatenate([d_m[:1], s_rest], axis=0)
+    y_all = jnp.concatenate([r_m[:1], y_rest], axis=0)
+    x_last = _chol_solve(s_last, y_last)
+
+    def bwd(x_next, inp):
+        s_f, y_f, b_f = inp
+        x_f = _chol_solve(s_f, y_f - b_f @ x_next)
+        return x_f, x_f
+
+    _, x_rest = jax.lax.scan(
+        bwd, x_last, (s_all[:-1], y_all[:-1], u_m), reverse=True)
+    x = jnp.concatenate([x_rest, x_last[None]], axis=0)  # (F, K, p, k)
+    return jnp.moveaxis(x, 0, 1)
+
+
 def block_tridiag_solve_cr(diag: jnp.ndarray, upper: jnp.ndarray,
                            rhs: jnp.ndarray) -> jnp.ndarray:
     """Cyclic-reduction solve of the same SPD block-tridiagonal system as
@@ -272,7 +316,7 @@ def block_tridiag_solve_partitioned(diag: jnp.ndarray, upper: jnp.ndarray,
     big = big.at[:, 0, :, k:k + p].set(jnp.swapaxes(c_left, -1, -2))
     big = big.at[:, m - 1, :, k + p:].set(c_right)
 
-    sol = jax.vmap(block_tridiag_solve_thomas)(dd, uu, big)
+    sol = _block_tridiag_solve_thomas_batched(dd, uu, big)
     g = sol[..., :k]            # (K, M, p, k)
     v = sol[..., k:k + p]       # left spikes
     w = sol[..., k + p:]        # right spikes

@@ -123,3 +123,28 @@ def test_render_mesh_planes_path_matches_windowed():
                                np.asarray(b["color"])[both], atol=1e-3)
     np.testing.assert_allclose(np.asarray(a["extra"])[both],
                                np.asarray(b["extra"])[both], atol=1e-3)
+
+
+def test_nonfinite_screen_vertices_do_not_poison_attrs():
+    """Grazing projections (z→0) yield inf/NaN screen coords; their faces
+    must neither poison the one-hot attribute matmul with NaN·0 nor flood
+    the bin capacity with all-tile bboxes (round-5 TPU config-7 regression:
+    covered pixels rendered NaN → black frames)."""
+    rng = np.random.default_rng(7)
+    v = rng.uniform(4, 60, (300, 3)).astype(np.float32)
+    faces = rng.integers(0, 300, (200, 3)).astype(np.int32)
+    # corrupt a handful of vertices the way a z≈0 projection does
+    v[5] = [np.inf, np.inf, 3.0]
+    v[17] = [np.nan, 1e4, 2.0]
+    v[42] = [1e12, -1e12, 5.0]
+    attrs = rng.normal(0, 1, (300, 3)).astype(np.float32)
+    out = rasterize_planes(jnp.asarray(v), jnp.asarray(faces), 128, 64,
+                           vertex_attrs=jnp.asarray(attrs), interpret=True)
+    face = np.asarray(out["face"])
+    cov = face >= 0
+    assert cov.any()  # the clean faces still draw
+    a = np.asarray(out["attrs"])
+    assert np.isfinite(a[cov]).all(), "NaN leaked into covered pixels"
+    # no face incident to a corrupted vertex may win a pixel
+    bad_faces = np.unique(np.where(np.isin(faces, [5, 17, 42]).any(1))[0])
+    assert not np.isin(face[cov], bad_faces).any()
