@@ -170,10 +170,12 @@ def main():
     def stage_factor(a):
         def body(i, a):
             _, (linvs, cols) = blocked_cholesky(a)
-            return a + EPS * cols[0][:, :1, :1]
+            # depend on the LAST panel so no factor stage is dead code
+            # (cols[0] alone lets XLA DCE panels 1..nb-1)
+            return a + EPS * (cols[-1][:, :1, :1] + linvs[-1][:, :1, :1])
         return jax.lax.fori_loop(0, N, body, a)
 
-    report("D1 blocked_cholesky factor only", timeit(stage_factor, a0))
+    report("D1 blocked_cholesky factor only (XLA)", timeit(stage_factor, a0))
 
     _, factors0 = jax.jit(lambda a: blocked_cholesky(a))(a0)
     jax.tree_util.tree_leaves(factors0)[0].block_until_ready()
