@@ -49,6 +49,12 @@ _SPIKE_MIN_FRAMES = int(__import__("os").environ.get(
     "MOMENTUM_TPU_SPIKE_MIN_FRAMES", "128"))
 _SPIKE_PARTS = int(__import__("os").environ.get(
     "MOMENTUM_TPU_SPIKE_PARTS", "64"))
+# minimum frames of serial work per chunk; smaller chunks = more parts =
+# fuller lanes in the batched per-step factorization + a shorter scan, at
+# the cost of a larger interface system (round-5 sweep: 16 beats 32 on the
+# full-body p=160 rig once the psd Pallas path batches the locals)
+_SPIKE_CHUNK = int(__import__("os").environ.get(
+    "MOMENTUM_TPU_SPIKE_CHUNK", "32"))
 
 
 def _chol_solve(a, b):
@@ -72,7 +78,7 @@ def block_tridiag_solve(diag: jnp.ndarray, upper: jnp.ndarray, rhs: jnp.ndarray)
     if f >= _CR_MIN_FRAMES:
         return block_tridiag_solve_cr(diag, upper, rhs)
     if f >= _SPIKE_MIN_FRAMES:
-        parts = min(_SPIKE_PARTS, max(2, f // 32))
+        parts = min(_SPIKE_PARTS, max(2, f // _SPIKE_CHUNK))
         return block_tridiag_solve_partitioned(diag, upper, rhs, parts)
     return block_tridiag_solve_thomas(diag, upper, rhs)
 
