@@ -51,8 +51,9 @@ _SPIKE_PARTS = int(__import__("os").environ.get(
     "MOMENTUM_TPU_SPIKE_PARTS", "64"))
 # minimum frames of serial work per chunk; smaller chunks = more parts =
 # fuller lanes in the batched per-step factorization + a shorter scan, at
-# the cost of a larger interface system (round-5 sweep: 16 beats 32 on the
-# full-body p=160 rig once the psd Pallas path batches the locals)
+# the cost of a larger interface system (round-5 sweep on the full-body
+# p=160 rig with Pallas-batched locals: chunk 16 → 1,801 frames/s LOSES to
+# chunk 32 → 2,221 — the 2p interface growth wins; 32 stays the default)
 _SPIKE_CHUNK = int(__import__("os").environ.get(
     "MOMENTUM_TPU_SPIKE_CHUNK", "32"))
 
