@@ -52,3 +52,26 @@ def rng():
     """Seeded numpy Generator — mirrors the reference's fixed-seed test fixtures
     (test/character_solver/error_function_helpers.h:22-53, seed 12345)."""
     return np.random.default_rng(12345)
+
+
+# ---- quick tier ------------------------------------------------------------
+# `pytest -m quick` runs the fast development gate; the FULL suite remains
+# the merge gate. Slow tests are listed by nodeid in tests/slow_tests.txt
+# (generated from a measured --durations run; regenerate when the shape of
+# the suite changes). Everything else is marked quick, so the tier keeps
+# per-file coverage — only individually-heavy cases drop out.
+import pathlib  # noqa: E402
+
+_SLOW_LIST = pathlib.Path(__file__).parent / "slow_tests.txt"
+_SLOW_IDS = set()
+if _SLOW_LIST.exists():
+    _SLOW_IDS = {ln.strip() for ln in _SLOW_LIST.read_text().splitlines()
+                 if ln.strip() and not ln.startswith("#")}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
