@@ -39,7 +39,9 @@ if _cache_dir and _cache_dir != "0":
         (platform.machine() + _flags).encode()).hexdigest()[:12]
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(_cache_dir, _host_key))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # 0.1 s threshold (was 0.5): the suite compiles thousands of sub-second
+    # executables whose aggregate dominates repeat-run wall time
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
