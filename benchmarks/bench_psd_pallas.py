@@ -12,7 +12,7 @@ from __future__ import annotations
 import os as _os
 import sys as _sys
 
-_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(_os.path.abspath(__file__))))
+_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 if _repo not in _sys.path:
     _sys.path.insert(0, _repo)
 

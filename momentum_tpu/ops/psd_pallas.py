@@ -298,16 +298,16 @@ def psd_solve_pallas(a: jnp.ndarray, b: jnp.ndarray,
         a = ap.at[:, idx, idx].set(1.0)
         rhs = jnp.concatenate(
             [rhs, jnp.zeros((bsz, pad) + rhs.shape[-1:], rhs.dtype)], axis=-2)
-    linvs, cols, widths = factor_pallas(a, interpret=interpret)
+    linvs, l21s, widths = factor_pallas(a, interpret=interpret)
     # vector rhs goes through the fused substitution kernel; matrix rhs
     # (rare in the solver) keeps the XLA blocked path
     use_kernel = (vec and rhs.shape[-1] == 1
-                  and __import__("os").environ.get(
+                  and _os.environ.get(
                       "MOMENTUM_TPU_PSD_SUBST_PALLAS", "1") != "0")
     if use_kernel:
-        x = _subst_call(linvs, cols, widths, rhs[..., 0],
+        x = _subst_call(linvs, l21s, widths, rhs[..., 0],
                         interpret=interpret)[..., None]
     else:
-        x = _solve_panels(linvs, cols, widths, rhs)
+        x = _solve_panels(linvs, l21s, widths, rhs)
     x = x[..., :n, :]
     return x[..., 0] if vec else x
