@@ -81,7 +81,11 @@ def _orchestrate() -> int:
         print(_error_record("device-init", msg))
         return 0
 
-    child_timeout = float(os.environ.get("MOMENTUM_TPU_BENCH_TIMEOUT", 3000))
+    # round 5: the solver's Pallas kernels (panel factor, substitutions,
+    # fk ladder) each cold-compile in minutes-to-tens-of-minutes over the
+    # axon tunnel; a fully cold server cache can take the first bench run
+    # past 3000 s, so the guard allows 5400 before declaring a stall
+    child_timeout = float(os.environ.get("MOMENTUM_TPU_BENCH_TIMEOUT", 5400))
     env = dict(os.environ, MOMENTUM_TPU_BENCH_CHILD="1")
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
